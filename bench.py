@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is fully executed via the no-op sink (computes every row without
+driver-side collection — the honest cost of the plan, not of toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
+from ntd_gtfs_to_socrata_spark.session import get_spark
+
+# Headline set: one per capability family (reference ETL shapes, relational
+# analytics, windows, dedup, similarity, text). Keep in sync as families land.
+HEADLINE = [
+    "flagship_validate_split_agg",
+    "a1_validation_quarantine_counts",
+    "j1_j2_feed_resolution_routing",
+    "j4_upsert_merge",
+    "j5_full_sync_snapshot",
+    "a2_changelog_last_write_wins",
+    "q1_pricing_summary",
+    "q3_shipping_priority_topk",
+    "q5_region_revenue",
+    "w3_topk_per_group",
+    "tw_tumbling_counts",
+    "tw_session_windows",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    load_all_query_modules()
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    # Warm the JVM/session on the smallest query so q1 doesn't pay startup.
+    REGISTRY[names[0]](spark, sf_dir).count()
+
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        df = REGISTRY[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

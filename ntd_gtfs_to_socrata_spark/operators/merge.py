@@ -1,0 +1,96 @@
+"""Key-based merge layer (SURVEY.md §2.3 J1-J5).
+
+The reference does these joins as hand-written Python nested loops /
+membership tests; here each is a declarative join Catalyst can plan
+(broadcast for small dims, sort-merge + AQE skew handling otherwise):
+
+- J1  feed-ID resolution   — left outer equi-join on a regex-extracted key
+      (``getFourfourFromCatalogonMatchingFeedID``,
+      /root/reference/publish_to_catalog.py:503-513).
+- J2  create-vs-update routing — null-key ⇒ 'create' else 'update'
+      (publish_to_catalog.py:536-543): the anti/semi halves of J1.
+- J3  deletion anti-join   — sink rows absent from incoming ⇒ delete set
+      (``locateDeletions``, publish_to_catalog.py:261-288).
+- J4  upsert (merge-by-key) — incoming wins over existing
+      (publish_to_catalog.py:345-352): plain-Spark MERGE via union +
+      row_number window dedupe.
+- J5  full sync = J4 + J3  — snapshot replace by key
+      (publish_to_catalog.py:354): MERGE ... WHEN NOT MATCHED BY SOURCE
+      THEN DELETE semantics.
+
+Scale notes: the upsert shuffles once on the key (window partitionBy);
+both inputs arrive key-partitioned so AQE coalesces. Deletion anti-join
+on the same key reuses the shuffle exchange when planned together. For a
+lakehouse target this whole module maps to a single Delta/Iceberg MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_by_key(
+    incoming: DataFrame,
+    catalog: DataFrame,
+    key: str,
+    broadcast_catalog: bool = True,
+) -> DataFrame:
+    """J1: left outer equi-join; catalog is a small dimension ⇒ broadcast
+    hash join (no shuffle of the big side)."""
+    right = F.broadcast(catalog) if broadcast_catalog else catalog
+    return incoming.join(right, on=key, how="left")
+
+
+def route_create_update(
+    resolved: DataFrame, resolved_id_col: str, action_col: str = "action"
+) -> DataFrame:
+    """J2 (publish_to_catalog.py:536-543)."""
+    return resolved.withColumn(
+        action_col,
+        F.when(F.col(resolved_id_col).isNull(), F.lit("create")).otherwise(
+            F.lit("update")
+        ),
+    )
+
+
+def locate_deletions(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """J3 (publish_to_catalog.py:261-288): existing \\ incoming by key."""
+    return existing.join(incoming, on=key, how="left_anti")
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: str | list[str],
+    order_tiebreak: Column | None = None,
+) -> DataFrame:
+    """J4: plain-Spark MERGE-by-key; incoming rows win over existing.
+
+    union + per-key row_number with a source-priority ordering — one
+    shuffle on the key. Columns are aligned by name (schema-tolerant:
+    missing columns become nulls).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    src = incoming.withColumn("__src_priority", F.lit(0))
+    tgt = existing.withColumn("__src_priority", F.lit(1))
+    unioned = src.unionByName(tgt, allowMissingColumns=True)
+    order = [F.col("__src_priority").asc()]
+    if order_tiebreak is not None:
+        order.append(order_tiebreak)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src_priority")
+    )
+
+
+def full_sync(existing: DataFrame, incoming: DataFrame, key: str | list[str]) -> DataFrame:
+    """J5: upsert + delete-absent ⇒ the post-sync snapshot equals
+    ``incoming`` deduped by key (incoming wins); rows only in ``existing``
+    are dropped. Expressed as upsert-then-semi-join so the idempotency
+    property (sync twice = fixpoint) is explicit in the plan."""
+    keys = [key] if isinstance(key, str) else list(key)
+    merged = upsert(existing, incoming, keys)
+    return merged.join(incoming.select(*keys).distinct(), on=keys, how="left_semi")

@@ -1,0 +1,548 @@
+"""Reference-semantics queries (SURVEY.md §2.2-2.4) over the fixture tables.
+
+Each query exercises one (or a tight cluster) of the reference's operators —
+projection, validation split, key derivation, metadata join, merge,
+changelog aggregation — re-expressed as declarative DataFrame plans, with a
+DuckDB oracle that derives the *same* inputs from the same parquet so the
+value-hash comparison is exact.
+
+Dirty inputs (non-numeric coords, sci-notation, nan/inf, bad URLs, missing
+join markers) are synthesized deterministically from fixture columns —
+integer-derived strings only, so Spark and DuckDB render identical text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.operators import changelog as CL
+from ntd_gtfs_to_socrata_spark.operators import keys as K
+from ntd_gtfs_to_socrata_spark.operators import merge as M
+from ntd_gtfs_to_socrata_spark.operators import validation as V
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Flagship: validate → split → per-group counts (P7/P10/A1 shape over a join)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+SELECT
+  o_orderpriority,
+  (l_quantity BETWEEN 1 AND 45) AND (l_discount BETWEEN 0.01 AND 0.07) AS is_valid,
+  count(*) AS n_rows,
+  count(DISTINCT l_orderkey) AS n_orders,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, is_valid
+"""
+
+
+@register("flagship_validate_split_agg", FLAGSHIP_ORACLE)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core analytics shape (validate rows, split, count per
+    group — publish_to_catalog.py:328-342) over lineitem ⋈ orders.
+
+    Plan shape at scale: lineitem scans with only 5 columns read; the join
+    shuffles on orderkey (or broadcasts orders if small); aggregation is
+    partial+final hash agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_valid = F.col("l_quantity").between(1, 45) & F.col("l_discount").between(0.01, 0.07)
+    return (
+        li.withColumn("is_valid", is_valid)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "is_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 thumbprint projection
+# ---------------------------------------------------------------------------
+
+P1_ORACLE = """
+SELECT c_custkey AS feed_key, c_name AS name
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("p1_thumbprint_projection", P1_ORACLE)
+def p1_thumbprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (publish_to_catalog.py:55-66): 2-field thumbprint projection with
+    a pushed-down filter. Columns + predicate reach the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("feed_key"), F.col("c_name").alias("name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 schema-tolerant projection
+# ---------------------------------------------------------------------------
+
+P2_ORACLE = """
+SELECT p_partkey AS stop_id, p_name AS stop_name, p_size AS location_type,
+       CAST(NULL AS VARCHAR) AS stop_code, CAST(NULL AS VARCHAR) AS zone_id
+FROM part
+"""
+
+
+@register("p2_schema_tolerant_projection", P2_ORACLE)
+def p2_schema_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (publish_to_catalog.py:207-245): project a source onto a canonical
+    target layout; columns absent from the source become nulls instead of
+    the reference's variable-width row drop (SURVEY.md §7 hard-parts)."""
+    target = [
+        ("stop_id", "p_partkey"),
+        ("stop_name", "p_name"),
+        ("location_type", "p_size"),
+        ("stop_code", None),
+        ("zone_id", None),
+    ]
+    df = load_table(spark, sf_dir, "part")
+    cols = [
+        (F.col(src).alias(name) if src is not None else F.lit(None).cast("string").alias(name))
+        for name, src in target
+    ]
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 derived key + WKT point
+# ---------------------------------------------------------------------------
+
+P3P4_ORACLE = """
+SELECT
+  CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS feed_id_stop_id,
+  'POINT(' || CAST(l_partkey % 360 - 180 AS VARCHAR) || ' ' || CAST(l_suppkey % 180 - 90 AS VARCHAR) || ')' AS wkt
+FROM lineitem
+"""
+
+
+@register("p3_p4_derived_keys", P3P4_ORACLE)
+def p3_p4_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 surrogate key (publish_to_catalog.py:237) + P4 WKT point (L236),
+    integer-derived coordinates for engine-identical text rendering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lon = (F.col("l_partkey") % 360 - 180).cast("long").cast("string")
+    lat = (F.col("l_suppkey") % 180 - 90).cast("long").cast("string")
+    return li.select(
+        K.surrogate_key(
+            F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("feed_id_stop_id"),
+        K.wkt_point(lon, lat).alias("wkt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 tag-membership filter (array_contains)
+# ---------------------------------------------------------------------------
+
+P5_ORACLE = """
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+GROUP BY lang
+"""
+
+
+@register("p5_tag_membership_filter", P5_ORACLE)
+def p5_tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (publish_to_catalog.py:305): null-safe array membership filter;
+    here on a tokenized text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.array_contains(F.split(F.col("text"), " "), "spark"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/P8/P10/A1: stringly-typed validation + quarantine split + counts
+# ---------------------------------------------------------------------------
+
+_DIRTY_INPUT_SQL = """
+  SELECT
+    l_returnflag,
+    CASE l_linenumber % 6
+      WHEN 0 THEN CAST(l_orderkey % 200 - 100 AS VARCHAR)
+      WHEN 1 THEN '  ' || CAST(l_orderkey % 200 - 100 AS VARCHAR) || ' '
+      WHEN 2 THEN CAST(l_orderkey % 9 AS VARCHAR) || 'e1'
+      WHEN 3 THEN 'nan'
+      WHEN 4 THEN 'inf'
+      ELSE 'x' || CAST(l_orderkey % 200 AS VARCHAR)
+    END AS stop_lat,
+    CAST(l_partkey % 400 - 200 AS VARCHAR) AS stop_lon,
+    CASE l_suppkey % 3 WHEN 0 THEN '' WHEN 1 THEN '1' ELSE 'station' END AS location_type
+  FROM lineitem
+"""
+
+A1_ORACLE = f"""
+WITH stops AS ({_DIRTY_INPUT_SQL}),
+flagged AS (
+  SELECT l_returnflag,
+    coalesce(TRY_CAST(stop_lat AS DOUBLE) BETWEEN -90 AND 90, FALSE)
+      AND coalesce(TRY_CAST(stop_lon AS DOUBLE) BETWEEN -180 AND 180, FALSE)
+      AND (trim(location_type) = '' OR TRY_CAST(location_type AS DOUBLE) IS NOT NULL)
+      AS is_valid
+  FROM stops
+)
+SELECT l_returnflag, count(*) AS total_rows,
+       sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS valid_rows,
+       sum(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS invalid_rows
+FROM flagged GROUP BY l_returnflag
+"""
+
+
+def _dirty_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the dirty stops_raw fixture (FIXTURES.md §B1) from
+    lineitem: plain/padded/sci-notation/nan/inf/non-numeric coordinate
+    strings + empty/numeric/non-numeric location types."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lat_base = (F.col("l_orderkey") % 200 - 100).cast("long").cast("string")
+    variant = F.col("l_linenumber") % 6
+    stop_lat = (
+        F.when(variant == 0, lat_base)
+        .when(variant == 1, F.concat(F.lit("  "), lat_base, F.lit(" ")))
+        .when(variant == 2, F.concat((F.col("l_orderkey") % 9).cast("long").cast("string"), F.lit("e1")))
+        .when(variant == 3, F.lit("nan"))
+        .when(variant == 4, F.lit("inf"))
+        .otherwise(F.concat(F.lit("x"), (F.col("l_orderkey") % 200).cast("long").cast("string")))
+    )
+    stop_lon = (F.col("l_partkey") % 400 - 200).cast("long").cast("string")
+    loc_variant = F.col("l_suppkey") % 3
+    location_type = (
+        F.when(loc_variant == 0, F.lit(""))
+        .when(loc_variant == 1, F.lit("1"))
+        .otherwise(F.lit("station"))
+    )
+    return li.select(
+        "l_returnflag",
+        stop_lat.alias("stop_lat"),
+        stop_lon.alias("stop_lon"),
+        location_type.alias("location_type"),
+    )
+
+
+@register("a1_validation_quarantine_counts", A1_ORACLE)
+def a1_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 coordinate cast-probe + P8 location-type + P10 split + A1 counts
+    (publish_to_catalog.py:181-200, 335-342, 356-359) over a synthesized
+    dirty stops table. The valid+invalid=total identity holds per group.
+    """
+    stops = _dirty_stops(spark, sf_dir)
+    is_valid = V.coordinates_valid(F.col("stop_lat"), F.col("stop_lon")) & V.location_type_valid(
+        F.col("location_type")
+    )
+    flagged = stops.withColumn("is_valid", is_valid)
+    return CL.quarantine_counts(flagged, "l_returnflag")
+
+
+P10_ORACLE = f"""
+WITH stops AS ({_DIRTY_INPUT_SQL})
+SELECT stop_lat, stop_lon, location_type
+FROM stops
+WHERE NOT (
+  coalesce(TRY_CAST(stop_lat AS DOUBLE) BETWEEN -90 AND 90, FALSE)
+  AND coalesce(TRY_CAST(stop_lon AS DOUBLE) BETWEEN -180 AND 180, FALSE)
+  AND (trim(location_type) = '' OR TRY_CAST(location_type AS DOUBLE) IS NOT NULL)
+)
+"""
+
+
+@register("p10_quarantine_rows", P10_ORACLE)
+def p10_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the quarantine branch itself (publish_to_catalog.py:338-342) —
+    invalid raw rows retained for audit, explicit badRecordsPath analog."""
+    stops = _dirty_stops(spark, sf_dir)
+    is_valid = V.coordinates_valid(F.col("stop_lat"), F.col("stop_lon")) & V.location_type_valid(
+        F.col("location_type")
+    )
+    _, quarantine = V.split_valid_invalid(stops, is_valid)
+    return quarantine.select("stop_lat", "stop_lon", "location_type")
+
+
+# ---------------------------------------------------------------------------
+# P9 URL regex validity
+# ---------------------------------------------------------------------------
+
+P9_ORACLE = rf"""
+WITH urls AS (
+  SELECT c_custkey,
+    CASE c_custkey % 3
+      WHEN 0 THEN 'https://agency' || CAST(c_custkey AS VARCHAR) || '.example.com/gtfs.zip'
+      WHEN 1 THEN 'notaurl' || CAST(c_custkey AS VARCHAR)
+      ELSE 'http://agency' || CAST(c_custkey AS VARCHAR)
+    END AS fetch_link
+  FROM customer
+)
+SELECT regexp_matches(fetch_link, '{V.URL_REGEX}') AS url_ok, count(*) AS n
+FROM urls GROUP BY url_ok
+"""
+
+
+@register("p9_url_validity", P9_ORACLE)
+def p9_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (publish_to_catalog.py:83-91): syntactic URL predicate, engine-
+    portable regex (anchored, RE2-compatible)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = (
+        F.when(k % 3 == 0, F.concat(F.lit("https://agency"), k.cast("string"), F.lit(".example.com/gtfs.zip")))
+        .when(k % 3 == 1, F.concat(F.lit("notaurl"), k.cast("string")))
+        .otherwise(F.concat(F.lit("http://agency"), k.cast("string")))
+    )
+    return (
+        c.select(url.alias("fetch_link"))
+        .select(V.url_valid(F.col("fetch_link")).alias("url_ok"))
+        .groupBy("url_ok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J1a/J2: regex-extracted join key, broadcast resolution, routing
+# ---------------------------------------------------------------------------
+
+_CATALOG_SQL = """
+  SELECT 'cat-' || CAST(s_suppkey AS VARCHAR) AS id,
+    CASE WHEN s_suppkey % 2 = 0
+      THEN 'Agency feed' || chr(10) || 'Feed ID: F' || CAST(s_suppkey AS VARCHAR) || chr(10) || 'tail'
+      ELSE 'no marker here'
+    END AS description
+  FROM supplier
+"""
+
+J1_ORACLE = f"""
+WITH catalog AS ({_CATALOG_SQL}),
+keyed AS (
+  SELECT id, regexp_extract(description, '\nFeed ID: (.+)\n', 1) AS feed_id
+  FROM catalog
+  WHERE regexp_extract(description, '\nFeed ID: (.+)\n', 1) <> ''
+),
+incoming AS (
+  SELECT 'F' || CAST(c_custkey % 120 AS VARCHAR) AS feed_id, c_name AS agency_name
+  FROM customer
+),
+resolved AS (
+  SELECT i.feed_id, k.id,
+         CASE WHEN k.id IS NULL THEN 'create' ELSE 'update' END AS action
+  FROM incoming i LEFT JOIN keyed k USING (feed_id)
+)
+SELECT action, count(*) AS n_agencies, count(DISTINCT feed_id) AS n_feeds
+FROM resolved GROUP BY action
+"""
+
+
+@register("j1_j2_feed_resolution_routing", J1_ORACLE)
+def j1_j2_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1a regex key extraction (publish_to_catalog.py:137-145) + J1
+    broadcast left join (L503-513) + J2 create/update routing (L536-543).
+
+    The catalog side is a small dimension — broadcast hash join, so the
+    incoming (big) side never shuffles. At 100 TB of incoming rows this
+    stays a map-side join.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    desc = F.when(
+        F.col("s_suppkey") % 2 == 0,
+        F.concat(
+            F.lit("Agency feed\nFeed ID: F"),
+            F.col("s_suppkey").cast("string"),
+            F.lit("\ntail"),
+        ),
+    ).otherwise(F.lit("no marker here"))
+    catalog = supplier.select(
+        F.concat(F.lit("cat-"), F.col("s_suppkey").cast("string")).alias("id"),
+        desc.alias("description"),
+    )
+    keyed = catalog.select(
+        "id", K.extract_feed_id(F.col("description")).alias("feed_id")
+    ).filter(F.col("feed_id") != "")
+
+    customer = load_table(spark, sf_dir, "customer")
+    incoming = customer.select(
+        F.concat(F.lit("F"), (F.col("c_custkey") % 120).cast("string")).alias("feed_id"),
+        F.col("c_name").alias("agency_name"),
+    )
+    resolved = M.resolve_by_key(incoming, keyed, key="feed_id")
+    routed = M.route_create_update(resolved, "id")
+    return routed.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_agencies"),
+        F.countDistinct("feed_id").alias("n_feeds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 deletion anti-join
+# ---------------------------------------------------------------------------
+
+J3_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_deletions
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("j3_deletion_anti_join", J3_ORACLE)
+def j3_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (``locateDeletions``, publish_to_catalog.py:261-288): sink rows
+    with no incoming counterpart ⇒ delete set, as a left-anti join.
+    Incoming restricted to urgent orders so the delete set is non-empty."""
+    customer = load_table(spark, sf_dir, "customer")
+    incoming = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    deletions = M.locate_deletions(customer, incoming, key="c_custkey")
+    return deletions.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_deletions"))
+
+
+# ---------------------------------------------------------------------------
+# J4 upsert merge-by-key  /  J5 full sync
+# ---------------------------------------------------------------------------
+
+# floor(x*100) not round(): identical in both engines (round() half-case
+# handling differs and totalprice*1.1 lands on half-cent boundaries often).
+_EXISTING_SQL = """
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 3 <> 0
+"""
+_INCOMING_SQL = """
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 110) AS BIGINT) AS price_cents,
+         'UPDATED' AS prio
+  FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+def _merge_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).alias("price_cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 110).alias("price_cents"),
+        F.lit("UPDATED").alias("prio"),
+    )
+    return existing, incoming
+
+
+J4_ORACLE = f"""
+WITH existing AS ({_EXISTING_SQL}), incoming AS ({_INCOMING_SQL})
+SELECT coalesce(i.k, e.k) AS k,
+       coalesce(i.price_cents, e.price_cents) AS price_cents,
+       coalesce(i.prio, e.prio) AS prio
+FROM incoming i FULL OUTER JOIN existing e ON i.k = e.k
+"""
+
+
+@register("j4_upsert_merge", J4_ORACLE)
+def j4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (publish_to_catalog.py:345-352): MERGE-by-key, incoming wins —
+    plain-Spark union + per-key row_number; one shuffle on the key."""
+    existing, incoming = _merge_sides(spark, sf_dir)
+    return M.upsert(existing, incoming, key="k")
+
+
+J5_ORACLE = f"""
+WITH incoming AS ({_INCOMING_SQL})
+SELECT k, price_cents, prio FROM incoming
+"""
+
+
+@register("j5_full_sync_snapshot", J5_ORACLE)
+def j5_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (publish_to_catalog.py:354): upsert + delete-absent ⇒ snapshot
+    equals the (key-unique) incoming set — the idempotent-sync fixpoint the
+    reference achieves with serial HTTP calls."""
+    existing, incoming = _merge_sides(spark, sf_dir)
+    return M.full_sync(existing, incoming, key="k")
+
+
+# ---------------------------------------------------------------------------
+# A2 last-write-wins changelog
+# ---------------------------------------------------------------------------
+
+A2_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, round(value, 2) AS last_value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, last_value FROM ranked WHERE rn = 1
+"""
+
+
+@register("a2_changelog_last_write_wins", A2_ORACLE)
+def a2_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (``updateChangeLog``, publish_to_catalog.py:93-124): dict-
+    assignment last-write-wins per key → window dedupe; one shuffle on the
+    changelog key, deterministic tiebreak on event_id."""
+    events = load_table(spark, sf_dir, "events")
+    latest = CL.last_write_wins(events, ["user_id", "event_type"], "ts", tiebreak="event_id")
+    return latest.select(
+        "user_id", "event_type", F.round(F.col("value"), 2).alias("last_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 run-summary action counts
+# ---------------------------------------------------------------------------
+
+A3_ORACLE = """
+SELECT event_type AS action, count(DISTINCT user_id) AS n_feeds, count(*) AS n_entries
+FROM events GROUP BY event_type
+"""
+
+
+@register("a3_run_summary_counts", A3_ORACLE)
+def a3_action_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (publish_to_catalog.py:554-563): per-action-category dict sizes →
+    distinct counts per group."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"), F.col("user_id").alias("feed_id")
+    )
+    return CL.action_counts(events)
+
+
+# ---------------------------------------------------------------------------
+# A4 error fold
+# ---------------------------------------------------------------------------
+
+A4_ORACLE = """
+SELECT string_agg(line, chr(10) || chr(10) ORDER BY line) AS error_blob
+FROM (
+  SELECT CAST(user_id AS VARCHAR) || ': ' || CAST(event_id AS VARCHAR) AS line
+  FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@register("a4_error_fold", A4_ORACLE)
+def a4_error_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (``stringifyErrorLines``, publish_to_catalog.py:547-551): fold all
+    error lines into one blob; sorted for distributed determinism."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("feed_id"),
+        F.col("event_id").cast("string").alias("message"),
+    )
+    return CL.fold_errors(errors, id_col="feed_id", msg_col="message")

@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+Local-mode testing (local[N], single JVM) with a configuration posture that
+transfers to a multi-executor cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), shuffle partitions sized to cores locally
+(on a real cluster this would be ~2-3x total cores or left to AQE), UTC
+session timezone so results compare bit-for-bit against the DuckDB oracle,
+and Arrow enabled for the Pandas-UDF fast path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ntd-gtfs-to-socrata-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    At 100 TB the same logical plans run unchanged; only these configs move:
+    shuffle.partitions (or rely on AQE coalescing), files.maxPartitionBytes,
+    and executor sizing — none of which are baked into operator code here.
+    """
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

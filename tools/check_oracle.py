@@ -1,0 +1,127 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf dir, then compares row count, sorted column names, and
+order-insensitive values (exact, with a float-tolerance diagnostic so we can
+tell a formatting mismatch from an FP-noise mismatch).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from ntd_gtfs_to_socrata_spark.io import TABLES
+from ntd_gtfs_to_socrata_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def values_equal(a, b) -> tuple[bool, bool]:
+    """(exact, approx) cell equality."""
+    if a is None and b is None:
+        return True, True
+    if pd.isna(a) if not isinstance(a, (list, tuple)) else False:
+        if pd.isna(b) if not isinstance(b, (list, tuple)) else False:
+            return True, True
+        return False, False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True, True
+        exact = a == b
+        approx = exact or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        return exact, approx
+    eq = a == b
+    return eq, eq
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    issues = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
+    s, d = normalize(spark_df), normalize(duck_df)
+    n_exact_bad = n_approx_bad = 0
+    first_bad = None
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            exact, approx = values_equal(a, b)
+            if not exact:
+                n_exact_bad += 1
+                if first_bad is None:
+                    first_bad = (col, i, a, b)
+            if not approx:
+                n_approx_bad += 1
+    if n_exact_bad:
+        col, i, a, b = first_bad
+        issues.append(
+            f"VALUES exact_bad={n_exact_bad} approx_bad={n_approx_bad} "
+            f"first: col={col} row={i} spark={a!r} duck={b!r}"
+        )
+    return "; ".join(issues) if issues else "OK"
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("check-oracle")
+    con = duck_con(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = only or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        verdict = compare(name, sdf, ddf)
+        status = "ok" if verdict == "OK" else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"[{status}] {name}: {verdict} rows={len(sdf)} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passing")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
