@@ -1,2 +1,428 @@
 """Relational analytics surface (SURVEY.md §2.3 J6, §2.4 A6, §2.5 W2-W4,
-§2.6 F14) over the TPC-H-ish fixture tables. Populated incrementally."""
+§2.6 F14) over the TPC-H-ish fixture tables.
+
+These are the ▲ north-star operators the reference lacks entirely (its only
+"joins" are hand-rolled nested loops): hash/broadcast/sort-merge equi-joins,
+multi-way star joins, ranking/analytic windows, top-k per group, set ops,
+rollup/cube, and the scalar-function sweep. Every query is a declarative
+plan — Catalyst picks broadcast for the small dims (region/nation/supplier),
+AQE handles skew/coalescing at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Q1 pricing summary (TPC-H Q1 shape): scan-heavy groupBy + 8 aggregates
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", Q1_ORACLE)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter pushed to the parquet scan, partial+final
+    hash aggregation, whole-stage codegen throughout — the canonical
+    scan-bound query at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shipping priority: 3-way join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+WITH revenue AS (
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate  > TIMESTAMP '1996-03-15'
+  GROUP BY l_orderkey, orderdate, o_orderpriority
+)
+SELECT l_orderkey, orderdate, o_orderpriority, revenue
+FROM revenue
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority_topk", Q3_ORACLE)
+def q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → join → agg → global
+    top-k. Deterministic tiebreak (orderkey) so the LIMIT edge is stable.
+    TakeOrderedAndProject = no full sort of the agg output at scale."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 local-supplier revenue: 6-way star join
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("q5_region_revenue", Q5_ORACLE)
+def q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join where region/nation/supplier broadcast
+    (small dims) so the fact table shuffles at most once for the
+    customer⋈orders equi-join; Catalyst reorders freely."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 ranking + analytic window functions
+# ---------------------------------------------------------------------------
+
+W2_ORACLE = """
+SELECT o_orderkey,
+       row_number() OVER w AS rn,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC) AS price_rank,
+       date_diff('day',
+                 lag(o_orderdate) OVER w,
+                 o_orderdate) AS days_since_prev,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("w2_window_functions", W2_ORACLE)
+def w2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ranking (row_number/rank), analytic (lag), and a running-frame
+    aggregate. One shuffle on the partition key; frames evaluated in a
+    single sort per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") * 100).desc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        # integer-domain running sum: float running sums differ between
+        # engines (DuckDB windows aggregate via segment trees, Spark
+        # incrementally — different addition order, different low bits)
+        F.sum(F.floor(F.col("o_totalprice") * 100)).over(running).alias("running_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 top-k per group
+# ---------------------------------------------------------------------------
+
+W3_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY floor(o_totalprice * 100) DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("w3_topk_per_group", W3_ORACLE)
+def w3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-3 orders per customer — window + filter; Spark pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so only k rows per
+    group are kept through the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.floor(F.col("o_totalprice") * 100).desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).alias("price_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 set operations
+# ---------------------------------------------------------------------------
+
+W4_ORACLE = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM o)
+"""
+
+
+@register("w4_set_ops", W4_ORACLE)
+def w4_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: intersect / except / union-distinct — the reference's closest
+    cousin is the valid∪invalid partition (SURVEY.md §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+
+    def tagged(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("op"), "n")
+
+    return (
+        tagged("intersect", f.intersect(o))
+        .unionByName(tagged("except", f.exceptAll(o).distinct()))
+        .unionByName(tagged("union", f.union(o).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 rollup / cube / distinct aggregates
+# ---------------------------------------------------------------------------
+
+A6_ROLLUP_ORACLE = """
+SELECT grouping(l_returnflag, l_linestatus) AS gid,
+       l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("a6_rollup", A6_ROLLUP_ORACLE)
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: hierarchical totals via ROLLUP — one pass, grouping-set
+    expansion handled by the aggregate itself (no self-union)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+    )
+
+
+A6_CUBE_ORACLE = """
+SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("a6_cube", A6_CUBE_ORACLE)
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return (
+        li.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
+    )
+
+
+A6_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a6_distinct_agg", A6_DISTINCT_ORACLE)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: multi-column exact distinct aggregation (expand + two-phase agg
+    under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("a6_approx_distinct")  # rows-only: HLL sketches are impl-specific
+def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: approx_count_distinct (HyperLogLog++) — the 100 TB path where
+    exact distinct would shuffle every key. No oracle: sketch estimates are
+    implementation-defined; correctness is bounded-error, asserted in
+    tests/test_relational.py against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 scalar-function sweep
+# ---------------------------------------------------------------------------
+
+F14_ORACLE = """
+SELECT p_partkey,
+       CAST(floor(abs(p_retailprice - 1000.0) * 100) AS BIGINT) AS abs_diff_cents,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(ln(CAST(p_size AS DOUBLE) + 1.0), 6) AS size_ln,
+       CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 5) AS name_prefix,
+       length(p_name) AS name_len,
+       string_split(p_type, ' ')[1] AS type_head,
+       replace(p_brand, '#', '-') AS brand_norm,
+       greatest(p_size, 10) AS size_floor10,
+       CASE WHEN p_retailprice > 1500 THEN 'high' ELSE 'low' END AS price_band
+FROM part
+"""
+
+
+@register("f14_scalar_sweep", F14_ORACLE)
+def f14_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: math / string / array / conditional scalar surface — all
+    JVM-side codegen'd Column expressions (SURVEY.md §2.6), no Python."""
+    p = load_table(spark, sf_dir, "part")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.floor(F.abs(F.col("p_retailprice") - 1000.0) * 100).alias("abs_diff_cents"),
+        F.round(F.sqrt(size_d), 6).alias("size_sqrt"),
+        F.round(F.log(size_d + 1.0), 6).alias("size_ln"),
+        (F.col("p_size").cast("long") * F.col("p_size").cast("long")).alias("size_sq"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.regexp_replace("p_brand", "#", "-").alias("brand_norm"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.when(F.col("p_retailprice") > 1500, "high").otherwise("low").alias("price_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12/F14 JSON extraction (the reference round-trips JSON constantly)
+# ---------------------------------------------------------------------------
+
+JSON_ORACLE = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props_extract", JSON_ORACLE)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (publish_to_catalog.py:52, 346, 581): JSON decode as a column
+    op — get_json_object stays JVM-side, no Python json.loads per row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

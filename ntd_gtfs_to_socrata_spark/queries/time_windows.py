@@ -1,2 +1,229 @@
-"""Event-time window queries (SURVEY.md §2.7, batch form) over ``events``.
-Populated incrementally."""
+"""Event-time windows + temporal joins (SURVEY.md §2.7, §2.3 J7) in batch
+form over ``events``.
+
+The reference is cron-batch with no streaming operators; this is the ▲
+extension surface. Each op uses the same primitives Structured Streaming
+uses (``window()``, ``session_window()`` work identically on static frames),
+so the plans transfer 1:1 to `readStream` — see
+``ntd_gtfs_to_socrata_spark/streaming/`` for the streaming variants with
+watermarks.
+
+Window starts/ends are emitted as epoch seconds (BIGINT) so the value-hash
+comparison is timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Tumbling window
+# ---------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("tw_tumbling_counts", TUMBLING_ORACLE)
+def tw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows — ``window()`` on a static frame; in
+    streaming the identical expression runs with a watermark. One shuffle
+    on (window, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window
+# ---------------------------------------------------------------------------
+
+SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS s, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS s, value FROM events
+)
+SELECT CAST(floor(epoch(s)) AS BIGINT) AS window_start,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM assigned
+GROUP BY window_start
+"""
+
+
+@register("tw_sliding_counts", SLIDING_ORACLE)
+def tw_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in 2
+    windows; Spark expands via the window() generator — the oracle models
+    the same expansion as a 2-way UNION ALL of bucket assignments."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (5-minute inactivity gap per user)
+# ---------------------------------------------------------------------------
+
+SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         -- >=: a Spark session window spans [start, last+gap), so an event
+         -- at exactly last+gap starts a NEW session
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '5 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last,
+       count(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+"""
+
+
+@register("tw_session_windows", SESSION_ORACLE)
+def tw_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: ``session_window(ts, '5 minutes')`` — Spark merges
+    per-user events into inactivity-gap sessions in one pass (streaming:
+    the same expression is stateful with watermark eviction). Oracle is the
+    classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.unix_timestamp(F.max("ts")).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J7): each click joined to the user's most recent prior view
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+     views  AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       CAST(floor(epoch(c.ts) - epoch(v.ts)) AS BIGINT) AS gap_secs
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+@register("asof_join_click_to_view", ASOF_ORACLE)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of join, the scalable formulation: union both sides tagged,
+    one window sort per user carries the last-seen view forward
+    (``last(..., ignorenulls)``), then keep clicks. O(n log n) per key and
+    ONE shuffle — no range cross-join blowup; this is the pattern that
+    survives 100 TB where a naive non-equi join would not.
+
+    DuckDB oracle uses its native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    # views sort before clicks at identical ts (is_click asc) => a view at
+    # exactly click-time is visible to the click, matching ASOF's >=.
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_event_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_click", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_click",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("last_view_ts"),
+    ).filter(F.col("is_click") == 1)
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "view_id",
+        F.floor(
+            F.col("ts").cast("double") - F.col("last_view_ts").cast("double")
+        ).alias("gap_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (J7): fact rows to interval buckets
+# ---------------------------------------------------------------------------
+
+RANGE_ORACLE = """
+SELECT r_name AS band, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN region ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10
+GROUP BY r_name
+"""
+
+
+@register("range_join_quantity_bands", RANGE_ORACLE)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 range join: fact to interval dimension. The dim is tiny ⇒
+    broadcast nested-loop with the range predicate evaluated map-side — at
+    any fact-table scale this stays a single scan, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("band"),
+        (F.col("r_regionkey") * 10).cast("double").alias("lo"),
+        ((F.col("r_regionkey") + 1) * 10).cast("double").alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
