@@ -1,0 +1,75 @@
+"""Multimodal column handling (north-star extension).
+
+Media (image/audio/video) are opaque ``binary`` columns plus typed
+metadata, the lakehouse-native layout for multimodal training data. The
+Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` UDFs, batch
+shapes — is real and tested; the actual codec calls are STUBBED with a
+deterministic fake (this container has no image/audio libraries), clearly
+marked below, so swapping in PIL/ffmpeg is a one-function change.
+
+Reference analog: the GTFS .zip payload round-trip
+(/root/reference/publish_to_catalog.py:316-320, 451-454) — bytes in a
+column, processed by an adapter, never interpreted by the engine itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width long, height long, ok boolean"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Materialize a binary payload column + metadata struct from text
+    (stand-in for `spark.read.format('binaryFile')` on a media lake)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("uri"),
+            F.col("lang").alias("container"),
+            F.length(F.col("text")).cast("long").alias("declared_size"),
+        ).alias("media_meta"),
+    )
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB DECODER (deterministic fake).
+
+    Real implementation would be e.g.::
+
+        from PIL import Image; import io
+        img = Image.open(io.BytesIO(payload))  # NotImplementedError here
+
+    The fake derives width/height from byte length so results are
+    reproducible and oracle-checkable; everything around it (Arrow batch
+    iteration, schema contract, per-partition execution) is the production
+    plumbing.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "format": n_bytes.map(lambda n: "png" if n % 2 == 0 else "jpeg"),
+                "width": n_bytes % 640 + 1,
+                "height": (n_bytes // 640) % 480 + 1,
+                "ok": True,
+            }
+        )
+
+
+def decode_media(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode over partitions — the pattern that scales:
+    each task decodes its partition's blobs in pandas batches, no
+    driver-side loop, no per-row Python overhead."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        fake_decode_batch, schema=DECODE_SCHEMA
+    )

@@ -1,2 +1,400 @@
 """Deduplication + text-analysis queries (north-star extension) over
-``documents``. Populated incrementally."""
+``documents`` — the training-data-pipeline surface (BASELINE.json):
+exact dedup, n-gram Jaccard near-dup, SimHash, MinHash-LSH, quality
+scoring, language ID, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.operators import textops as TX
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies, min(n_chars) AS n_chars
+FROM documents GROUP BY text
+"""
+
+
+@register("dedup_exact", DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content. At 100 TB, group on a content
+    digest (sha2) instead of the raw text so shuffle rows stay small — same
+    plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index formulation)
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: distinct word-3-gram shingles → inverted-index
+    self-join on shingle → per-pair common count → exact Jaccard ≥ 0.2.
+
+    Scale posture: the shingle join is the exact version of LSH banding —
+    at 100 TB you'd first drop ultra-common shingles (document-frequency
+    cap) to bound the join fan-out, then switch to `dedup_minhash_lsh`
+    (banded signatures) so candidate generation is O(docs), not
+    O(shared-shingle pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+    )
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+    )
+    pairs = (
+        exploded.join(
+            b,
+            (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= 0.2)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {poly} AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fingerprint} AS simhash FROM votes
+""".format(
+    poly=TX.poly_hash_sql("tok", 8),
+    vote_cols=",\n    ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    ),
+    fingerprint=" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+
+@register("dedup_simhash", SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token deterministic hash → ±1 votes per bit →
+    threshold → 16-bit fingerprint. Near-dups then cluster by fingerprint
+    (or small Hamming distance). One explode + one groupBy — linear in
+    corpus size, the cheapest fuzzy-dedup signal at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
+    )
+    hashed = toks.select("doc_id", TX.char_poly_hash(F.col("tok"), 8).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h") / (1 << b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    return votes.select(
+        "doc_id", TX.simhash_from_votes([F.col(f"v{b}") for b in range(16)]).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (engine-portable) near-dup signatures
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = [(1 + 2 * i, 7919 * i + 13) for i in range(8)]
+
+MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, {poly} AS h
+  FROM shingled
+)
+SELECT doc_id, {mins}
+FROM hashed GROUP BY doc_id
+""".format(
+    poly=TX.poly_hash_sql("sh", 8),
+    mins=", ".join(
+        f"min((h * {a} + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    ),
+)
+
+
+@register("dedup_minhash_signatures", MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 universal-hash permutations over shingle
+    hashes). Signature agreement estimates Jaccard; banding the 8
+    components into 4 bands of 2 gives LSH candidate buckets — see
+    ``dedup_minhash_lsh_pairs`` for the banded join."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh")
+    )
+    hashed = shingled.select("doc_id", TX.char_poly_hash(F.col("sh"), 8).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(TX.minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_PERMS)
+        ]
+    )
+
+
+@register("dedup_minhash_lsh_pairs")  # rows-only: candidate set is impl-defined
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the minhash signatures: 4 bands × 2 rows; docs
+    sharing any band bucket become candidate pairs (the O(docs) scale path
+    for near-dup at 100 TB — no all-pairs join). Candidates are then
+    verified with exact Jaccard in `dedup_ngram_jaccard`'s formulation.
+    Rows-only check: banding FP/FN sets are parameter-dependent."""
+    sigs = dedup_minhash(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "_", F.lit(i), F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+            ).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack(4, band0, band1, band2, band3) AS bucket",
+    )
+    other = stacked.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bucket_b"))
+    return (
+        stacked.join(
+            other,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  length(text) AS n_chars,
+  round(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
+  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  round(CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+        / greatest(len(toks), 1), 4) AS stopword_ratio
+FROM t
+"""
+
+
+@register("text_quality_scores", QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / punctuation / stopword ratios) —
+    all codegen'd expressions; the shape used to filter pre-training
+    corpora. No shuffle at all: pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+        F.round(TX.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(toks, _STOPWORDS), 4).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-list heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "es": ["el", "la", "de", "y"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','a','and','of'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','y'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))) AS s_zh
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_zh THEN 'es'
+       ELSE 'zh' END AS predicted_lang,
+  s_en, s_es, s_zh
+FROM scored
+"""
+
+
+@register("text_langid_ngram", LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token scoring with a deterministic argmax
+    (tiebreak order en > es > zh). A real deployment swaps the marker lists
+    for char-n-gram models; the plan shape (map-only scoring) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    def marker_score(markers: list[str]):
+        marker_arr = F.array(*[F.lit(x) for x in markers])
+        # single-arg lambda: a defaulted second param would make PySpark
+        # treat it as the (value, index) form
+        return F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["zh"].alias("s_zh"),
+    )
+    predicted = (
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_zh")), "en")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", predicted.alias("predicted_lang"), "s_en", "s_es", "s_zh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap corpus
+    token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, {TX.poly_hash_sql("text", 16)} AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: deterministic polynomial rolling hash over
+    the first 16 chars (engine-portable; murmur3 would be Spark-only).
+    Pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.char_poly_hash(F.col("text"), 16).alias("fingerprint"))

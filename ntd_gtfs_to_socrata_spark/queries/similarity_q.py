@@ -1,2 +1,228 @@
-"""Similarity-search queries (north-star extension) over ``embeddings``.
-Populated incrementally."""
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+Brute-force cosine top-k as the exact baseline, and a hyperplane-LSH
+bucketing as the scale path (candidate generation O(n) instead of O(n·q)).
+All vector math is JVM-side higher-order functions (zip_with/aggregate) on
+array columns — Arrow/pandas never enters the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns, sequential
+    left-to-right fold (matches DuckDB's list_inner_product order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+BRUTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS cid, label, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings
+),
+scored AS (
+  SELECT qid, cid, label,
+         round(list_inner_product(qe, ce) / (qn * cn), 6) AS cosine
+  FROM q JOIN c ON qid <> cid
+),
+ranked AS (
+  SELECT qid, cid, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, label, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("sim_bruteforce_topk", BRUTE_ORACLE)
+def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector: broadcast the (small) query
+    set against the full corpus — map-side cross product, per-query top-k
+    via window (WindowGroupLimit keeps k rows per partition through the
+    shuffle). At 100 TB the corpus side stays partitioned; only queries
+    broadcast. Cosine rounded to 6dp BEFORE ranking so ordering is
+    FP-noise-proof and the cid tiebreak is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucketing (the ANN scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+
+
+def _plane_weights(p: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane: w[d] = ((p*31 + d*17) % 7) - 3
+    (integer weights, engine-portable — no RNG state to reproduce)."""
+    return [((p * 31 + d * 17) % 7) - 3 for d in range(DIM)]
+
+
+LSH_ORACLE = """
+SELECT vec_id, label, {bucket} AS bucket
+FROM embeddings
+""".format(
+    bucket=" + ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
+        )
+        for p in range(N_PLANES)
+    )
+)
+
+
+@register("sim_lsh_hyperplane_buckets", LSH_ORACLE)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits → 256 buckets. ANN search then
+    joins query buckets to corpus buckets (plus Hamming-1 neighbors for
+    recall) — candidate generation is a hash-partitioned equi-join, O(n),
+    instead of the brute-force O(n·q) cross product. Map-only here; the
+    bucket id is the shuffle key downstream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        w_arr = F.array(*[F.lit(float(x)) for x in _plane_weights(p)])
+        bit = F.when(dot(F.col("embedding"), w_arr) >= 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit
+    return emb.select("vec_id", "label", bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (bucket join + exact re-rank within candidates)
+# ---------------------------------------------------------------------------
+
+
+@register("sim_ann_bucketed_topk")  # rows-only: recall set is parameter-defined
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: candidates = corpus vectors sharing the query's LSH bucket,
+    re-ranked by exact cosine, top-5. The two-stage shape (cheap hash join
+    for candidates → exact scoring on the small candidate set) is the
+    100 TB pattern; recall depends on plane count so this is a rows-only
+    contract query — recall itself is asserted against brute force in
+    tests/test_similarity.py."""
+    buckets = sim_lsh_buckets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    q = with_vec.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = with_vec.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cand = F.broadcast(q).join(
+        c, (F.col("qbucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid"))
+    )
+    scored = cand.select(
+        "qid",
+        "cid",
+        "label",
+        F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+NEARDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 6) >= 0.3
+"""
+
+
+@register("sim_cosine_neardup_pairs", NEARDUP_ORACLE)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs ≥ 0.3 within a bounded slice
+    (exact, oracle-checkable). The unbounded version routes through the LSH
+    buckets first — same scoring expression, candidate join instead of
+    cross join."""
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").alias("e"),
+            l2_norm(F.col("embedding")).alias("n"),
+        )
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias(
+            "cosine"
+        ),
+    )
+    return pairs.filter(F.col("cosine") >= 0.3)

@@ -1,0 +1,58 @@
+"""Dedup/text invariants beyond the oracle hash-match: jaccard symmetry
+bounds, simhash determinism, shingle edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.operators import textops as TX
+from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("x y z",)], "text string"
+    )
+    got = df.select(TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")).collect()
+    assert got[0]["sh"] == ["a b c", "b c d"]
+    assert got[1]["sh"] == []  # fewer than n tokens
+    assert got[3]["sh"] == ["x y z"]
+
+
+def test_char_poly_hash_matches_python(spark):
+    def py_hash(s: str, n: int = 8) -> int:
+        return sum(
+            (ord(s[i]) if i < len(s) and ord(s[i]) < 128 else (0 if i >= len(s) else ord(s[i])))
+            * TX.POW31[i]
+            for i in range(n)
+        ) % TX.HASH_MOD
+
+    words = ["spark", "dedup", "a", "window merge"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [r["h"] for r in df.select(TX.char_poly_hash(F.col("w"), 8).alias("h")).collect()]
+    assert got == [py_hash(w) for w in words]
+
+
+def test_jaccard_bounds_and_ordering(spark, sf_dir):
+    rows = dedup_ngram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    a = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, sf_dir).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_minhash_signature_range(spark, sf_dir):
+    rows = dedup_minhash(spark, sf_dir).collect()
+    for r in rows:
+        for i in range(8):
+            assert 0 <= r[f"mh{i}"] < TX.HASH_MOD

