@@ -1,0 +1,86 @@
+"""Ingest-layer tests (SURVEY.md M1): dirty CSV (FIXTURES.md §B1) and zip
+member extraction, end to end through the real readers."""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pytest
+
+from ntd_gtfs_to_socrata_spark.sources import csv_ingest, zip_ingest
+
+DIRTY_STOPS_CSV = (
+    "﻿stop_id,stop_name,stop_lat,stop_lon,location_type\n"
+    '1001, "Main St" ,45.5,-122.6,0\n'
+    "1002,'Oak Ave','45.0', ' -122.0 ',\n"
+    "1003,Bad Coord,Main & 3rd,-122.6,0\n"
+    "1004,Out Of Range,95.0,-200.0,\n"
+    "\n"
+    "1005,Sci Note,1e1,-1e2,1.0\n"
+)
+
+
+@pytest.fixture(scope="module")
+def stops_csv_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stops")
+    p = d / "stops.txt"
+    p.write_text(DIRTY_STOPS_CSV, encoding="utf-8")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def zip_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zips")
+    good = io.BytesIO()
+    with zipfile.ZipFile(good, "w") as z:
+        z.writestr("stops.txt", DIRTY_STOPS_CSV)
+        z.writestr("routes.txt", "route_id\n1\n")
+    (d / "feedA.zip").write_bytes(good.getvalue())
+    nomember = io.BytesIO()
+    with zipfile.ZipFile(nomember, "w") as z:
+        z.writestr("routes.txt", "route_id\n1\n")
+    (d / "feedB.zip").write_bytes(nomember.getvalue())
+    (d / "feedC.zip").write_bytes(b"this is not a zip archive")
+    return str(d)
+
+
+def test_read_stops_csv_normalizes(spark, stops_csv_path):
+    df = csv_ingest.read_stops_csv(spark, stops_csv_path)
+    rows = {r["stop_id"]: r for r in df.collect()}
+    # BOM stripped from header: stop_id resolves
+    assert set(rows) == {"1001", "1002", "1003", "1004", "1005"}
+    assert rows["1001"]["stop_name"] == "Main St"          # quotes + pad stripped
+    assert rows["1002"]["stop_name"] == "Oak Ave"          # single quotes normalized
+    assert rows["1002"]["stop_lon"] == "-122.0"            # nested pad stripped
+    # absent target columns materialize as nulls
+    assert rows["1001"]["stop_code"] is None and rows["1001"]["zone_id"] is None
+
+
+def test_conform_missing_and_extra_columns(spark):
+    df = spark.createDataFrame([("x", "extra")], "stop_name string, junk string")
+    out = csv_ingest.conform_to_target(df)
+    assert out.columns == csv_ingest.TARGET_STOP_COLUMNS
+    row = out.collect()[0]
+    assert row["stop_name"] == "x" and row["stop_lat"] is None
+
+
+def test_zip_member_extraction_errors_as_data(spark, zip_dir):
+    blobs = zip_ingest.read_zip_blobs(spark, zip_dir)
+    members = zip_ingest.extract_member(blobs, "stops.txt")
+    rows = {os.path.basename(r["path"]): r for r in members.collect()}
+    assert rows["feedA.zip"]["error"] is None and rows["feedA.zip"]["content"]
+    assert "not found" in rows["feedB.zip"]["error"]
+    assert "bad zip" in rows["feedC.zip"]["error"]
+
+
+def test_stops_from_zips_end_to_end(spark, zip_dir):
+    df = zip_ingest.read_stops_from_zips(spark, zip_dir)
+    rows = df.collect()
+    # only feedA has a stops.txt; 5 data rows survive
+    assert len(rows) == 5
+    assert all(os.path.basename(r["path"]) == "feedA.zip" for r in rows)
+    by_id = {r["stop_id"]: r for r in rows}
+    assert by_id["1001"]["stop_name"] == "Main St"
+    assert by_id["1002"]["stop_lon"] == "-122.0"

@@ -1,0 +1,58 @@
+"""Structured Streaming parity: streaming window results must equal the
+batch formulation on the same (static) input — the property that lets the
+DuckDB oracle stand in for the streaming surface."""
+
+from __future__ import annotations
+
+import uuid
+
+from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_session, tw_tumbling
+from ntd_gtfs_to_socrata_spark.streaming import event_windows as EW
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = EW.read_events_stream(spark, sf_dir)
+    agg = EW.tumbling_counts(stream)
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    EW.run_available_now_to_memory(agg, name, output_mode="complete")
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = tw_tumbling(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    stream = EW.read_events_stream(spark, sf_dir)
+    agg = EW.session_counts(stream)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    EW.run_available_now_to_memory(agg, name, output_mode="complete")
+    got = spark.sql(f"SELECT user_id, session_start, n_events FROM {name}")
+    want = tw_session(spark, sf_dir).selectExpr(
+        "user_id", "session_start", "n_events"
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    target = str(tmp_path / f"t_{uuid.uuid4().hex[:6]}")
+    stream = EW.read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = EW.foreach_batch_upsert(stream, target, key="event_id")
+    q.awaitTermination()
+    first = spark.read.parquet(target)
+    n_events = first.count()
+    assert n_events > 0
+    # second run over the same source converges to the same state
+    q2 = EW.foreach_batch_upsert(
+        EW.read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type"),
+        target,
+        key="event_id",
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == n_events
