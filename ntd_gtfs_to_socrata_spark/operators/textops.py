@@ -27,15 +27,24 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingles: transform over a 0-based index range;
-    empty when the document has fewer than n tokens (guarded — Spark's
-    ``sequence(0, -1)`` would count DOWN, and out-of-range element_at
-    throws under ANSI mode)."""
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
+    """Distinct word n-gram shingles via arrays_zip of shifted slices.
+
+    NOT the obvious ``transform(sequence(...), i -> element_at(toks, i+k))``:
+    Catalyst's CollapseProject inlines the tokenizer expression into every
+    element_at call inside the lambda, re-running the regex split O(tokens)
+    times per row (measured 12x slower at sf0.1). Zipping n shifted slices
+    references the token array only n+? times per ROW, keeping the scan
+    stage linear. Documents with fewer than n tokens yield an empty array
+    (the zip pads with null and the filter drops those entries).
+    """
+    shifted = [toks] + [
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))) for k in range(1, n)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    full = F.filter(zipped, lambda x: x[str(n - 1)].isNotNull())
+    return F.array_distinct(
+        F.transform(full, lambda x: F.concat_ws(sep, *[x[str(k)] for k in range(n)]))
     )
-    gram = lambda i: F.concat_ws(sep, *[F.element_at(toks, i + k + 1) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
 
 
 def poly_hash_sql(col_expr: str, n_chars: int) -> str:

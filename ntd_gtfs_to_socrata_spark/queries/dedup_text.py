@@ -79,34 +79,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(shared-shingle pairs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
+    # size travels with each exploded row so the pair aggregation needs no
+    # extra joins back to a per-doc size table (which would re-derive the
+    # shingle lineage two more times)
+    exploded = docs.select(
         "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
-    )
-    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("shingle").alias("shingle_b"),
     )
     pairs = (
         exploded.join(
             b,
             (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_id") < F.col("doc_b")),
         )
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .groupBy(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("n_sh").alias("na"),
+            "nb",
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard_raw",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard_raw") >= 0.2)
-    )
+    jac = pairs.withColumn(
+        "jaccard_raw",
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")),
+    ).filter(F.col("jaccard_raw") >= 0.2)
     return jac.select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
 
 
