@@ -426,3 +426,115 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 pivot (engine-portable CASE formulation)
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a6_pivot", PIVOT_ORACLE)
+def a6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via the native .pivot() operator with explicit value list (no
+    extra pass to discover values — required at scale) — the oracle is the
+    equivalent conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))), 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_F"),
+        (F.coalesce(F.col("O_cnt"), F.lit(0)) + F.coalesce(F.col("F_cnt"), F.lit(0))).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 date/time scalar surface
+# ---------------------------------------------------------------------------
+
+F9_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+       CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_epoch,
+       date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_cutoff
+FROM orders
+"""
+
+
+@register("f9_date_functions", F9_ORACLE)
+def f9_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (publish_to_catalog.py:453, 576): the timestamp-formatting /
+    calendar surface the reference builds with strftime, as Column ops.
+    DOW convention aligned to DuckDB (0=Sunday): Spark dayofweek is
+    1=Sunday, so shift by -1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start_epoch"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_cutoff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 null-safe field coalescing
+# ---------------------------------------------------------------------------
+
+P12_ORACLE = """
+WITH sparse AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS maybe_name,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS maybe_seg
+  FROM customer
+)
+SELECT c_custkey,
+       coalesce(maybe_name, '') AS name_filled,
+       coalesce(maybe_seg, 'UNKNOWN') AS seg_filled,
+       (maybe_name IS NULL) AS name_was_missing
+FROM sparse
+"""
+
+
+@register("p12_null_safe_getter", P12_ORACLE)
+def p12_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (``getMetadataFieldIfExists``, publish_to_catalog.py:370-373):
+    field-if-present-else-default, null-safe across the row."""
+    c = load_table(spark, sf_dir, "customer")
+    sparse = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("maybe_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("maybe_seg"),
+    )
+    return sparse.select(
+        "c_custkey",
+        F.coalesce(F.col("maybe_name"), F.lit("")).alias("name_filled"),
+        F.coalesce(F.col("maybe_seg"), F.lit("UNKNOWN")).alias("seg_filled"),
+        F.col("maybe_name").isNull().alias("name_was_missing"),
+    )
