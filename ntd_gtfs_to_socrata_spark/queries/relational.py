@@ -538,3 +538,97 @@ def p12_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("maybe_seg"), F.lit("UNKNOWN")).alias("seg_filled"),
         F.col("maybe_name").isNull().alias("name_was_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface: Arrow grouped-map (applyInPandas) with SQL-checkable output
+# ---------------------------------------------------------------------------
+
+ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mu,
+         stddev_pop(l_extendedprice) OVER (PARTITION BY l_returnflag) AS sigma
+  FROM lineitem
+)
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round((l_extendedprice - mu) / sigma, 4) AS price_z
+FROM stats
+"""
+
+
+@register("udf_grouped_zscore", ZSCORE_ORACLE)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow grouped-map path (SURVEY.md §2.8): per-group normalization
+    via applyInPandas — each group arrives as ONE pandas DataFrame, so this
+    is the template for any per-group Python logic Spark lacks. The oracle
+    reproduces it with window aggregates, proving the UDF path
+    bit-compatible with the declarative one (population stddev, matching
+    numpy's default ddof=0).
+
+    Scale note: grouped-map shuffles once on the group key and requires
+    each GROUP to fit in executor memory — fine for bounded groups
+    (3 return flags here means 3 fat groups; real deployments key by
+    something finer). Where expressible, prefer the window formulation —
+    this query exists to keep the UDF plumbing honest."""
+    import pandas as pd  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_extendedprice"].mean()
+        sigma = pdf["l_extendedprice"].std(ddof=0)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "price_z": ((pdf["l_extendedprice"] - mu) / sigma).round(4),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_returnflag string, l_orderkey long, l_linenumber int, price_z double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 higher-order array ops (transform / filter / aggregate / zip)
+# ---------------------------------------------------------------------------
+
+ARRAY_HOF_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
+       len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+       list_aggregate(list_transform(toks, x -> length(x)), 'max') AS max_len,
+       array_to_string(list_sort(list_distinct(list_transform(toks, x -> substr(x, 1, 1)))), '') AS initials
+FROM t
+"""
+
+
+@register("f14_array_higher_order", ARRAY_HOF_ORACLE)
+def f14_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 higher-order surface: transform/filter/aggregate/sort/distinct
+    over array columns — all codegen'd, the idiom that replaces per-row
+    Python loops for nested data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.array_max(lens).alias("max_len"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(toks, lambda x: F.substring(x, 1, 1)))),
+            "",
+        ).alias("initials"),
+    )

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): merge-layer algebraic laws and
+cast-probe parity with Python float() — the reference's exact acceptance
+semantics (/root/reference/publish_to_catalog.py:181-200)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.operators import merge as M
+from ntd_gtfs_to_socrata_spark.operators import validation as V
+
+KEYS = st.integers(min_value=0, max_value=6)
+ROWS = st.lists(st.tuples(KEYS, st.text(alphabet="abc", max_size=2)), max_size=8)
+
+slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v string, seq int"
+    )
+
+
+@slow
+@given(existing=ROWS, incoming=ROWS)
+def test_full_sync_snapshot_law(spark, existing, incoming):
+    """After full_sync, the key set equals incoming's key set, and every
+    key maps to an incoming row's value (incoming wins)."""
+    e, i = _df(spark, existing), _df(spark, incoming)
+    out = M.full_sync(e, i, "k").collect()
+    got_keys = {r["k"] for r in out}
+    want_keys = {k for k, _ in incoming}
+    assert got_keys == want_keys
+    inc_by_key = {}
+    for k, v in incoming:
+        inc_by_key.setdefault(k, set()).add(v)
+    for r in out:
+        assert r["v"] in inc_by_key[r["k"]]
+    # exactly one row per key
+    assert len(out) == len(want_keys)
+
+
+@slow
+@given(existing=ROWS, incoming=ROWS)
+def test_upsert_preserves_existing_only_keys(spark, existing, incoming):
+    e, i = _df(spark, existing), _df(spark, incoming)
+    out = {r["k"] for r in M.upsert(e, i, "k").collect()}
+    assert out == {k for k, _ in existing} | {k for k, _ in incoming}
+
+
+FLOAT_STRINGS = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True).map(str),
+    st.text(alphabet="0123456789.eE+- ", max_size=10),
+    st.sampled_from(["nan", "inf", "-inf", "Infinity", " 7 ", "1e5", "", "x", "'45'"]),
+)
+
+
+@slow
+@given(vals=st.lists(FLOAT_STRINGS, min_size=1, max_size=20))
+def test_cast_probe_matches_python_float(spark, vals):
+    """float_probe(s) is non-null exactly when Python float(s) succeeds —
+    the reference's try/except acceptance (L183-186)."""
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r["ok"]
+        for r in df.select(V.float_probe(F.col("s")).isNotNull().alias("ok")).collect()
+    ]
+
+    def py_ok(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    assert got == [py_ok(v) for v in vals]
