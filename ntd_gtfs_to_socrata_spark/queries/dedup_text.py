@@ -69,8 +69,9 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 
 @register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: distinct word-3-gram shingles → inverted-index
-    self-join on shingle → per-pair common count → exact Jaccard ≥ 0.2.
+    """Near-dup detection: distinct word-3-gram shingles → inverted index
+    (posting list per shingle) → map-side pair generation → per-pair common
+    count → exact Jaccard ≥ 0.2.
 
     Scale posture: the shingle join is the exact version of LSH banding —
     at 100 TB you'd first drop ultra-common shingles (document-frequency
@@ -80,26 +81,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # size travels with each exploded row so the pair aggregation needs no
-    # extra joins back to a per-doc size table (which would re-derive the
-    # shingle lineage two more times)
-    exploded = docs.select(
-        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
-    ).select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_sh").alias("nb"),
-        F.col("shingle").alias("shingle_b"),
+    # extra joins back to a per-doc size table; shingles are xxhash64'd to
+    # 8-byte join keys (64-bit collisions are negligible vs corpus shingle
+    # cardinality) so the shuffle never carries the 3-word strings
+    exploded = (
+        docs.select("doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s"))
+        .select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+    )
+    # inverted index: ONE shuffle on shingle builds the posting list, pairs
+    # are generated map-side from each list (vs a self-join, which shuffles
+    # the exploded table twice). At 100 TB, cap posting-list length first
+    # (document-frequency cut) so no single shingle key holds a huge list.
+    inv = (
+        exploded.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
     pairs = (
-        exploded.join(
-            b,
-            (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_id") < F.col("doc_b")),
-        )
+        inv.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            F.col("n_sh").alias("na"),
-            "nb",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
