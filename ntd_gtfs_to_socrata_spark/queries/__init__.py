@@ -47,5 +47,6 @@ def load_all_query_modules() -> None:
         reference_ops,
         relational,
         similarity_q,
+        streaming_q,
         time_windows,
     )

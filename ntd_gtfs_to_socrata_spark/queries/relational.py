@@ -327,6 +327,35 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A6_GROUPING_SETS_ORACLE = """
+SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("a6_grouping_sets", A6_GROUPING_SETS_ORACLE)
+def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: explicit GROUPING SETS — the general form rollup/cube sugar
+    over; one Expand + one hash aggregate, no self-union of per-set scans."""
+    li = load_table(spark, sf_dir, "orders")
+    return (
+        li.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
+    )
+
+
 A6_DISTINCT_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS n_orders,

@@ -56,3 +56,45 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(target).count() == n_events
+
+
+def test_dedupe_within_watermark_key_coverage(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as ST
+
+    stream = EW.read_events_stream(spark, sf_dir)
+    deduped = ST.dedupe_within_watermark(stream, ["user_id", "event_type"])
+    name = f"dwm_{uuid.uuid4().hex[:8]}"
+    EW.run_available_now_to_memory(deduped, name, output_mode="append")
+    got = spark.sql(f"SELECT DISTINCT user_id, event_type FROM {name}")
+    # batch truth: one surviving row per distinct key
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    batch_keys = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert got.count() == batch_keys.count()
+    n_dedup = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+    assert n_dedup >= batch_keys.count()
+
+
+def test_apply_in_pandas_with_state_totals_equal_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as ST
+
+    stream = EW.read_events_stream(spark, sf_dir)
+    totals = ST.running_user_totals(stream)
+    name = f"rut_{uuid.uuid4().hex[:8]}"
+    EW.run_available_now_to_memory(totals, name, output_mode="update")
+    # final state per user = row with max running count (update mode may
+    # emit one row per user per micro-batch)
+    got = spark.sql(
+        f"""SELECT user_id, max_by(n_events, n_events) AS n,
+                   round(max_by(total_value, n_events), 2) AS total
+            FROM {name} GROUP BY user_id"""
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    assert _rows(got, ["user_id", "n", "total"]) == _rows(want, ["user_id", "n", "total"])
