@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked.
+
+Correctness tests prove the operators compute the right answer; these prove
+the plans are the ones you'd want on a 1000-executor cluster: filters and
+projections reach the parquet scan, small dimensions broadcast instead of
+shuffling the fact table, expressions stay inside whole-stage codegen, and
+AQE wraps every exchange-bearing plan.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries.relational import q1_pricing, q5_region
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning (SURVEY.md §4): the scan must
+    carry PushedFilters and read ONLY the projected columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = plan_text(df)
+    assert "PushedFilters:" in plan
+    assert "LessThan(l_quantity,10" in plan.replace(" ", "")
+    # ReadSchema must be pruned to the two referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_startswith_prefix_predicate_pushes_down(spark, sf_dir):
+    """S3: the reference's prefix scan (publish_to_catalog.py:263-265)
+    becomes a StringStartsWith pushed to the parquet reader."""
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.filter(F.col("c_name").startswith("Customer#00000")).select("c_name")
+    plan = plan_text(df)
+    assert "StringStartsWith" in plan
+
+
+def test_star_join_broadcasts_small_dimensions(spark, sf_dir):
+    """J6 at scale: region/nation/customer dims must enter as broadcast
+    joins — no shuffle of the lineitem fact table for dimension lookups."""
+    plan = plan_text(q5_region(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact-side aggregation is a partial+final hash aggregate
+    assert "HashAggregate" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """A1/A6: groupBy compiles to map-side partial aggregation before the
+    exchange — the property that keeps 100 TB shuffles proportional to
+    group cardinality, not row count."""
+    plan = plan_text(q1_pricing(spark, sf_dir), "simple")
+    first_agg = plan.index("HashAggregate")
+    assert "partial_" in plan[first_agg:] or plan.count("HashAggregate") >= 2
+    exchange = plan.index("Exchange")
+    # partial aggregate appears below (after, in printed tree) the exchange
+    assert plan.index("partial_", exchange) > exchange
+
+
+def test_whole_stage_codegen_covers_expressions(spark, sf_dir):
+    """F-surface expressions must run inside WholeStageCodegen, not as
+    interpreted row transforms."""
+    plan = plan_text(q1_pricing(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_aqe_wraps_shuffling_plans(spark, sf_dir):
+    plan = plan_text(q5_region(spark, sf_dir), "simple")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_no_python_udf_in_relational_hot_path(spark, sf_dir):
+    """The relational surface must be pure JVM: no BatchEvalPython /
+    ArrowEvalPython stages (Python is reserved for the §2.8 UDF surface)."""
+    for q in (q1_pricing, q5_region):
+        plan = plan_text(q(spark, sf_dir), "simple")
+        assert "EvalPython" not in plan
