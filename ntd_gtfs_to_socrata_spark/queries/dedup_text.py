@@ -95,18 +95,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (document-frequency cut) so no single shingle key holds a huge list.
     inv = (
         exploded.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    # i<j combinations generated map-side from the sorted posting list: one
+    # explode of exactly L(L-1)/2 pair rows, vs a double explode of L^2 rows
+    # filtered afterwards (2x the rows and a second explode stage).
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        inv.select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        inv.select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
