@@ -48,5 +48,6 @@ def load_all_query_modules() -> None:
         relational,
         similarity_q,
         streaming_q,
+        subqueries,
         time_windows,
     )

@@ -255,13 +255,27 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "stack(4, band0, band1, band2, band3) AS bucket",
     )
-    other = stacked.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bucket_b"))
-    return (
-        stacked.join(
-            other,
-            (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_id") < F.col("doc_b")),
+    # One shuffle on bucket (vs a self-join's two), then i<j combinations
+    # generated map-side from each bucket's sorted member list — the same
+    # inverted-index shape as dedup_ngram_jaccard. At 100 TB, cap bucket
+    # membership first so a degenerate band value can't quadratic-blow-up.
+    buckets = (
+        stacked.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
