@@ -55,3 +55,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL surface."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the
+    pre-partitioning that makes repeated joins on that key exchange-free
+    (SURVEY.md §4: "co-locate joins via bucketing"). Both sides of a join
+    bucketed on the same key with the same bucket count sort-merge without
+    any shuffle; at 100 TB that removes the dominant cost of every
+    fact⋈fact join the key participates in.
+
+    Bucket count is a layout-time decision: it fixes the join parallelism
+    floor, so size it to target-cluster cores (here: local cores)."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)
