@@ -180,6 +180,126 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the other ANN scale path
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic coarse quantizer: the first N_CELLS corpus vectors act
+    as centroids (a real deployment k-means-trains these on a sample; the
+    partition/assignment/probe plan shape is identical and that is what the
+    engine owns)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+        l2_norm(F.col("embedding")).alias("centroid_norm"),
+    )
+
+
+IVF_ASSIGN_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {N_CELLS}
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.centroid_id,
+         round(list_inner_product(v.embedding::DOUBLE[], c.ce)
+               / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn),
+               6) AS cosine,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_inner_product(v.embedding::DOUBLE[], c.ce)
+                                           / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn), 6) DESC,
+                                     c.centroid_id ASC) AS rnk
+  FROM embeddings v CROSS JOIN cent c
+)
+SELECT vec_id, label, centroid_id, cosine AS centroid_cosine
+FROM scored WHERE rnk = 1
+"""
+
+
+@register("sim_ivf_assign", IVF_ASSIGN_ORACLE)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine, deterministic
+    tiebreak on centroid_id. The centroid table broadcasts (tiny, always —
+    even a 65k-cell quantizer is a few MB) so assignment is a map-only
+    stage over the corpus: the 100 TB-safe shape. Downstream, the corpus is
+    written partitioned/bucketed by centroid_id so a probe reads only
+    nprobe cells (partition pruning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").alias("ve"), l2_norm(F.col("embedding")).alias("vn")
+    )
+    scored = v.join(F.broadcast(_centroids(spark, sf_dir))).select(
+        "vec_id",
+        "label",
+        "centroid_id",
+        F.round(
+            dot(F.col("ve"), F.col("centroid")) / (F.col("vn") * F.col("centroid_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "centroid_id", F.col("cosine").alias("centroid_cosine"))
+    )
+
+
+@register("sim_ivf_topk")  # rows-only: recall set depends on (N_CELLS, N_PROBE)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: each query searches only its N_PROBE nearest cells —
+    candidates come from an equi-join on centroid_id (partition-pruned read
+    when the corpus is stored partitioned by cell), then exact cosine
+    re-rank, top-5. Recall vs brute force is asserted in
+    tests/test_similarity.py; the candidate set itself is
+    parameter-defined, hence rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    corpus = emb.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+        F.col("centroid_id").alias("c_cell"),
+    )
+    # query-side: top-N_PROBE cells per query vector
+    v = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    q_scored = v.join(F.broadcast(_centroids(spark, sf_dir))).select(
+        "qid",
+        "qe",
+        "qn",
+        "centroid_id",
+        F.round(
+            dot(F.col("qe"), F.col("centroid")) / (F.col("qn") * F.col("centroid_norm")), 6
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    probes = (
+        q_scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select("qid", "qe", "qn", F.col("centroid_id").alias("c_cell"))
+    )
+    cand = F.broadcast(probes).join(corpus, "c_cell").filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        "qid",
+        "cid",
+        "label",
+        F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 

@@ -43,3 +43,30 @@ def test_ann_is_subset_of_bucketmates_and_overlaps_bruteforce(spark, sf_dir):
     # ANN has SOME overlap with the exact top-10 (8 planes on random data
     # gives low recall per bucket; >0 overlap is the sanity bound here)
     assert len(ann_pairs & brute_top) >= 0
+
+
+def test_ivf_assignment_covers_corpus_and_probe_recall(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        N_CELLS,
+        sim_ivf_assign,
+        sim_ivf_topk,
+    )
+
+    assigned = sim_ivf_assign(spark, sf_dir).collect()
+    n_corpus = len(assigned)
+    # every vector lands in exactly one existing cell
+    assert len({r["vec_id"] for r in assigned}) == n_corpus
+    cells_used = {r["centroid_id"] for r in assigned}
+    assert cells_used <= set(range(N_CELLS)) and len(cells_used) > 1
+    # a centroid is its own nearest centroid (cosine 1 with itself)
+    own = {r["vec_id"]: r["centroid_id"] for r in assigned if r["vec_id"] < N_CELLS}
+    assert own == {i: i for i in range(N_CELLS)}
+
+    ivf = sim_ivf_topk(spark, sf_dir).collect()
+    brute = sim_bruteforce(spark, sf_dir).collect()
+    ivf_pairs = {(r["qid"], r["cid"]) for r in ivf}
+    brute_top5 = {(r["qid"], r["cid"]) for r in brute if r["rnk"] <= 5}
+    assert ivf_pairs and all(q != c for q, c in ivf_pairs)
+    # nprobe=2 of 16 cells: demand non-trivial recall of the exact top-5
+    recall = len(ivf_pairs & brute_top5) / len(brute_top5)
+    assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
