@@ -57,6 +57,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance a DataFrame whose source yields fewer
+    partitions than cores.
+
+    The fixture files are single-row-group parquet, so Spark's byte-range
+    splitting cannot parallelize the scan: every downstream map (shingle
+    explode, vector scoring) would run in ONE task. At 100 TB a lake file
+    has thousands of row groups and this is a no-op — the check is against
+    the actual scan partitioning, not a blanket repartition. Costs one
+    narrow-payload shuffle only when it buys a parallel map stage; callers
+    apply it before expensive per-row work, never before a plain
+    filter/agg (whose first exchange already spreads the load)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
 from ntd_gtfs_to_socrata_spark.operators import textops as TX
 from ntd_gtfs_to_socrata_spark.queries import register
 
@@ -79,7 +79,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded signatures) so candidate generation is O(docs), not
     O(shared-shingle pairs).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # size travels with each exploded row so the pair aggregation needs no
     # extra joins back to a per-doc size table; shingles are xxhash64'd to
     # 8-byte join keys (64-bit collisions are negligible vs corpus shingle
@@ -165,7 +165,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold → 16-bit fingerprint. Near-dups then cluster by fingerprint
     (or small Hamming distance). One explode + one groupBy — linear in
     corpus size, the cheapest fuzzy-dedup signal at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
@@ -221,7 +221,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes). Signature agreement estimates Jaccard; banding the 8
     components into 4 bands of 2 gives LSH candidate buckets — see
     ``dedup_minhash_lsh_pairs`` for the banded join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     shingled = docs.select(
         "doc_id", F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
 from ntd_gtfs_to_socrata_spark.queries import register
 
 DIM = 64
@@ -74,7 +74,9 @@ def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.col("embedding")).alias("qn"),
         )
     )
-    c = emb.select(
+    # corpus side carries the per-candidate scoring work — make sure the
+    # broadcast-nested-loop runs over a parallel corpus scan
+    c = ensure_min_parallelism(emb).select(
         F.col("vec_id").alias("cid"),
         "label",
         F.col("embedding").alias("ce"),
