@@ -24,22 +24,40 @@ from ntd_gtfs_to_socrata_spark.session import get_spark
 # Headline set: one per capability family (reference ETL shapes, relational
 # analytics, windows, dedup, similarity, text). Keep in sync as families land.
 HEADLINE = [
+    # reference ETL shapes
     "flagship_validate_split_agg",
     "a1_validation_quarantine_counts",
+    "s6_csv_cell_normalize",
     "j1_j2_feed_resolution_routing",
     "j4_upsert_merge",
     "j5_full_sync_snapshot",
     "a2_changelog_last_write_wins",
+    # relational analytics
     "q1_pricing_summary",
     "q3_shipping_priority_topk",
     "q5_region_revenue",
+    "sq_exists_semi_join",
+    "sq_correlated_scalar",
+    "j6_salted_skew_join",
+    "asof_join_click_to_view",
+    "w2_window_functions",
     "w3_topk_per_group",
+    "a6_rollup",
+    "json_props_extract",
+    # event-time windows
     "tw_tumbling_counts",
     "tw_session_windows",
+    # dedup / text / similarity / UDF surface
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
     "text_quality_scores",
+    "text_langid_ngram",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "udf_grouped_zscore",
+    "mm_frame_sample",
 ]
 
 

@@ -272,6 +272,58 @@ def p10_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S6/F1/F2/F6: CSV-cell normalization semantics (clean_cell over dirty cells)
+# ---------------------------------------------------------------------------
+
+S6_ORACLE = """
+WITH dirty AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN '  ' || p_brand || '  '
+           WHEN 1 THEN '"' || p_brand || '"'
+           WHEN 2 THEN '''' || p_brand || ''''
+           ELSE ' "' || p_brand || '" '
+         END AS raw_cell,
+         p_type AS raw_line
+  FROM part
+)
+SELECT p_partkey,
+       trim(trim(replace(raw_cell, '''', '"')), '"') AS cell_clean,
+       string_split(raw_line, ' ')[1] AS first_field,
+       len(string_split(raw_line, ' ')) AS n_fields
+FROM dirty
+"""
+
+
+@register("s6_csv_cell_normalize", S6_ORACLE)
+def s6_cell_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 ingest normalization semantics (publish_to_catalog.py:148-178)
+    as oracle-checked column ops: padded / double-quoted / single-quoted /
+    mixed cells all normalize to the bare value, and line splitting (F2)
+    yields the field array. The file-based path (runtime header, BOM,
+    short-row drop) is exercised in tests/test_sources.py; this query pins
+    the cell-level semantics the driver gate can hash."""
+    from ntd_gtfs_to_socrata_spark.sources.csv_ingest import clean_cell
+
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.lit("  "), F.col("p_brand"), F.lit("  ")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.lit('"'), F.col("p_brand"), F.lit('"')))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("'"), F.col("p_brand"), F.lit("'")))
+        .otherwise(F.concat(F.lit(' "'), F.col("p_brand"), F.lit('" ')))
+        .alias("raw_cell"),
+        F.col("p_type").alias("raw_line"),
+    )
+    return dirty.select(
+        "p_partkey",
+        clean_cell(F.col("raw_cell")).alias("cell_clean"),
+        F.element_at(F.split("raw_line", " "), 1).alias("first_field"),
+        F.size(F.split("raw_line", " ")).cast("long").alias("n_fields"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P9 URL regex validity
 # ---------------------------------------------------------------------------
 
