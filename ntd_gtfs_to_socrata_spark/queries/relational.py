@@ -377,6 +377,34 @@ def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A6_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(stddev_pop(l_discount), 6) AS sd_disc,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a6_percentiles", A6_PERCENTILES_ORACLE)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distribution statistics — exact interpolated percentiles
+    (median/p95), population stddev, min/max. Exact percentile sorts
+    within the aggregate; the 100 TB default is ``approx_percentile``
+    (t-digest sketch, mergeable map-side) unless exactness is contractual
+    — same trade as exact vs approx distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 @register("a6_approx_distinct")  # rows-only: HLL sketches are impl-specific
 def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: approx_count_distinct (HyperLogLog++) — the 100 TB path where
