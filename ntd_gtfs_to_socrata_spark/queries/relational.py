@@ -275,6 +275,32 @@ def w4_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("w4_set_ops_single_pass", W4_ORACLE)
+def w4_set_ops_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rewrite of ``w4_set_ops``: the three set-op cardinalities
+    from ONE shuffle instead of nine. Each branch of intersect/except/union
+    re-reads and re-distincts its inputs; aggregating per-key membership
+    flags (bool_or per side) computes all three simultaneously — the
+    standard trick when several set ops share inputs. Identical oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderstatus") == "F").alias("in_f"),
+            F.max(F.col("o_orderstatus") == "O").alias("in_o"),
+        )
+    )
+    counts = flags.agg(
+        F.sum((F.col("in_f") & F.col("in_o")).cast("long")).alias("n_intersect"),
+        F.sum((F.col("in_f") & ~F.col("in_o")).cast("long")).alias("n_except"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'intersect', n_intersect, 'except', n_except, 'union', n_union) AS (op, n)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6 rollup / cube / distinct aggregates
 # ---------------------------------------------------------------------------

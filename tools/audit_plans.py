@@ -1,0 +1,81 @@
+"""Plan auditor: explain every registered query and flag anti-patterns.
+
+Prints one line per query: exchange count, python-eval stages, cartesian
+products, broadcast joins — the quick scan for "is this the plan you'd
+want at 100 TB". Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
+from ntd_gtfs_to_socrata_spark.session import get_spark
+
+# queries whose semantics REQUIRE Python workers (documented UDF surface)
+PYTHON_OK = {
+    "udf_grouped_zscore",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "mm_binary_metadata",
+    "stream_stateful_user_totals",
+}
+# broadcast-nested-loop join is the intended shape for the scored cross
+# products (small broadcast side vs corpus)
+BNLJ_OK = {
+    "sim_bruteforce_topk",
+    "sim_ann_bucketed_topk",
+    "sim_cosine_neardup_pairs",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "range_join_quantity_bands",  # non-equi interval join vs a 5-row band table
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    load_all_query_modules()
+    spark = get_spark("audit")
+    flags = 0
+    for name in sorted(REGISTRY):
+        try:
+            df = REGISTRY[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("extended")
+            plan = buf.getvalue()
+        except Exception as e:  # streaming-only entries may refuse explain
+            print(f"{name}: SKIP ({type(e).__name__}: {str(e)[:60]})")
+            continue
+        physical = plan[plan.index("== Physical Plan ==") :]
+        # shuffle exchanges only — BroadcastExchange is the cheap kind
+        n_exchange = sum(
+            1
+            for line in physical.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line
+        )
+        n_bc = physical.count("BroadcastHashJoin") + physical.count("BroadcastNestedLoopJoin")
+        issues = []
+        if "CartesianProduct" in physical:
+            issues.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in physical and name not in BNLJ_OK:
+            issues.append("BNLJ")
+        if ("EvalPython" in physical or "FlatMapGroupsInPandas" in physical) and name not in PYTHON_OK:
+            issues.append("PYTHON")
+        # w4_set_ops deliberately exercises the native set operators, which
+        # each re-shuffle their inputs; w4_set_ops_single_pass is the
+        # one-shuffle rewrite of the same result.
+        if n_exchange >= 6 and name != "w4_set_ops":
+            issues.append(f"EXCHANGES={n_exchange}")
+        tag = " !! " + ",".join(issues) if issues else ""
+        print(f"{name}: exch={n_exchange} bc={n_bc}{tag}")
+        flags += bool(issues)
+    print(f"\n{flags} queries flagged")
+
+
+if __name__ == "__main__":
+    main()
