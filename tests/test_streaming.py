@@ -98,3 +98,64 @@ def test_apply_in_pandas_with_state_totals_equal_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
     assert _rows(got, ["user_id", "n", "total"]) == _rows(want, ["user_id", "n", "total"])
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Genuine late-data discard: run 1 advances the watermark past a
+    window's end (closing it); run 2 — same checkpoint — delivers an event
+    that falls inside the closed window but behind the persisted watermark.
+    Append-mode output must contain the window exactly once, WITHOUT the
+    late event."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.Series([pd.Timestamp(r[1]) for r in rows]).astype("datetime64[us]"),
+                "event_type": ["click"] * len(rows),
+            }
+        )
+        pdf.to_parquet(src / name)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .format("parquet")
+            .load(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two events in [10:00, 10:10) + one at 11:00 that pushes the
+    # watermark past the window end, closing it
+    write_batch("b1.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:09:00"), (3, "2024-01-01 11:00:00")])
+    run_once()
+    # run 2: event 4 is LATE (10:05 < persisted watermark 11:00) -> dropped;
+    # event 5 keeps the 11:00 window open (never emitted)
+    write_batch("b2.parquet", [(4, "2024-01-01 10:05:00"), (5, "2024-01-01 11:05:00")])
+    run_once()
+
+    result = spark.read.parquet(str(out)).collect()
+    closed = [r for r in result if r["window_start"].minute == 0 and r["window_start"].hour == 10]
+    assert len(closed) == 1, f"closed window must emit exactly once: {result}"
+    assert closed[0]["n"] == 2, f"late event leaked into closed window: {result}"
