@@ -6,7 +6,7 @@ scoring, language ID, token counting, document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
@@ -411,6 +411,101 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token frequencies (distributed wordcount) + TF-IDF
+# ---------------------------------------------------------------------------
+
+TOKEN_FREQ_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+),
+counted AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+  FROM counted
+)
+SELECT token, n, rnk FROM ranked WHERE rnk <= 100
+"""
+
+
+@register("text_token_frequencies", TOKEN_FREQ_ORACLE)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed wordcount: explode → hash-aggregate →
+    global top-100 (deterministic tiebreak). Partial aggregation means the
+    shuffle carries one row per (partition, token), not per occurrence;
+    the top-k is a TakeOrderedAndProject, never a full sort, at any corpus
+    size."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    counted = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counted.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+    )
+    return ranked.filter(F.col("rnk") <= 100)
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n_docs
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_top_terms", TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Plan: one shuffle for per-(doc,
+    token) term frequencies, one for document frequencies (a reuse of the
+    first aggregation's output), a broadcast of the (small) df table back
+    onto tf, and a per-doc window top-k. The doc-count scalar broadcasts as
+    a 1-row cross join. Scores rounded to 6dp BEFORE ranking so the
+    tiebreak is FP-noise-proof (same discipline as the cosine queries)."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
 
 
 # ---------------------------------------------------------------------------
