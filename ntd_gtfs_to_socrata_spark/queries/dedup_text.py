@@ -479,30 +479,30 @@ SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
 
 @register("text_tfidf_top_terms", TFIDF_ORACLE)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document. Plan: one shuffle for per-(doc,
-    token) term frequencies, one for document frequencies (a reuse of the
-    first aggregation's output), a broadcast of the (small) df table back
-    onto tf, and a per-doc window top-k. The doc-count scalar broadcasts as
-    a 1-row cross join. Scores rounded to 6dp BEFORE ranking so the
-    tiebreak is FP-noise-proof (same discipline as the cosine queries)."""
+    """TF-IDF top-3 terms per document in THREE shuffles: per-(doc, token)
+    term frequencies, document frequency as a window count over the token
+    partition (re-aggregating tf into a separate df table would re-compute
+    the whole explode subtree — Spark does not auto-reuse unpersisted
+    subplans), and the per-doc top-k window. The doc-count scalar enters as
+    a 1-row broadcast cross join. Scores rounded to 6dp BEFORE ranking so
+    the tiebreak is FP-noise-proof (same discipline as the cosine
+    queries)."""
+    # the scalar count branch skips the rebalance (nothing to parallelize
+    # in a count(*)); only the explode-bearing branch needs it
+    n_docs = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     tf = (
         docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    scored = with_df.join(F.broadcast(n_docs)).select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias(
+            "tfidf"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

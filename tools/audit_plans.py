@@ -33,6 +33,7 @@ BNLJ_OK = {
     "sim_ivf_assign",
     "sim_ivf_topk",
     "range_join_quantity_bands",  # non-equi interval join vs a 5-row band table
+    "text_tfidf_top_terms",  # 1-row doc-count scalar enters as a broadcast cross join
 }
 
 
