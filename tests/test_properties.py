@@ -80,3 +80,66 @@ def test_cast_probe_matches_python_float(spark, vals):
             return False
 
     assert got == [py_ok(v) for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# Text-operator parity with pure-Python references
+# ---------------------------------------------------------------------------
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def _py_poly_hash(s: str, n_chars: int) -> int:
+    from ntd_gtfs_to_socrata_spark.operators.textops import HASH_MOD, POW31
+
+    total = 0
+    for i in range(n_chars):
+        code = ord(s[i]) if i < len(s) else 0
+        total += code * POW31[i]
+    return total % HASH_MOD
+
+
+@slow
+@given(texts=st.lists(ASCII_TEXT, min_size=1, max_size=6))
+def test_char_poly_hash_property_parity(spark, texts):
+    """char_poly_hash == the pure-Python polynomial for arbitrary ASCII —
+    the engine-portability contract every minhash/fingerprint oracle
+    relies on."""
+    from ntd_gtfs_to_socrata_spark.operators import textops as TX
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r[0] for r in df.select(TX.char_poly_hash(F.col("s"), 16)).collect()]
+    want = [_py_poly_hash(t, 16) for t in texts]
+    assert got == want
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.strip().split()
+    # F.split on \s+ of an empty/whitespace string yields [''] — mirror it
+    if not toks:
+        toks = [""]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        sh = " ".join(toks[i : i + n])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+@slow
+@given(texts=st.lists(st.text(alphabet="ab c", max_size=30), min_size=1, max_size=6))
+def test_word_shingles_property_parity(spark, texts):
+    """word_shingles == first-occurrence-ordered distinct word 3-grams of
+    whitespace tokens, for arbitrary spacing (runs of spaces, leading and
+    trailing whitespace, short documents)."""
+    from ntd_gtfs_to_socrata_spark.operators import textops as TX
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r[0] for r in df.select(TX.word_shingles(TX.tokens(F.col("s")))).collect()
+    ]
+    want = [_py_shingles(t) for t in texts]
+    assert got == want
