@@ -509,6 +509,36 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus length histogram (the pre-training size-distribution scan)
+# ---------------------------------------------------------------------------
+
+LENGTH_HIST_ORACLE = """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket_100chars,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+FROM documents
+GROUP BY bucket_100chars
+"""
+
+
+@register("text_length_histogram", LENGTH_HIST_ORACLE)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus size-distribution histogram (100-char buckets) — the
+    one-pass scan that sizes a pre-training mix; partial aggregation keeps
+    the shuffle at bucket cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket_100chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg(F.size(TX.tokens(F.col("text")))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint (rolling hash)
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,15 @@ def test_no_python_udf_in_relational_hot_path(spark, sf_dir):
     for q in (q1_pricing, q5_region):
         plan = plan_text(q(spark, sf_dir), "simple")
         assert "EvalPython" not in plan
+
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """Q6's date/discount/quantity predicates must ALL reach the parquet
+    reader — the pure-pushdown query is the scan-throughput measure at
+    100 TB."""
+    from ntd_gtfs_to_socrata_spark.queries.relational import q6_forecast
+
+    plan = plan_text(q6_forecast(spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
