@@ -540,6 +540,34 @@ def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a6_approx_percentiles")  # rows-only: t-digest sketch estimates
+def a6_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scale path for a6_percentiles: approx_percentile's t-digest
+    sketch merges map-side (mergeable summaries — no per-group sort), the
+    default at 100 TB. Bounded error vs the exact percentile is asserted
+    in tests/test_relational_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("median_qty"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95_price"),
+    )
+
+
+@register("a6_freq_items")  # rows-only: heavy-hitter sketch is impl-specific
+def a6_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: heavy hitters via freqItems (a one-pass streaming-summary
+    sketch) over order priority and status — the shape that finds hot keys
+    BEFORE a join, to decide what to salt (SCALE.md joins section).
+    Superset guarantee (may over-report, never under-) asserted in
+    tests/test_relational_sketches.py."""
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    return freq.select(
+        F.array_sort("o_orderpriority_freqItems").alias("hot_priorities"),
+        F.array_sort("o_orderstatus_freqItems").alias("hot_statuses"),
+    )
+
+
 @register("a6_approx_distinct")  # rows-only: HLL sketches are impl-specific
 def a6_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: approx_count_distinct (HyperLogLog++) — the 100 TB path where
