@@ -61,6 +61,9 @@ HEADLINE = [
     "sim_ivf_topk",
     "udf_grouped_zscore",
     "mm_frame_sample",
+    # training-data prep
+    "tp_hash_split",
+    "tp_pack_sequences",
 ]
 
 

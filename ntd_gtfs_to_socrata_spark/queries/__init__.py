@@ -50,4 +50,5 @@ def load_all_query_modules() -> None:
         streaming_q,
         subqueries,
         time_windows,
+        training_prep,
     )

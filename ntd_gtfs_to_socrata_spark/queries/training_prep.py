@@ -1,0 +1,194 @@
+"""Training-data preparation queries over ``documents``: deterministic
+hash-based splits, stratified sampling, epoch shuffling, and token-budget
+sequence packing.
+
+These are the corpus-assembly steps a large-scale training pipeline runs
+after dedup/quality filtering (the rest of the north-star surface in
+``dedup_text.py``). All randomness is *derived from content keys via md5*
+rather than an RNG: at 100 TB a seed-based ``df.sample`` is not
+reproducible across retries/speculative re-execution of a task, while a
+hash of the row key is — and it is expressible identically in the DuckDB
+oracle, so every query here is value-hash checked.
+
+Cross-engine determinism contract: ``md5(cast(doc_id as string))`` is
+byte-identical in Spark and DuckDB; the first 4 hex chars parsed base-16
+(Spark ``conv(h, 16, 10)``, DuckDB ``CAST('0x' || h AS INTEGER)``) give a
+uniform bucket in [0, 65536) reduced mod 100.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.operators import textops as TX
+from ntd_gtfs_to_socrata_spark.queries import register
+
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100"
+
+
+def _bucket(col: F.Column = None) -> F.Column:
+    """Deterministic per-doc bucket in [0, 100) from md5 of the key."""
+    key = (col if col is not None else F.col("doc_id")).cast("string")
+    return (F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100).cast(
+        "int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/validation/test split
+# ---------------------------------------------------------------------------
+
+HASH_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT n_chars, {_BUCKET_SQL} AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM b GROUP BY split
+"""
+
+
+@register("tp_hash_split", HASH_SPLIT_ORACLE)
+def tp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/validation/test split keyed on md5(doc_id).
+
+    Scale posture: the split column is a pure map expression — no shuffle,
+    no RNG state, stable under task retries and across engines. Writing
+    each split out is then a partitioned write (`partitionBy('split')`),
+    so downstream readers partition-prune to their split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket()
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 20 ELSE 60 END
+"""
+
+
+@register("tp_stratified_sample", STRATIFIED_SAMPLE_ORACLE)
+def tp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling (en at 20%, minority languages at 60%) —
+    the corpus-rebalancing step, done as `bucket < threshold(lang)` rather
+    than `df.sampleBy` so the sample is deterministic and re-runnable.
+
+    Scale posture: pure map-side filter; the md5 only touches rows that
+    survive predicate pushdown on other columns, and no stratum requires a
+    groupBy (contrast `sampleBy`, which needs per-stratum fractions known
+    up front anyway).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(60))
+    return docs.filter(_bucket() < threshold).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_ORDER_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+),
+top AS (SELECT doc_id, hh FROM h ORDER BY hh LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY hh) AS BIGINT) AS epoch_pos, doc_id
+FROM top
+"""
+
+
+@register("tp_shuffle_order", SHUFFLE_ORDER_ORACLE)
+def tp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffling: global training order = sort by md5(doc_id); the
+    query returns the first 20 positions of the epoch.
+
+    Scale posture: `orderBy(hash).limit(k)` compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k-row
+    heaps — no global sort materialization). A full epoch write is the
+    same sort expressed as a range-partitioned write; the row_number
+    window here runs AFTER the limit, over 20 rows, never over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("hh"))
+        .orderBy("hh")
+        .limit(20)
+    )
+    w = Window.orderBy("hh")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("epoch_pos"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SEQUENCES_ORACLE = """
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS off
+  FROM t
+)
+SELECT lang, CAST(floor(off / 512.0) AS BIGINT) AS seq_bin,
+       count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+FROM c GROUP BY lang, seq_bin
+"""
+
+
+@register("tp_pack_sequences", PACK_SEQUENCES_ORACLE)
+def tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each doc to the 512-token context-window
+    bin where its running start offset lands (contiguous greedy packing —
+    a doc whose offset falls in bin k joins bin k even if it overflows it,
+    matching fixed-stride packing with spillover).
+
+    Scale posture: the running sum partitions by `lang` (the shard key),
+    so no global single-partition window; at 100 TB the shard key is
+    (lang, shard_id) with shards sized to executors, and the same plan —
+    one hash shuffle then a sorted within-partition scan — holds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return (
+        toks.select("lang", "n_tokens", offset)
+        .groupBy("lang", F.floor(F.col("off") / 512.0).cast("long").alias("seq_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
