@@ -40,7 +40,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup (inverted-index formulation)
 # ---------------------------------------------------------------------------
 
-NGRAM_JACCARD_ORACLE = """
+def _ngram_oracle(df_cap: int | None = None) -> str:
+    posting_filter = f" AND count(*) <= {df_cap}" if df_cap else ""
+    return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
@@ -52,10 +54,14 @@ shingled AS (
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1{posting_filter}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM exploded a JOIN exploded b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM exploded a
+  JOIN kept k ON a.shingle = k.shingle
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -67,18 +73,10 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 """
 
 
-@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: distinct word-3-gram shingles → inverted index
-    (posting list per shingle) → map-side pair generation → per-pair common
-    count → exact Jaccard ≥ 0.2.
+NGRAM_JACCARD_ORACLE = _ngram_oracle()
 
-    Scale posture: the shingle join is the exact version of LSH banding —
-    at 100 TB you'd first drop ultra-common shingles (document-frequency
-    cap) to bound the join fan-out, then switch to `dedup_minhash_lsh`
-    (banded signatures) so candidate generation is O(docs), not
-    O(shared-shingle pairs).
-    """
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None) -> DataFrame:
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # size travels with each exploded row so the pair aggregation needs no
     # extra joins back to a per-doc size table; shingles are xxhash64'd to
@@ -98,6 +96,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if df_cap is not None:
+        inv = inv.filter(F.size("ds") <= df_cap)
     # i<j combinations generated map-side from the sorted posting list: one
     # explode of exactly L(L-1)/2 pair rows, vs a double explode of L^2 rows
     # filtered afterwards (2x the rows and a second explode stage).
@@ -126,6 +126,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("na") + F.col("nb") - F.col("n_common")),
     ).filter(F.col("jaccard_raw") >= 0.2)
     return jac.select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+
+
+@register("dedup_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: distinct word-3-gram shingles → inverted index
+    (posting list per shingle) → map-side pair generation → per-pair common
+    count → exact Jaccard ≥ 0.2.
+
+    Scale posture: the shingle join is the exact version of LSH banding —
+    at 100 TB you'd first drop ultra-common shingles (document-frequency
+    cap, see `dedup_ngram_jaccard_dfcap`) to bound the join fan-out, then
+    switch to `dedup_minhash_lsh` (banded signatures) so candidate
+    generation is O(docs), not O(shared-shingle pairs).
+    """
+    return _ngram_jaccard(spark, sf_dir, df_cap=None)
+
+
+@register("dedup_ngram_jaccard_dfcap", _ngram_oracle(df_cap=50))
+def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB hardening of `dedup_ngram_jaccard`: drop shingles whose
+    posting list exceeds 50 docs before pair generation. An ultra-common
+    shingle ("in the of") contributes L(L-1)/2 pairs and near-zero
+    Jaccard signal — the cap bounds per-key fan-out (and with it both the
+    map-side combo explosion and pair-shuffle volume) at the cost of
+    under-counting n_common for pairs that share capped shingles, making
+    the reported Jaccard a deterministic lower bound. The cap is a plain
+    posting-size predicate, so the DuckDB oracle expresses it exactly and
+    this stays value-hash checked.
+    """
+    return _ngram_jaccard(spark, sf_dir, df_cap=50)
 
 
 # ---------------------------------------------------------------------------

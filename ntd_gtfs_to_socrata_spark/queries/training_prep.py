@@ -142,6 +142,44 @@ def tp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus profile
+# ---------------------------------------------------------------------------
+
+CORPUS_PROFILE_ORACLE = """
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+"""
+
+
+@register("tp_corpus_profile", CORPUS_PROFILE_ORACLE)
+def tp_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile (the pre-ingest sanity check): row count,
+    null-text count, stratum cardinalities, length min/max/mean.
+
+    Scale posture: single scan, partial-agg map-side. The two exact
+    countDistincts cost an Expand (×3 rows through the shuffle); at
+    100 TB profiling swaps them for approx_count_distinct (see
+    `a6_approx_distinct`) and the Expand disappears.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget sequence packing
 # ---------------------------------------------------------------------------
 
