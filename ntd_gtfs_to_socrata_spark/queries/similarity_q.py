@@ -348,3 +348,94 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pairs.filter(F.col("cosine") >= 0.3)
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid training (Lloyd iterations) — the iterative-algorithm path
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _nearest_cid(cents: list[tuple[int, list[float]]]) -> Column:
+    """Map-side argmin over literal centroids: build the K centroids as a
+    literal array<struct<cid, c>>, compute struct(dist, cid) per centroid,
+    and take array_min — struct ordering compares dist first then cid, so
+    the tiebreak (lowest cid) is deterministic and the whole assignment is
+    a single codegen'd expression: NO join, NO shuffle, NO per-vector
+    window. K·dim literals stay tiny (even 65k cells ≈ MBs, still fine as
+    a broadcast variable; literals suffice at quantizer sizes here)."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("c"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    scored = F.transform(
+        carr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("e"), s.getField("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s.getField("cid").alias("cid"),
+        ),
+    )
+    return F.array_min(scored).getField("cid")
+
+
+@register("sim_kmeans_train")  # rows-only: iterative, not SQL-expressible
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: deterministic init (first
+    K vectors), KMEANS_ITERS iterations of assign → recompute means. This
+    trains the IVF coarse quantizer that `sim_ivf_assign` consumes fixed.
+    Verified against an identically-seeded NumPy reference in
+    tests/test_similarity.py (not SQL-expressible → rows-only in the gate).
+
+    Scale posture (the MLlib shape): assignment is a map-only expression
+    (see _nearest_cid — no join, no shuffle); per-dimension means go
+    explode → groupBy(cluster, pos), which shuffles only K·dim partial
+    (sum, count) pairs thanks to map-side partial aggregation, NOT the
+    corpus. Only K·dim aggregated doubles reach the driver per iteration;
+    the corpus is scanned KMEANS_ITERS+1 times and never collected.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.select(_nearest_cid(cents).alias("cid"), "e")
+        means = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("c"))
+        )
+        new = {r["cid"]: list(r["c"]) for r in means.collect()}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, c)) for cid, c in cents]
+    counts = (
+        emb.select(_nearest_cid(cents).alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    final = spark.createDataFrame(cents, "cluster_id INT, centroid ARRAY<DOUBLE>")
+    return (
+        final.join(counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )

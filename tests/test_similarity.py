@@ -70,3 +70,36 @@ def test_ivf_assignment_covers_corpus_and_probe_recall(spark, sf_dir):
     # nprobe=2 of 16 cells: demand non-trivial recall of the exact top-5
     recall = len(ivf_pairs & brute_top5) / len(brute_top5)
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """Same init, same iteration count, same tiebreak → centroids must
+    match an independent NumPy Lloyd implementation to float tolerance."""
+    import numpy as np
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        sim_kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    C = X[np.argsort(ids)][:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+        for k in range(KMEANS_K):
+            if (assign == k).any():
+                C[k] = X[assign == k].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    np_counts = np.bincount(d.argmin(axis=1), minlength=KMEANS_K)
+
+    got = {r["cluster_id"]: r for r in sim_kmeans_train(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(KMEANS_K))
+    for k in range(KMEANS_K):
+        assert np.allclose(got[k]["centroid"], C[k], atol=1e-4), k
+        assert got[k]["n_members"] == np_counts[k], k
+    assert sum(r["n_members"] for r in got.values()) == len(X)
