@@ -143,3 +143,23 @@ def test_word_shingles_property_parity(spark, texts):
     ]
     want = [_py_shingles(t) for t in texts]
     assert got == want
+
+
+def _py_ngrams(text: str, n: int = 2) -> list[str]:
+    toks = text.strip().split()
+    if not toks:
+        toks = [""]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@slow
+@given(texts=st.lists(st.text(alphabet="ab c", max_size=30), min_size=1, max_size=6))
+def test_word_ngrams_property_parity(spark, texts):
+    """word_ngrams == ALL order-preserving word bigrams (duplicates kept) —
+    the base the repetition-ratio quality rule counts on."""
+    from ntd_gtfs_to_socrata_spark.operators import textops as TX
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r[0] for r in df.select(TX.word_ngrams(TX.tokens(F.col("s")), 2)).collect()]
+    want = [_py_ngrams(t, 2) for t in texts]
+    assert got == want
