@@ -26,8 +26,9 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingles via arrays_zip of shifted slices.
+def word_ngrams(toks: Column, n: int = 3, sep: str = " ") -> Column:
+    """All word n-grams (order-preserving, duplicates kept) via arrays_zip
+    of shifted slices.
 
     NOT the obvious ``transform(sequence(...), i -> element_at(toks, i+k))``:
     Catalyst's CollapseProject inlines the tokenizer expression into every
@@ -42,9 +43,12 @@ def word_shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
     ]
     zipped = F.arrays_zip(*shifted)
     full = F.filter(zipped, lambda x: x[str(n - 1)].isNotNull())
-    return F.array_distinct(
-        F.transform(full, lambda x: F.concat_ws(sep, *[x[str(k)] for k in range(n)]))
-    )
+    return F.transform(full, lambda x: F.concat_ws(sep, *[x[str(k)] for k in range(n)]))
+
+
+def word_shingles(toks: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles (the dedup/minhash base set)."""
+    return F.array_distinct(word_ngrams(toks, n, sep))
 
 
 def poly_hash_sql(col_expr: str, n_chars: int) -> str:

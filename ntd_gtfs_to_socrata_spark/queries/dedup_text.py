@@ -585,3 +585,111 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map stage."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.char_poly_hash(F.col("text"), 16).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(bg) AS n_bigrams,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+       END AS rep_ratio,
+       (CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        END) > 0.2 AS is_repetitive
+FROM bg
+"""
+
+
+@register("text_repetition_ratio", REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rule: fraction of duplicate word bigrams per
+    document (1 - distinct/total); docs above 0.2 are flagged. Pure
+    codegen array expressions over one scan — the shape of every per-doc
+    quality rule at 100 TB: no shuffle, no UDF, filter-pushdown friendly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = TX.word_ngrams(TX.tokens(F.col("text")), 2)
+    d = docs.select("doc_id", bg.alias("bg")).select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_uniq"),
+    )
+    rep_raw = F.when(F.col("n_bigrams") <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_bigrams")
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(rep_raw, 4).alias("rep_ratio"),
+        (rep_raw > 0.2).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (regex redaction)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+PII_SCRUB_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_chars
+FROM aug
+"""
+
+
+@register("text_pii_scrub", PII_SCRUB_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count + replace emails and phone numbers. The
+    fixture corpus carries no natural PII, so both engines first inject
+    identical synthetic markers into a deterministic subset of docs — the
+    scrub then provably finds and removes exactly those.
+
+    Scale posture: regexp_replace/extract_all are codegen'd JVM regex over
+    one scan; at 100 TB this is the map-only pass fused with the rest of
+    the quality pipeline (one scan computes every per-doc rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", aug.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+    )
