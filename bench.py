@@ -39,6 +39,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority_topk",
     "q5_region_revenue",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "sq_exists_semi_join",
     "sq_correlated_scalar",
     "j6_salted_skew_join",

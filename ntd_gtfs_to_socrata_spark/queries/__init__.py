@@ -50,5 +50,6 @@ def load_all_query_modules() -> None:
         streaming_q,
         subqueries,
         time_windows,
+        tpch_deep,
         training_prep,
     )

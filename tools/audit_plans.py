@@ -34,6 +34,8 @@ BNLJ_OK = {
     "sim_ivf_topk",
     "range_join_quantity_bands",  # non-equi interval join vs a 5-row band table
     "text_tfidf_top_terms",  # 1-row doc-count scalar enters as a broadcast cross join
+    "q11_important_values",  # 1-row fraction-of-total scalar, broadcast cross join
+    "q22_sales_opportunity",  # 1-row global-avg scalar, broadcast cross join
 }
 
 
