@@ -159,6 +159,43 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected components: near-dup pairs → duplicate clusters
+# ---------------------------------------------------------------------------
+
+CC_ORACLE = f"""
+WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: connected components over
+    the shingle-Jaccard edge set (operators/graph.py, iterative min-label
+    propagation). This is the step that makes pair-wise dedup actionable —
+    'keep min doc_id per component' is then one groupBy.
+
+    The oracle computes the same fixpoint declaratively with a recursive
+    CTE (min reachable node id = component id), so the distributed
+    iteration is value-hash checked, not just row-counted."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 

@@ -56,3 +56,39 @@ def test_minhash_signature_range(spark, sf_dir):
     for r in rows:
         for i in range(8):
             assert 0 <= r[f"mh{i}"] < TX.HASH_MOD
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation ≡ a pure-Python union-find on a
+    synthetic graph with a chain (propagation needs multiple rounds), a
+    triangle, duplicate/reversed edges, and a self-loop."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain: diameter 4
+        (10, 11), (11, 12), (12, 10),          # triangle
+        (20, 21), (21, 20), (20, 21),          # dupes + reversal
+        (30, 30),                              # self-loop singleton
+        (40, 41),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
