@@ -12,8 +12,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ntd_gtfs_to_socrata_spark.io import load_table
 from ntd_gtfs_to_socrata_spark.queries import register
 from ntd_gtfs_to_socrata_spark.streaming import event_windows as EW
+from ntd_gtfs_to_socrata_spark.streaming import joins as SJ
 from ntd_gtfs_to_socrata_spark.streaming import stateful as ST
 
 
@@ -49,3 +51,43 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
         )
     )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       date_diff('second', c.ts, p.ts) AS delay_sec
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("ss_interval_join_batch", INTERVAL_JOIN_ORACLE)
+def ss_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the click→purchase attribution interval join
+    (streaming/joins.py): one shuffle on user_id, the time-range predicate
+    evaluated inside the join."""
+    ev = load_table(spark, sf_dir, "events")
+    return SJ.click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register("stream_interval_join", INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME join run as a genuine stream-stream join (readStream both
+    sides, watermarks bounding join state, AvailableNow trigger, memory
+    sink). Inner stream-stream joins emit exactly the batch matches, so
+    this one is fully value-hash checked against the SQL oracle — the
+    strongest correctness statement the streaming surface gets."""
+    clicks = EW.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).withWatermark("ts", "1 hour")
+    purchases = EW.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "1 hour")
+    joined = SJ.click_purchase_interval_join(clicks, purchases)
+    name = _run_to_table(joined, "ssij", "append")
+    return spark.table(name)
