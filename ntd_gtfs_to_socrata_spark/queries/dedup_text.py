@@ -195,6 +195,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component_id")
 
 
+KEEP_ONE_ORACLE = f"""
+WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.comp, d.doc_id) AS component_id,
+       (coalesce(cc.comp, d.doc_id) = d.doc_id) AS kept
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+
+
+@register("dedup_keep_one_per_cluster", KEEP_ONE_ORACLE)
+def dedup_keep_one_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the dedup pipeline: pairs → components →
+    keep exactly one doc (the min id) per near-dup cluster, singletons kept
+    as themselves. ``kept`` is the per-doc retain/drop verdict a training
+    pipeline filters on.
+
+    Scale posture: the corpus-sized side is touched by one LEFT join
+    against the component map, which is tiny (only docs that appeared in a
+    near-dup pair) and broadcastable even at 100 TB corpus scale."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component_id").alias("comp")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return docs.join(F.broadcast(cc), docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        comp.alias("component_id"),
+        (comp == F.col("doc_id")).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------

@@ -230,3 +230,125 @@ def tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAMINATION_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text, ({_BUCKET_SQL}) >= 98 AS is_eval FROM documents
+),
+shingled AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
+           i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS shingle
+  FROM tagged
+),
+train_sh AS (SELECT DISTINCT shingle FROM shingled WHERE NOT is_eval),
+eval_sh AS (SELECT doc_id, shingle FROM shingled WHERE is_eval)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
+FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+GROUP BY e.doc_id
+"""
+
+
+@register("tp_contamination_check", CONTAMINATION_ORACLE)
+def tp_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for each held-out eval doc (top 2% of
+    the md5 bucket space, so the eval set is deterministic), the fraction
+    of its distinct word-3-grams that appear anywhere in the training
+    split. This is the standard pre-training hygiene check (n-gram overlap
+    between corpus and benchmarks) run INSIDE the engine.
+
+    Scale posture: one shuffle on the shingle key joins the (tiny) eval
+    shingle set against the distinct train shingles; at 100 TB shingles
+    are xxhash64'd to 8-byte keys (collision-safe counts, no long strings
+    through the shuffle) and the distinct-train side is map-side
+    pre-aggregated per partition before the exchange. Raw strings are kept
+    here so the DuckDB oracle checks equality exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"),
+        (_bucket() >= 98).alias("is_eval"),
+    )
+    shingled = tagged.select(
+        "doc_id", "is_eval", F.explode("sh").alias("shingle")
+    )
+    train_sh = shingled.filter(~F.col("is_eval")).select("shingle").distinct()
+    eval_sh = shingled.filter(F.col("is_eval")).select("doc_id", "shingle")
+    hit = F.col("t_shingle").isNotNull()
+    return (
+        eval_sh.join(
+            train_sh.select(F.col("shingle").alias("t_shingle")),
+            eval_sh.shingle == F.col("t_shingle"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("int")).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(hit.cast("int")) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture weights (data-mixture rebalancing)
+# ---------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 4) AS actual_share,
+       round((1.0 / n_sources) / (n_tokens / CAST(total_tokens AS DOUBLE)), 4)
+         AS sample_weight
+FROM per_source, tot
+"""
+
+
+@register("tp_mixture_weights", MIXTURE_ORACLE)
+def tp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing (Pile/Dolma-style): per-source token counts
+    and the sampling weight that would equalize every source to the uniform
+    target share (1/n_sources, computed from the data). Feeding these
+    weights into `tp_stratified_sample`'s deterministic-fraction machinery
+    yields the rebalanced corpus.
+
+    Scale posture: one map-side-combinable aggregation over the corpus +
+    a 1-row total broadcast — the cheapest possible two-pass shape; the
+    token count never leaves the executor as anything wider than a long."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 4).alias("actual_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 4).alias("sample_weight"),
+    )
