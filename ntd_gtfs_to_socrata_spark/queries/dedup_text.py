@@ -775,3 +775,47 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
         F.length(scrubbed).alias("scrubbed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (blocked pairwise Levenshtein)
+# ---------------------------------------------------------------------------
+
+EDIT_DIST_ORACLE = """
+WITH d AS (SELECT doc_id, lang, substr(text, 1, 80) AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+"""
+
+
+@register("text_edit_distance_neighbors", EDIT_DIST_ORACLE)
+def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup signal: Levenshtein distance between
+    80-char prefixes of same-language neighbor docs (deterministic
+    id-adjacency blocking keeps the demo pair set small and
+    oracle-checkable).
+
+    Scale posture: edit distance is O(len²) per pair, so it NEVER runs
+    all-pairs at 100 TB — block first (LSH bucket / simhash band /
+    cluster from `dedup_connected_components`), then run Levenshtein only
+    within blocks, exactly the join-then-compute shape here. The prefix
+    cap bounds per-pair cost; `F.levenshtein` also takes a threshold arg
+    for early-exit when only dist ≤ k matters."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 80).alias("s")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+    )
+    return d.join(
+        b, (d.doc_id == b.prev_id) & (d.lang == b.b_lang)
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        "lang",
+        F.levenshtein("s", "sb").cast("long").alias("edit_dist"),
+    )

@@ -868,3 +868,47 @@ def f14_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("initials"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W2b distribution ranks + RANGE-frame windows
+# ---------------------------------------------------------------------------
+
+W2B_ORACLE = """
+SELECT o_orderkey,
+       ntile(4) OVER wp AS price_quartile,
+       round(percent_rank() OVER wp, 4) AS pr,
+       round(cume_dist() OVER wp, 4) AS cd,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing_30d_cents
+FROM orders
+WINDOW wp AS (PARTITION BY o_custkey
+              ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC)
+"""
+
+
+@register("w2b_distribution_ranks", W2B_ORACLE)
+def w2b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 completion: distribution ranks (ntile/percent_rank/cume_dist,
+    with a unique tiebreak so quartile edges are deterministic) plus a
+    time-RANGE frame — the trailing-30-day spend, which unlike a ROWS
+    frame includes ALL rows in the value range regardless of tie order.
+    Both windows share the o_custkey partition: one shuffle, two sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    wp = Window.partitionBy("o_custkey").orderBy(cents.desc(), F.col("o_orderkey").asc())
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 4).alias("pr"),
+        F.round(F.cume_dist().over(wp), 4).alias("cd"),
+        F.sum(cents).over(wr).alias("trailing_30d_cents"),
+    )

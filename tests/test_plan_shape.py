@@ -99,3 +99,39 @@ def test_q6_all_predicates_push_to_scan(spark, sf_dir):
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering (SURVEY.md §4): when a shuffle join has
+    a selective build side, Spark injects a bloom filter from the build
+    side into the probe-side scan (BloomFilterAggregate → might_contain),
+    cutting probe-side shuffle volume before the join. The application-side
+    size gate (default 10 GB) exists precisely because this pays off at
+    cluster scale, not fixture scale — lowered here only to pin the
+    mechanism."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_text(j, "extended")
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
