@@ -618,3 +618,64 @@ def a4_error_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("message"),
     )
     return CL.fold_errors(errors, id_col="feed_id", msg_col="message")
+
+
+# ---------------------------------------------------------------------------
+# J8 snapshot diff (CDC extract): old vs new full snapshots → change set
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS v
+  FROM orders WHERE o_orderkey % 9 <> 0
+)
+SELECT CASE WHEN o.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            WHEN o.v <> n.v THEN 'update'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n_rows
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+GROUP BY change
+"""
+
+
+@register("j8_snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: change-data extraction between two full snapshots — the
+    generalization of the reference's sync semantics (locate_deletions +
+    upsert, publish_to_catalog.py:486-528, operators/merge.py) into one
+    FULL OUTER join classifying insert/delete/update/unchanged. The two
+    snapshots here are deterministic filters of `orders` (keys %10 vs %9,
+    values perturbed on %7) so the oracle sees identical inputs.
+
+    Scale posture: ONE co-partitioned sort-merge join on the key — both
+    snapshots shuffle once; with both snapshots bucketed on the key
+    (io.write_bucketed) the exchange disappears entirely. This subsumes
+    the reference's separate delete-scan + upsert passes."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    old_snap = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("v_old")
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 9 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        (cents + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)).alias("v_new"),
+    )
+    change = (
+        F.when(F.col("k").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(F.col("v_old") != F.col("v_new"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        old_snap.join(new_snap, old_snap.k == new_snap.k2, "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

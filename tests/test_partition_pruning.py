@@ -43,3 +43,29 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     n_day = pruned.count()
     n_all = spark.read.parquet(target).count()
     assert 0 < n_day < n_all
+
+
+def test_compaction_bin_packs_small_files(spark, sf_dir, tmp_path):
+    """50 tiny files → compaction plans ~total/target outputs, rewrites
+    losslessly, and the sorted variant keeps the sort key clustered so
+    row-group min/max stats stay prunable."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.operators import compaction as C
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(50).write.parquet(src)
+
+    n_files, total_bytes, n_out = C.plan_compaction(spark, src, target_file_bytes=1 << 30)
+    assert n_files == 50
+    assert n_out == 1
+
+    # pack to ~quarter-of-total files: expect 4 outputs
+    quarter = max(1, total_bytes // 4)
+    assert C.compact(spark, src, dst, target_file_bytes=quarter, sort_by=["o_orderdate"]) == 4
+
+    got = spark.read.parquet(dst)
+    assert got.count() == orders.count()
+    import glob
+    assert len(glob.glob(dst + "/part-*.parquet")) == 4
