@@ -912,3 +912,71 @@ def w2b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wp), 4).alias("cd"),
         F.sum(cents).over(wr).alias("trailing_30d_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 equi-depth binning (quantile buckets as first-class output)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT ntile(8) OVER (ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) ASC,
+                                 o_orderkey ASC) AS bin,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bin, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+FROM t GROUP BY bin
+"""
+
+
+@register("a6_equidepth_bins", EQUIDEPTH_ORACLE)
+def a6_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: equi-depth histogram — 8 equal-count price bins with their
+    boundaries (the stats a cost-based optimizer or range partitioner
+    derives). Deterministic tiebreak on orderkey pins bucket edges.
+
+    Scale posture: ntile over a global ORDER BY is a range-partitioned
+    sort (Spark samples boundaries, no single-partition collapse is
+    REQUIRED — but Window.orderBy() without partitionBy does funnel into
+    one partition; at 100 TB use approx_percentile boundaries + a map-side
+    width_bucket instead, trading exact equal counts for a fully parallel
+    plan (same trade as a6_percentiles → a6_approx_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy(cents.asc(), F.col("o_orderkey").asc())
+    return (
+        o.select(cents.alias("cents"), F.ntile(8).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+
+
+@register("a6_width_bucket_bins")  # rows-only: boundaries come from a sketch
+def a6_width_bucket_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for `a6_equidepth_bins`: approx_percentile computes
+    the 8 boundary values as a mergeable sketch (no global sort, no
+    single-partition window), then every row assigns its bin MAP-SIDE by
+    counting boundaries below it (higher-order filter over the broadcast
+    1-row bounds array). Fully parallel at any scale; bin counts are
+    approximately equal rather than exactly equal — the standard trade."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    bounds = o.agg(
+        F.approx_percentile(
+            cents, F.array(*[F.lit(i / 8.0) for i in range(1, 8)]), F.lit(10000)
+        ).alias("bs")
+    )
+    binned = o.select(cents.alias("cents")).join(F.broadcast(bounds)).select(
+        "cents",
+        (F.size(F.filter(F.col("bs"), lambda b: F.col("cents") > b)) + 1).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )

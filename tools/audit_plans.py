@@ -36,6 +36,7 @@ BNLJ_OK = {
     "text_tfidf_top_terms",  # 1-row doc-count scalar enters as a broadcast cross join
     "q11_important_values",  # 1-row fraction-of-total scalar, broadcast cross join
     "q22_sales_opportunity",  # 1-row global-avg scalar, broadcast cross join
+    "a6_width_bucket_bins",  # 1-row quantile-bounds array, broadcast cross join
 }
 
 
