@@ -980,3 +980,99 @@ def a6_width_bucket_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ referential-integrity audit (orphan foreign keys via anti joins)
+# ---------------------------------------------------------------------------
+
+RI_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+@register("dq_referential_integrity", RI_ORACLE)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan-FK counts across the four fact→dim
+    relationships, each a LEFT ANTI join (build side = the referenced key
+    set only). The ETL-gate cousin of the reference's per-row validation
+    (SURVEY.md §2.2) lifted to cross-table invariants.
+
+    Scale posture: each anti join broadcasts the dim-key hash set where
+    the dim is small and sort-merges otherwise; the four audits share no
+    state, so AQE runs them as independent parallel stages in one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            fact.select(F.col(fk))
+            .join(dim.select(F.col(pk)), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(
+            orphans(
+                li, "l_partkey", load_table(spark, sf_dir, "part"), "p_partkey",
+                "lineitem.l_partkey->part",
+            )
+        )
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(
+            orphans(
+                c, "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey",
+                "customer.c_nationkey->nation",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12b VARIANT semi-structured surface (Spark 4 parse_json / variant_get)
+# ---------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+@register("f12b_variant_extract", VARIANT_ORACLE)
+def f12b_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 modern form: semi-structured access through the VARIANT type
+    (parse_json once → try_variant_get paths) instead of per-path string
+    re-parsing with get_json_object. At 100 TB, store the column AS
+    variant in parquet: parse cost is paid at ingest, every read is a
+    binary-encoded path lookup — the Spark-4 answer to the reference's
+    json.loads-per-row (publish_to_catalog.py:52, 346)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
