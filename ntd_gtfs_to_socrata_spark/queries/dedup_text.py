@@ -819,3 +819,50 @@ def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.levenshtein("s", "sb").cast("long").alias("edit_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Python UDTF (lateral table function)
+# ---------------------------------------------------------------------------
+
+UDTF_SENTENCES_ORACLE = """
+WITH s AS (
+  SELECT doc_id, list_filter(string_split(text, '. '), x -> x <> '') AS parts
+  FROM documents
+)
+SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS INT) AS pos,
+       unnest(parts) AS sentence
+FROM s
+"""
+
+
+@register("udtf_split_sentences", UDTF_SENTENCES_ORACLE)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Python UDTF surface (Spark 4): one input row → N output rows
+    through a LATERAL table function — the API for row-expanding Python
+    logic that doesn't fit a scalar UDF or a grouped map. The split is
+    deterministic ('. ' boundaries), so unlike most UDF paths this one is
+    fully value-hash checked against the SQL formulation.
+
+    Scale posture: UDTFs are row-at-a-time Python — correct for API
+    coverage, wrong for hot paths. The declarative twin (posexplode over
+    split(), all-JVM) is the production form; keep UDTFs for logic that
+    genuinely needs Python (tokenizers, parsers with state)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, s in enumerate(p for p in text.split(". ") if p):
+                yield i, s
+
+    spark.udtf.register("ntd_gtfs_to_socrata_spark_split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.sentence
+        FROM udtf_docs_v, LATERAL ntd_gtfs_to_socrata_spark_split_sentences(doc_id, text) s
+        """
+    )

@@ -23,6 +23,7 @@ PYTHON_OK = {
     "mm_frame_sample",
     "mm_binary_metadata",
     "stream_stateful_user_totals",
+    "udtf_split_sentences",  # UDTF API coverage; declarative twin is posexplode(split())
 }
 # broadcast-nested-loop join is the intended shape for the scored cross
 # products (small broadcast side vs corpus)
@@ -37,6 +38,7 @@ BNLJ_OK = {
     "q11_important_values",  # 1-row fraction-of-total scalar, broadcast cross join
     "q22_sales_opportunity",  # 1-row global-avg scalar, broadcast cross join
     "a6_width_bucket_bins",  # 1-row quantile-bounds array, broadcast cross join
+    "tp_mixture_weights",  # 1-row corpus-totals scalar, broadcast cross join
 }
 
 
