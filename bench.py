@@ -68,6 +68,10 @@ HEADLINE = [
     # training-data prep
     "tp_hash_split",
     "tp_pack_sequences",
+    "tp_contamination_check",
+    # stream-stream join (batch twin) + variant extraction
+    "ss_interval_join_batch",
+    "f12b_variant_extract",
 ]
 
 

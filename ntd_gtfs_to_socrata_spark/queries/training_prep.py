@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
 from ntd_gtfs_to_socrata_spark.operators import textops as TX
 from ntd_gtfs_to_socrata_spark.queries import register
 
@@ -276,7 +276,7 @@ def tp_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the shuffle) and the distinct-train side is map-side
     pre-aggregated per partition before the exchange. Raw strings are kept
     here so the DuckDB oracle checks equality exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     tagged = docs.select(
         "doc_id",
         TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"),
