@@ -110,8 +110,17 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None) -> Data
             ),
         )
     )
+    # size-compatibility prune BEFORE the pair shuffle: J(a,b) ≤
+    # min(na,nb)/(na+nb-min) (common ≤ min), so J ≥ 0.2 requires
+    # 6·min(na,nb) ≥ na+nb. Pure map-side filter; provably removes only
+    # pairs that cannot reach the threshold — the oracle is unchanged.
+    compatible = (
+        F.least(F.col("p.a.n_sh"), F.col("p.b.n_sh")) * 6
+        >= F.col("p.a.n_sh") + F.col("p.b.n_sh")
+    )
     pairs = (
         inv.select(F.explode(combos).alias("p"))
+        .filter(compatible)
         .groupBy(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

@@ -227,3 +227,126 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered stage progression per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH c AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'view' AND e.ts > c.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t2
+  GROUP BY e.user_id
+)
+SELECT 'click' AS stage, (SELECT count(*) FROM c) AS n_users
+UNION ALL SELECT 'view',     (SELECT count(*) FROM v)
+UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+"""
+
+
+@register("funnel_stages", FUNNEL_ORACLE)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (click → view after click → purchase after view):
+    users reaching each stage, where later stages must occur strictly
+    after the user's FIRST occurrence of the prior stage.
+
+    Scale posture: three per-user min-aggregations chained by equi-joins,
+    all hash-partitioned on user_id — after the first shuffle the
+    subsequent aggs/joins reuse the partitioning exchange-free. Contrast
+    the sequence-match formulation (sort per user + scan), which needs the
+    same single shuffle but a per-user sort; min-chaining avoids the sort
+    entirely for first-touch funnels."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        return (
+            df.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    c = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    v = first_after(ev, "view", c, "t1", "t2")
+    p = first_after(ev, "purchase", v, "t2", "t3")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage("click", c).unionByName(stage("view", v)).unionByName(stage("purchase", p))
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: weekly activity relative to first-seen week
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(floor(epoch(cohort_week)) AS BIGINT) AS cohort_week_epoch,
+       CAST(week_offset AS INT) AS week_offset,
+       count(*) AS n_active
+FROM active
+WHERE week_offset <= 4
+GROUP BY cohort_week_epoch, week_offset
+"""
+
+
+@register("cohort_retention", COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, counted
+    as active per subsequent week offset (0..4). The denominator for rate
+    is the week_offset=0 row of each cohort.
+
+    Scale posture: first-seen is a per-user min (one shuffle on user_id);
+    the join back is on the same key (exchange reused); the distinct
+    collapses (user, week) duplicates BEFORE the cohort count so heavy
+    users don't inflate retention. date_trunc keeps everything in native
+    timestamp ops — no per-row Python."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    # NOTE: min(date_trunc) == date_trunc(min) since trunc is monotone.
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                ).cast("int")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.filter(F.col("week_offset") <= 4)
+        .groupBy(
+            F.unix_timestamp("cohort_week").alias("cohort_week_epoch"), "week_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
