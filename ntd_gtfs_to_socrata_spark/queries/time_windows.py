@@ -350,3 +350,66 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization via lag-gap-cumsum (the pre-session_window formulation)
+# ---------------------------------------------------------------------------
+
+LAG_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_lag_gap", LAG_GAP_ORACLE)
+def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by lag-gap-cumsum: a new session starts after a
+    >30-min silence; the running sum of session-start flags numbers the
+    sessions. The classic formulation `session_window()` internalized —
+    kept as first-class surface because it generalizes (per-session
+    sequence numbers, custom gap predicates involving OTHER columns) where
+    session_window cannot.
+
+    Scale posture: both windows and the final aggregate partition by
+    user_id — ONE shuffle, one sort per partition, everything downstream
+    reuses it. Same cost envelope as tw_session_windows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+    ).cast("long")
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.select(
+        "user_id", "event_id", "ts", new_sess.alias("is_new")
+    ).select("user_id", "ts", F.sum("is_new").over(wsum).alias("session_seq"))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_sec"
+        ),
+    )

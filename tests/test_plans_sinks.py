@@ -138,3 +138,27 @@ def test_run_log_summary_and_append(spark, tmp_path):
     sink.write(summary)
     sink.write(summary)
     assert spark.read.parquet(str(tmp_path / "runlog")).count() == 2
+
+
+def test_observe_captures_run_metrics_without_second_scan(spark, sf_dir):
+    """`df.observe` is the run-log counter surface (SURVEY §2.4 A3/A5) at
+    scale: metrics accumulate ON the write pass, so the pipeline doesn't
+    re-scan its input to count what it just wrote (the reference re-reads
+    its own output to log; publish_to_catalog.py run summary)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    expected = orders.count()
+    obs = Observation("run_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_final"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == expected
+    assert 0 < got["n_final"] < expected
