@@ -135,3 +135,43 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (SCALE.md joins): a hot key whose shuffle
+    partition dwarfs the median gets split into multiple tasks at runtime
+    (AQEShuffleRead skewed → SortMergeJoin(skew=true)) — the automatic
+    complement to the explicit salting in j6_salted_skew_join. Thresholds
+    lowered to make fixture-sized skew visible; at cluster scale the
+    defaults (256 MB / 5× median) trigger on real hot keys."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # 32 shuffle partitions so the non-hot keys spread thin and the
+        # hot partition clears the factor-x-median test
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000, 1, 32).select(
+            F.when(F.col("id") < 300000, 0).otherwise(F.col("id")).alias("k")
+        )
+        right = spark.range(0, 1000, 1, 8).select(F.col("id").alias("k"))
+        j = left.join(right, "k").select("k")
+        # only k=0 matches: left holds 300k rows of key 0 plus keys >= 300000,
+        # right holds keys 0..999
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

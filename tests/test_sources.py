@@ -84,3 +84,29 @@ def test_stops_from_zips_end_to_end(spark, zip_dir):
     by_id = {r["stop_id"]: r for r in rows}
     assert by_id["1001"]["stop_name"] == "Main St"
     assert by_id["1002"]["stop_lon"] == "-122.0"
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSONL parse: valid rows conform to the schema, corrupt
+    lines land in quarantine with the raw text preserved — never dropped,
+    never fatal (S4/S6 errors-as-data contract in JSON form)."""
+    from pyspark.sql import types as T
+
+    from ntd_gtfs_to_socrata_spark.sources.json_ingest import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        'this is not json at all\n'
+        '{"id": "not-an-int", "name": "bad type"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    valid, quarantine = read_jsonl(spark, str(p), schema)
+    v = {(r["id"], r["name"]) for r in valid.collect()}
+    q = [r["raw_line"] for r in quarantine.collect()]
+    assert v == {(1, "ok"), (2, "also ok")}
+    assert len(q) == 2
+    assert any("not json at all" in line for line in q)
