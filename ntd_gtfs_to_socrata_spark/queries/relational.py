@@ -1076,3 +1076,38 @@ def f12b_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F15 error-safe scalar surface (try_* family — ANSI mode without the traps)
+# ---------------------------------------------------------------------------
+
+F15_ORACLE = """
+SELECT p_partkey,
+       TRY_CAST(p_name AS DOUBLE) AS name_as_num,
+       CASE WHEN p_size - 5 = 0 THEN NULL
+            ELSE round(p_retailprice / (p_size - 5), 4) END AS per_size_price,
+       string_split(p_type, ' ')[3] AS type_third,
+       TRY_CAST(substr(p_name, 1, 3) AS BIGINT) AS prefix_num
+FROM part
+"""
+
+
+@register("f15_try_functions", F15_ORACLE)
+def f15_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: the error-safe scalar family — Spark 4 runs ANSI mode by
+    default, where a single malformed cell KILLS the job unless the
+    expression is written with try_* (try_cast / try_divide /
+    try_element_at → NULL instead of raise). This is the contract every
+    ingest expression in this repo follows (the driver's plain session is
+    ANSI; see .claude/skills/verify/SKILL.md), swept here end-to-end."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("double").alias("name_as_num"),
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 5), 4
+        ).alias("per_size_price"),
+        F.try_element_at(F.split("p_type", " "), F.lit(3)).alias("type_third"),
+        F.substring("p_name", 1, 3).try_cast("bigint").alias("prefix_num"),
+    )
