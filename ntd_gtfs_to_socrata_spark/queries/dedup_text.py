@@ -40,11 +40,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup (inverted-index formulation)
 # ---------------------------------------------------------------------------
 
-def _ngram_oracle(df_cap: int | None = None) -> str:
+def _ngram_oracle(df_cap: int | None = None, table: str = "documents") -> str:
     posting_filter = f" AND count(*) <= {df_cap}" if df_cap else ""
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM {table}
 ),
 shingled AS (
   SELECT doc_id,
@@ -76,8 +76,14 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 NGRAM_JACCARD_ORACLE = _ngram_oracle()
 
 
-def _ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None) -> DataFrame:
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+def _ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    if docs is None:
+        docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # size travels with each exploded row so the pair aggregation needs no
     # extra joins back to a per-doc size table; shingles are xxhash64'd to
     # 8-byte join keys (64-bit collisions are negligible vs corpus shingle

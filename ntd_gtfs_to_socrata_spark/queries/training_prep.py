@@ -352,3 +352,92 @@ def tp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 4).alias("actual_share"),
         F.round((F.lit(1.0) / F.col("n_sources")) / share, 4).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end corpus pipeline: filter → near-dup keep-one → split
+# ---------------------------------------------------------------------------
+
+def _pipeline_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_oracle
+
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 60
+    AND lang IN ('en', 'de', 'fr', 'es')
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+),
+pairs_j AS ({_ngram_oracle(table='corpus')}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+kept AS (
+  SELECT d.doc_id, d.lang,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
+         {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} AS bucket
+  FROM corpus d LEFT JOIN cc ON d.doc_id = cc.node
+  WHERE coalesce(cc.comp, d.doc_id) = d.doc_id
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens
+FROM kept GROUP BY split
+"""
+
+
+@register("tp_full_pipeline", _pipeline_oracle())
+def tp_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-assembly pipeline, end-to-end in ONE plan:
+    quality gate (length + token floor + language allowlist) → shingle
+    near-dup candidate pairs → connected components → keep the min-id doc
+    per duplicate cluster (exact dups are jaccard-1.0 clusters, so this
+    subsumes exact dedup) → deterministic 80/10/10 split accounting.
+    Every stage is the registered operator it reuses
+    ([[dedup_ngram_jaccard]], [[dedup_connected_components]],
+    [[tp_hash_split]]); this query exists to prove they COMPOSE — the
+    whole thing is still one value-hash-checked DataFrame.
+
+    Scale posture: the quality gate is a pushed-down scan filter that
+    shrinks every downstream stage; the component map is tiny and
+    broadcasts; split accounting is a map-side bucket + one aggregation."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        (F.col("n_chars") >= 60)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & (F.size(TX.tokens(F.col("text"))) >= 10)
+    )
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None, docs=docs)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component_id").alias("comp")
+    )
+    kept = (
+        docs.join(F.broadcast(cc), docs.doc_id == cc.node, "left")
+        .filter(F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            _bucket().alias("bucket"),
+        )
+    )
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return kept.select(split.alias("split"), "n_tokens").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
