@@ -261,33 +261,47 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     users reaching each stage, where later stages must occur strictly
     after the user's FIRST occurrence of the prior stage.
 
-    Scale posture: three per-user min-aggregations chained by equi-joins,
-    all hash-partitioned on user_id — after the first shuffle the
-    subsequent aggs/joins reuse the partitioning exchange-free. Contrast
-    the sequence-match formulation (sort per user + scan), which needs the
-    same single shuffle but a per-user sort; min-chaining avoids the sort
-    entirely for first-touch funnels."""
+    Scale posture: ONE shuffle on user_id, then three chained window
+    projections (each stage's first-touch time conditioned on the prior
+    stage's) and a per-user aggregate that all REUSE that partitioning —
+    the naive join-chained form re-reads events per stage and recomputes
+    each prior stage's subtree (8 exchanges vs 2 here; caught by
+    tools/audit_plans.py). The final stack() emits the 3-row funnel."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def first_after(df: DataFrame, etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
-        return (
-            df.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    c = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    v = first_after(ev, "view", c, "t1", "t2")
-    p = first_after(ev, "purchase", v, "t2", "t3")
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-
-    return stage("click", c).unionByName(stage("view", v)).unionByName(stage("purchase", p))
+    w = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = t3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n_click"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n_purchase"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'click', n_click, 'view', n_view, 'purchase', n_purchase)"
+        " AS (stage, n_users)"
+    )
 
 
 # ---------------------------------------------------------------------------

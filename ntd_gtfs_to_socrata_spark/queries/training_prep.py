@@ -441,3 +441,71 @@ def tp_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted rebalanced sample (mixture weights applied deterministically)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH per_source AS (
+  SELECT source, sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source),
+rates AS (
+  SELECT source,
+         least(1.0, (1.0 / n_sources) / (n_tokens / CAST(total_tokens AS DOUBLE)))
+           AS keep_rate
+  FROM per_source, tot
+),
+sampled AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10000)
+          < CAST(floor(r.keep_rate * 10000) AS INTEGER)
+)
+SELECT source, count(*) AS n_kept FROM sampled GROUP BY source
+"""
+
+
+@register("tp_weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def tp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[tp_mixture_weights]] applied: each source keeps
+    min(1, uniform_share/actual_share) of its docs via the deterministic
+    md5 bucket in [0, 10000) — over-represented sources are downsampled
+    toward the uniform token share, never upsampled (capped at 1). The
+    rebalancing loop closed end-to-end, still value-hash checked.
+
+    Scale posture: weights are |sources| rows broadcast into a map-side
+    filter — the corpus is scanned once, no shuffle before the final
+    accounting aggregation; identical to tp_stratified_sample's posture
+    but with DATA-DERIVED fractions instead of configured ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    # only the tokenizing branch needs the parallelism rebalance; the
+    # sampling branch is a cheap md5 filter and keeps the raw scan
+    per_source = ensure_min_parallelism(docs).groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    # totals via a window over the ALREADY-AGGREGATED per-source frame
+    # (|sources| rows): one tiny single-partition window instead of a
+    # second aggregation + join, which would duplicate the per_source
+    # subtree (its scan + 2 exchanges) in the plan.
+    w_all = Window.partitionBy()
+    rates = per_source.select(
+        F.col("source").alias("r_source"),
+        F.least(
+            F.lit(1.0),
+            (F.lit(1.0) / F.count(F.lit(1)).over(w_all))
+            / (F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")),
+        ).alias("keep_rate"),
+    )
+    bucket10k = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    ).cast("int")
+    kept = (
+        docs.join(F.broadcast(rates), docs.source == rates.r_source)
+        .filter(bucket10k < F.floor(F.col("keep_rate") * 10000).cast("int"))
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "q22_sales_opportunity",  # 1-row global-avg scalar, broadcast cross join
     "a6_width_bucket_bins",  # 1-row quantile-bounds array, broadcast cross join
     "tp_mixture_weights",  # 1-row corpus-totals scalar, broadcast cross join
+    "tp_weighted_sample",  # same 1-row totals scalar feeding the rate table
 }
 
 
