@@ -175,3 +175,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exchange_budgets_hold(spark, sf_dir):
+    """Shuffle-count regression pins for the queries whose plans were
+    hand-tuned (SCALE.md): a future edit that reintroduces a subtree
+    recompute or an extra shuffle fails here, not at 100 TB. Budgets are
+    ceilings (broadcast exchanges excluded), not exact counts, so benign
+    plan jitter doesn't flap."""
+    from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    budgets = {
+        "q1_pricing_summary": 1,
+        "q6_forecast_revenue": 1,
+        "w4_set_ops_single_pass": 2,
+        "funnel_stages": 3,
+        "tp_weighted_sample": 5,
+        "sessionize_lag_gap": 2,
+        "j8_snapshot_diff": 3,
+        "tp_pack_sequences": 1,
+    }
+    for name, budget in budgets.items():
+        plan = plan_text(REGISTRY[name](spark, sf_dir), "simple")
+        n = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line
+        )
+        assert n <= budget, f"{name}: {n} shuffle exchanges > budget {budget}"

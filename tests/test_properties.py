@@ -163,3 +163,113 @@ def test_word_ngrams_property_parity(spark, texts):
     got = [r[0] for r in df.select(TX.word_ngrams(TX.tokens(F.col("s")), 2)).collect()]
     want = [_py_ngrams(t, 2) for t in texts]
     assert got == want
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ),
+    max_size=14,
+)
+
+
+@slow
+@given(edges=EDGES)
+def test_connected_components_law(spark, edges):
+    """CC on random graphs ≡ union-find: same partition of nodes, labels
+    are component minima; empty edge sets yield empty output."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(None, None)], "src long, dst long").filter(
+        F.col("src").isNotNull()
+    )
+    got = {
+        r["node"]: r["component_id"] for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.sampled_from(["click", "view", "purchase", "other"]),
+            st.integers(min_value=0, max_value=40),       # ts seconds
+        ),
+        max_size=16,
+    )
+)
+def test_funnel_law(spark, events):
+    """Window-chained funnel ≡ brute-force first-touch progression."""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(seconds=s)) for u, t, s in events
+    ]
+    df = spark.createDataFrame(rows or [(None, None, None)],
+                               "user_id long, event_type string, ts timestamp")
+    df = df.filter(F.col("user_id").isNotNull())
+
+    # brute force per user
+    per_user: dict[int, list[tuple[str, int]]] = {}
+    for u, t, s in events:
+        per_user.setdefault(u, []).append((t, s))
+    n_click = n_view = n_purchase = 0
+    for u, evs in per_user.items():
+        clicks = [s for t, s in evs if t == "click"]
+        if not clicks:
+            continue
+        n_click += 1
+        t1 = min(clicks)
+        views = [s for t, s in evs if t == "view" and s > t1]
+        if not views:
+            continue
+        n_view += 1
+        t2 = min(views)
+        purchases = [s for t, s in evs if t == "purchase" and s > t2]
+        if purchases:
+            n_purchase += 1
+
+    # run the registered query's plan against the synthetic frame by
+    # monkey-free substitution: rebuild the same expressions inline
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t1c = F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    step1 = df.withColumn("t1", t1c)
+    t2c = F.min(
+        F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    step2 = step1.withColumn("t2", t2c)
+    t3c = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w)
+    step3 = step2.withColumn("t3", t3c)
+    per = step3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    got = per.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("c"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("v"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("p"),
+    ).collect()[0]
+    assert (got["c"] or 0, got["v"] or 0, got["p"] or 0) == (n_click, n_view, n_purchase)
