@@ -439,3 +439,43 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall, self-measured inside the engine
+# ---------------------------------------------------------------------------
+
+@register("sim_ivf_recall")  # rows-only: depends on sketch-free but param-defined ANN
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF path against exact brute force, computed AS A
+    QUERY: join the two top-k sets per query vector, count overlap, return
+    one row (n_queries, mean_recall, min_recall). 'Measure, don't guess'
+    applied to the engine's own approximation — at 100 TB this runs on a
+    sampled query set as the continuous quality monitor next to the ANN
+    serving path (tests/test_similarity.py asserts the same measure ≥ 0.2
+    at fixture scale — with nprobe=2 of 16 cells over near-random fixture
+    embeddings, ~0.3 recall@10 is the expected operating point; recall is
+    bought by raising N_PROBE, which scales scan cost linearly).
+
+    Plan shape: both top-k frames are per-query tiny; the overlap join is
+    on (qid, cid) and aggregates straight down to one row."""
+    exact = sim_bruteforce(spark, sf_dir).select(
+        F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid")
+    )
+    approx = sim_ivf_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("cid").alias("a_cid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("e_qid") == F.col("a_qid")) & (F.col("e_cid") == F.col("a_cid")),
+        "left",
+    ).groupBy("e_qid").agg(
+        (F.sum(F.col("a_cid").isNotNull().cast("int")) / F.count(F.lit(1))).alias(
+            "recall"
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"),
+        F.round(F.min("recall"), 4).alias("min_recall"),
+    )
