@@ -881,3 +881,58 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_v, LATERAL ntd_gtfs_to_socrata_spark_split_sentences(doc_id, text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-prob scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id, ln(v.c / CAST(tot.n AS DOUBLE)) AS lp
+  FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a unigram LM on the corpus
+    itself (token relative frequencies), score each doc by its mean token
+    log-probability. Low scores = rare-token noise (mojibake, boilerplate
+    IDs); the cheap stand-in for a KenLM filter in training pipelines.
+
+    Scale posture: two aggregations (vocab counts; per-doc score) + one
+    join on the token key — all map-side combinable. The corpus total is
+    a 1-row broadcast. At 100 TB the vocab table is pruned to top-K + an
+    OOV floor so the join build side stays bounded, and tokens travel as
+    xxhash64 keys; strings kept here so the oracle is exact."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()
+    # total token count via a window over the aggregated vocab (tiny) —
+    # avoids duplicating the vocab subtree with an agg+join (SCALE.md
+    # "subtree recompute")
+    probs = vocab.select(
+        F.col("tok").alias("v_tok"),
+        F.log(F.col("c") / F.sum("c").over(w_all).cast("double")).alias("lp"),
+    )
+    return (
+        toks.join(probs, toks.tok == probs.v_tok)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
