@@ -509,3 +509,41 @@ def tp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket10k < F.floor(F.col("keep_rate") * 10000).cast("int"))
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic reservoir per stratum
+# ---------------------------------------------------------------------------
+
+RESERVOIR_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 25
+"""
+
+
+@register("tp_reservoir_per_stratum", RESERVOIR_ORACLE)
+def tp_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k sampling per stratum (25 docs per language): rank by
+    md5(doc_id) within the stratum and keep the first k — the
+    deterministic, retry-stable equivalent of per-group reservoir
+    sampling, complementing [[tp_stratified_sample]]'s fraction-based
+    form with exact-count semantics.
+
+    Scale posture: one shuffle on the stratum key; WindowGroupLimit pushes
+    rn<=k into the window sort so only k rows per stratum survive the
+    shuffle read — the same top-k-per-group machinery as w3."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 25)
+    )
