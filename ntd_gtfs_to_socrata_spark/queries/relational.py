@@ -1111,3 +1111,57 @@ def f15_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(F.split("p_type", " "), F.lit(3)).alias("type_third"),
         F.substring("p_name", 1, 3).try_cast("bigint").alias("prefix_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W2c windows OVER aggregates: MoM growth + share-of-year
+# ---------------------------------------------------------------------------
+
+TREND_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY yr, mo
+)
+SELECT yr, mo, rev_cents,
+       round(100.0 * (rev_cents - lag(rev_cents) OVER w)
+             / lag(rev_cents) OVER w, 4) AS mom_pct,
+       round(CAST(rev_cents AS DOUBLE)
+             / sum(rev_cents) OVER (PARTITION BY yr), 6) AS share_of_year
+FROM monthly
+WINDOW w AS (ORDER BY yr, mo)
+"""
+
+
+@register("trend_monthly_growth", TREND_ORACLE)
+def trend_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows OVER an aggregate (the reporting staple): monthly revenue →
+    month-over-month growth (lag across the whole series) + share-of-year
+    (partitioned total). Integer cents before aggregation so the series
+    is FP-exact cross-engine.
+
+    Scale posture: the aggregate reduces the fact table to |months| rows
+    FIRST; the unpartitioned lag window then runs over dozens of rows —
+    single-partition windows are only a smell when they see raw-data
+    cardinality (cf. a6_equidepth_bins' scale note)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    w = Window.orderBy("yr", "mo")
+    wy = Window.partitionBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "rev_cents",
+        F.round(100.0 * (F.col("rev_cents") - prev) / prev, 4).alias("mom_pct"),
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(wy), 6
+        ).alias("share_of_year"),
+    )
