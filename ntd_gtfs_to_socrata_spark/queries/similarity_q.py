@@ -479,3 +479,63 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 4).alias("mean_recall"),
         F.round(F.min("recall"), 4).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level dedup verdict: cosine pairs → components → keep-one
+# ---------------------------------------------------------------------------
+
+EMB_KEEP_ONE_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings WHERE vec_id < 200
+),
+pairs_c AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs_c
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs_c
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
+SELECT vv.vec_id,
+       coalesce(cc.comp, vv.vec_id) AS component_id,
+       (coalesce(cc.comp, vv.vec_id) = vv.vec_id) AS kept
+FROM v vv LEFT JOIN cc ON vv.vec_id = cc.node
+"""
+
+
+@register("sim_embedding_dedup_keep_one", EMB_KEEP_ONE_ORACLE)
+def sim_embedding_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup closed end-to-end at the EMBEDDING level: cosine
+    near-dup pairs → connected components (operators/graph.py) → one
+    representative per semantic cluster — the same pairs→clusters→verdict
+    pipeline as [[dedup_keep_one_per_cluster]], proving the graph operator
+    is modality-agnostic. At 100 TB the pair stage routes through LSH
+    buckets / IVF cells instead of the bounded exact cross join."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = sim_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node"), F.col("component_id").alias("comp")
+    )
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id")
+    )
+    comp = F.coalesce(F.col("comp"), F.col("vec_id"))
+    return vecs.join(F.broadcast(cc), vecs.vec_id == cc.node, "left").select(
+        "vec_id",
+        comp.alias("component_id"),
+        (comp == F.col("vec_id")).alias("kept"),
+    )
