@@ -1165,3 +1165,33 @@ def trend_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_cents").cast("double") / F.sum("rev_cents").over(wy), 6
         ).alias("share_of_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface: the same engine through spark.sql
+# ---------------------------------------------------------------------------
+
+@register("sql_api_pricing_summary", Q1_ORACLE)
+def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 expressed through the SQL API (temp view + spark.sql) instead of
+    the DataFrame DSL — identical logical plan, identical oracle. Exists
+    to pin that the engine's SQL surface is first-class: a reference user
+    who writes SQL, not DataFrames, gets the same Catalyst plan (the
+    DataFrame DSL and SQL parse to the same logical operators)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_api_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM sql_api_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
