@@ -728,3 +728,154 @@ def q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 minimum-cost supplier (correlated MIN joined back)
+# ---------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_name,
+       round(c.unit_cost, 4) AS unit_cost
+FROM part
+JOIN costs c ON p_partkey = c.l_partkey
+JOIN best b  ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+JOIN supplier ON c.l_suppkey = s_suppkey
+WHERE p_size = 15
+ORDER BY unit_cost ASC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (ps_supplycost → observed min unit price from
+    lineitem): the correlated `= (SELECT min(...) WHERE correlation)`
+    subquery decorrelated into a per-key MIN aggregate joined back — the
+    same pattern as Q17's AVG but with the extra twist that the
+    aggregation feeding `best` is itself derived from a filtered join
+    (EUROPE suppliers only), and the min must be matched EXACTLY (ties
+    keep every best-cost supplier, as the SQL semantics require).
+
+    Scale posture: `costs` reduces lineitem to |part×supplier-in-region|
+    rows before any join-back; `best` reuses the l_partkey partitioning
+    from `costs` (subset-satisfies); the equality join-back on
+    (partkey, cost) is on already-reduced frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    costs = (
+        li.join(F.broadcast(euro_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.b_partkey) & (costs.unit_cost == best.best_cost),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", F.round("unit_cost", 4).alias("unit_cost")
+        )
+        .orderBy(F.col("unit_cost").asc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 nested-IN supplier selection (share-of-volume threshold)
+# ---------------------------------------------------------------------------
+
+Q20_ORACLE = """
+WITH red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+supply AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS supplied
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+part_total AS (
+  SELECT l_partkey, sum(supplied) AS total FROM supply GROUP BY l_partkey
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT s2.l_suppkey FROM supply s2
+  JOIN part_total t ON s2.l_partkey = t.l_partkey
+  WHERE s2.supplied > 0.2 * t.total
+)
+ORDER BY s_name
+"""
+
+
+@register("q20_volume_share_suppliers", Q20_ORACLE)
+def q20_volume_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp availability → supplied share of a
+    part's annual volume): the nested IN-chain — suppliers IN (those who
+    supplied > 20% of some red part's volume), parts IN (name-prefix
+    filter) — flattened into two aggregations + a semi join. The
+    `part_total` aggregate reuses `supply`'s l_partkey grouping rather
+    than re-scanning lineitem; the final IN is a LEFT SEMI against the
+    qualifying supplier keys."""
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supply = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supplied"))
+    )
+    part_total = supply.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supplied").alias("total")
+    )
+    qualifying = (
+        supply.join(part_total, supply.l_partkey == F.col("t_partkey"))
+        .filter(F.col("supplied") > 0.2 * F.col("total"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
