@@ -94,3 +94,29 @@ def full_sync(existing: DataFrame, incoming: DataFrame, key: str | list[str]) ->
     keys = [key] if isinstance(key, str) else list(key)
     merged = upsert(existing, incoming, keys)
     return merged.join(incoming.select(*keys).distinct(), on=keys, how="left_semi")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, value: str
+) -> DataFrame:
+    """Classify every key across two snapshots as insert / delete /
+    update / unchanged — the CDC extract generalizing locate_deletions +
+    upsert into ONE full-outer join (reference analog:
+    publish_to_catalog.py:486-528's separate delete-scan and upsert
+    passes). Returns (key, change) rows.
+
+    Scale posture: one co-partitioned sort-merge join; bucket both
+    snapshots on the key (io.write_bucketed) and the exchange disappears.
+    """
+    o = old.select(F.col(key).alias("__k_old"), F.col(value).alias("__v_old"))
+    n = new.select(F.col(key).alias("__k_new"), F.col(value).alias("__v_new"))
+    change = (
+        F.when(F.col("__k_old").isNull(), "insert")
+        .when(F.col("__k_new").isNull(), "delete")
+        .when(F.col("__v_old") != F.col("__v_new"), "update")
+        .otherwise("unchanged")
+    )
+    return o.join(n, o.__k_old == n.__k_new, "full_outer").select(
+        F.coalesce(F.col("__k_old"), F.col("__k_new")).alias(key),
+        change.alias("change"),
+    )

@@ -661,21 +661,14 @@ def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     old_snap = o.filter(F.col("o_orderkey") % 10 != 0).select(
-        F.col("o_orderkey").alias("k"), cents.alias("v_old")
+        F.col("o_orderkey").alias("k"), cents.alias("v")
     )
     new_snap = o.filter(F.col("o_orderkey") % 9 != 0).select(
-        F.col("o_orderkey").alias("k2"),
-        (cents + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)).alias("v_new"),
-    )
-    change = (
-        F.when(F.col("k").isNull(), "insert")
-        .when(F.col("k2").isNull(), "delete")
-        .when(F.col("v_old") != F.col("v_new"), "update")
-        .otherwise("unchanged")
+        F.col("o_orderkey").alias("k"),
+        (cents + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)).alias("v"),
     )
     return (
-        old_snap.join(new_snap, old_snap.k == new_snap.k2, "full_outer")
-        .select(change.alias("change"))
+        M.snapshot_diff(old_snap, new_snap, key="k", value="v")
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

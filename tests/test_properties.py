@@ -273,3 +273,31 @@ def test_funnel_law(spark, events):
         F.sum(F.col("t3").isNotNull().cast("long")).alias("p"),
     ).collect()[0]
     assert (got["c"] or 0, got["v"] or 0, got["p"] or 0) == (n_click, n_view, n_purchase)
+
+
+@slow
+@given(existing=ROWS, incoming=ROWS)
+def test_snapshot_diff_law(spark, existing, incoming):
+    """snapshot_diff ≡ dict-based classification (last row per key wins
+    within each snapshot is NOT assumed — snapshots here are pre-deduped
+    via dict semantics on the generated rows)."""
+    old_d = {k: v for k, v, in existing}
+    new_d = {k: v for k, v, in incoming}
+    e = spark.createDataFrame(
+        list(old_d.items()) or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    i = spark.createDataFrame(
+        list(new_d.items()) or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    got = {r["k"]: r["change"] for r in M.snapshot_diff(e, i, "k", "v").collect()}
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "insert"
+        elif k not in new_d:
+            want[k] = "delete"
+        elif old_d[k] != new_d[k]:
+            want[k] = "update"
+        else:
+            want[k] = "unchanged"
+    assert got == want
