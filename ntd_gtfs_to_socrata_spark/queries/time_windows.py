@@ -395,24 +395,14 @@ GROUP BY user_id, session_seq
 """
 
 
-@register("sessionize_lag_gap", LAG_GAP_ORACLE)
-def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization by lag-gap-cumsum: a new session starts after a
-    >30-min silence; the running sum of session-start flags numbers the
-    sessions. The classic formulation `session_window()` internalized —
-    kept as first-class surface because it generalizes (per-session
-    sequence numbers, custom gap predicates involving OTHER columns) where
-    session_window cannot.
-
-    Scale posture: both windows and the final aggregate partition by
-    user_id — ONE shuffle, one sort per partition, everything downstream
-    reuses it. Same cost envelope as tw_session_windows."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+def lag_gap_sessions(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Reusable lag-gap-cumsum sessionizer over (user_id, event_id, ts)
+    rows; see sessionize_lag_gap for semantics and scale posture."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_sess = (
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800)
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_sec)
     ).cast("long")
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -427,3 +417,19 @@ def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+@register("sessionize_lag_gap", LAG_GAP_ORACLE)
+def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by lag-gap-cumsum: a new session starts after a
+    >30-min silence; the running sum of session-start flags numbers the
+    sessions. The classic formulation `session_window()` internalized —
+    kept as first-class surface because it generalizes (per-session
+    sequence numbers, custom gap predicates involving OTHER columns) where
+    session_window cannot.
+
+    Scale posture: both windows and the final aggregate partition by
+    user_id — ONE shuffle, one sort per partition, everything downstream
+    reuses it. Same cost envelope as tw_session_windows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return lag_gap_sessions(ev, gap_sec=1800)

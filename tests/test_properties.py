@@ -301,3 +301,53 @@ def test_snapshot_diff_law(spark, existing, incoming):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+@slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=8000),   # ts seconds (gaps straddle 1800)
+        ),
+        max_size=14,
+        unique=True,
+    )
+)
+def test_lag_gap_sessionization_law(spark, events):
+    """lag_gap_sessions ≡ a per-user sorted scan splitting on >gap
+    silences (includes duplicate-timestamp determinism via event_id)."""
+    import datetime
+
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import lag_gap_sessions
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (u, i, base + datetime.timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "user_id long, event_id long, ts timestamp"
+    ).filter(F.col("user_id").isNotNull())
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_sec"])
+        for r in lag_gap_sessions(df, gap_sec=1800).collect()
+    }
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(events):
+        per_user.setdefault(u, []).append((s, i))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        seq, start, prev, n = 0, None, None, 0
+        for s, _ in evs:
+            if prev is None or s - prev > 1800:
+                if start is not None:
+                    want[(u, seq)] = (n, prev - start)
+                seq += 1
+                start, n = s, 0
+            n += 1
+            prev = s
+        want[(u, seq)] = (n, prev - start)
+    assert got == want
