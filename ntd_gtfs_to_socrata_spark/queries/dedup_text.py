@@ -361,13 +361,30 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_pairs")  # rows-only: candidate set is impl-defined
+LSH_PAIRS_ORACLE = f"""
+WITH sigs AS ({MINHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sigs
+  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
+  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
+  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+            AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh_pairs", LSH_PAIRS_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the minhash signatures: 4 bands × 2 rows; docs
     sharing any band bucket become candidate pairs (the O(docs) scale path
     for near-dup at 100 TB — no all-pairs join). Candidates are then
     verified with exact Jaccard in `dedup_ngram_jaccard`'s formulation.
-    Rows-only check: banding FP/FN sets are parameter-dependent."""
+    The banding math is deterministic integer arithmetic, so the full
+    candidate SET is value-hash checked against a SQL replay of the
+    signature + band join."""
     sigs = dedup_minhash(spark, sf_dir)
     bands = sigs.select(
         "doc_id",

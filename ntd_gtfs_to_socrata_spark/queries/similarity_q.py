@@ -146,14 +146,42 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("sim_ann_bucketed_topk")  # rows-only: recall set is parameter-defined
+ANN_TOPK_ORACLE = """
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qid, b.vec_id AS cid, b.label,
+         round(list_inner_product(qe, b.e), 6) AS cosine
+  FROM q JOIN b ON q.qb = b.bucket AND q.qid <> b.vec_id
+),
+ranked AS (
+  SELECT qid, cid, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, label, cosine, rnk FROM ranked WHERE rnk <= 5
+""".format(
+    bucket=" + ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
+        )
+        for p in range(N_PLANES)
+    )
+)
+
+
+@register("sim_ann_bucketed_topk", ANN_TOPK_ORACLE)
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: candidates = corpus vectors sharing the query's LSH bucket,
     re-ranked by exact cosine, top-5. The two-stage shape (cheap hash join
     for candidates → exact scoring on the small candidate set) is the
-    100 TB pattern; recall depends on plane count so this is a rows-only
-    contract query — recall itself is asserted against brute force in
-    tests/test_similarity.py."""
+    100 TB pattern. The hyperplanes are deterministic integer weights, so
+    the whole candidate-and-rerank result is value-hash checked; recall
+    vs brute force is separately asserted in tests/test_similarity.py."""
     buckets = sim_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -252,14 +280,64 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # rows-only: recall set depends on (N_CELLS, N_PROBE)
+IVF_TOPK_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_inner_product(v.embedding::DOUBLE[], c.ce)
+                                           / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn), 6) DESC,
+                                     c.centroid_id ASC) AS rnk
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, centroid_id FROM assign_scored WHERE rnk = 1),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+q_probe AS (
+  SELECT qid, qe, qn, centroid_id FROM (
+    SELECT q.qid, q.qe, q.qn, c.centroid_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round(list_inner_product(q.qe, c.ce) / (q.qn * c.cn), 6) DESC,
+                                       c.centroid_id ASC) AS rnk
+    FROM q CROSS JOIN cent c) t
+  WHERE rnk <= {N_PROBE}
+),
+corpus AS (
+  SELECT e.vec_id AS cid, e.label, e.embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS cn,
+         a.centroid_id
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+),
+scored AS (
+  SELECT p.qid, c.cid, c.label,
+         round(list_inner_product(p.qe, c.ce) / (p.qn * c.cn), 6) AS cosine
+  FROM q_probe p JOIN corpus c ON p.centroid_id = c.centroid_id AND p.qid <> c.cid
+),
+ranked AS (
+  SELECT qid, cid, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, label, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("sim_ivf_topk", IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe: each query searches only its N_PROBE nearest cells —
     candidates come from an equi-join on centroid_id (partition-pruned read
     when the corpus is stored partitioned by cell), then exact cosine
-    re-rank, top-5. Recall vs brute force is asserted in
-    tests/test_similarity.py; the candidate set itself is
-    parameter-defined, hence rows-only."""
+    re-rank, top-5. The deterministic coarse quantizer (first N_CELLS
+    vectors) makes the whole probe-and-rerank result value-hash checkable;
+    recall vs brute force is separately asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = sim_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
     corpus = emb.join(assigned, "vec_id").select(
