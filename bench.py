@@ -51,9 +51,14 @@ HEADLINE = [
     "w3_topk_per_group",
     "a6_rollup",
     "json_props_extract",
-    # event-time windows
+    # event-time windows + event analytics
     "tw_tumbling_counts",
     "tw_session_windows",
+    "sessionize_lag_gap",
+    "funnel_stages",
+    "cohort_retention",
+    "j8_snapshot_diff",
+    "trend_monthly_growth",
     # dedup / text / similarity / UDF surface
     "dedup_exact",
     "dedup_ngram_jaccard",
