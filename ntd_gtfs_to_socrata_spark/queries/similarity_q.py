@@ -617,3 +617,123 @@ def sim_embedding_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.alias("component_id"),
         (comp == F.col("vec_id")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+N_SUB = 4        # subspaces (DIM=64 → 4 x 16-dim subvectors)
+SUB_DIM = DIM // N_SUB
+N_CODES = 16     # codewords per subspace (PQ code = 4 x 4 bits here)
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 via inner products only — ``|a|² - 2a·b + |b|²`` — so the
+    DuckDB oracle (which has list_inner_product but no elementwise list
+    subtraction) computes the bit-identical double-precision value."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def _pq_oracle() -> str:
+    sub = f"(SELECT unnest(range({N_SUB})) AS s)"
+    l2 = (
+        "round(list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+        " + list_inner_product({b}, {b}), 6)"
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS code, sub.s AS s,
+         list_slice(embedding::DOUBLE[], sub.s * {SUB_DIM} + 1, sub.s * {SUB_DIM} + {SUB_DIM}) AS cvec
+  FROM embeddings, {sub} sub WHERE vec_id < {N_CODES}
+),
+corpus_sub AS (
+  SELECT vec_id AS cid, label, sub.s AS s,
+         list_slice(embedding::DOUBLE[], sub.s * {SUB_DIM} + 1, sub.s * {SUB_DIM} + {SUB_DIM}) AS svec
+  FROM embeddings, {sub} sub
+),
+code_scored AS (
+  SELECT cid, label, c.s, c.code,
+         row_number() OVER (PARTITION BY cid, c.s
+                            ORDER BY {l2.format(a='svec', b='cvec')} ASC, c.code ASC) AS rn
+  FROM corpus_sub j JOIN cb c ON j.s = c.s
+),
+codes AS (SELECT cid, label, s, code FROM code_scored WHERE rn = 1),
+q_sub AS (
+  SELECT vec_id AS qid, sub.s AS s,
+         list_slice(embedding::DOUBLE[], sub.s * {SUB_DIM} + 1, sub.s * {SUB_DIM} + {SUB_DIM}) AS qvec
+  FROM embeddings, {sub} sub WHERE vec_id % 50 = 0
+),
+adc AS (
+  SELECT qid, c.s, c.code, {l2.format(a='qvec', b='cvec')} AS qd
+  FROM q_sub q JOIN cb c ON q.s = c.s
+),
+scored AS (
+  SELECT qid, cid, label, round(sum(qd), 6) AS approx_d2
+  FROM codes k JOIN adc a ON k.s = a.s AND k.code = a.code
+  WHERE qid <> cid
+  GROUP BY qid, cid, label
+),
+ranked AS (
+  SELECT qid, cid, label, approx_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY approx_d2 ASC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, label, approx_d2, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+PQ_TOPK_ORACLE = _pq_oracle()
+
+
+def _pq_subvectors(df: DataFrame, id_alias: str, vec_alias: str, *extra: str) -> DataFrame:
+    """Explode an embedding into its N_SUB subvectors: (id, s, subvec)."""
+    subs = F.array(*[F.slice("embedding", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        *extra,
+        F.posexplode(subs).alias("s", vec_alias),
+    )
+
+
+@register("sim_pq_topk", PQ_TOPK_ORACLE)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the corpus is compressed to N_SUB codes of
+    log2(N_CODES) bits each (64 dims x 4 bytes → 4 x 4 bits, a 128x memory
+    cut); queries score candidates through an ADC lookup table (per-subspace
+    squared-L2 to every codeword) instead of touching raw vectors.
+
+    Deterministic codebook (subvectors of the first N_CODES corpus vectors —
+    a real deployment k-means-trains each subspace exactly like
+    [[sim_kmeans_train]]) keeps encode + probe value-hash checkable.
+
+    Scale posture: the codebook (N_SUB·N_CODES subvectors) and the ADC table
+    (queries x N_SUB x N_CODES floats) BROADCAST; corpus encoding is a
+    map-side broadcast join + per-(vector, subspace) argmin that runs ONCE
+    at ingest and persists as a 2-byte-per-vector code table; the probe
+    scan reads only (cid, codes) — at 100 TB the raw float corpus is never
+    re-scanned at query time, which is the entire point of PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_subvectors(emb.filter(F.col("vec_id") < N_CODES), "code", "cvec")
+    corpus = _pq_subvectors(ensure_min_parallelism(emb), "cid", "svec", "label")
+    d2 = F.round(_sq_l2(F.col("svec"), F.col("cvec")), 6)
+    wc = Window.partitionBy("cid", "s").orderBy(F.col("d2").asc(), F.col("code").asc())
+    codes = (
+        corpus.join(F.broadcast(cb), "s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("cid", "label", "s", "code")
+    )
+    q = _pq_subvectors(emb.filter(F.col("vec_id") % 50 == 0), "qid", "qvec")
+    adc = q.join(F.broadcast(cb), "s").select(
+        "qid", "s", "code", F.round(_sq_l2(F.col("qvec"), F.col("cvec")), 6).alias("qd")
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid", "label")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_d2"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 5)

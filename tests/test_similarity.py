@@ -103,3 +103,26 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         assert np.allclose(got[k]["centroid"], C[k], atol=1e-4), k
         assert got[k]["n_members"] == np_counts[k], k
     assert sum(r["n_members"] for r in got.values()) == len(X)
+
+
+def test_pq_topk_structure_and_overlap(spark, sf_dir):
+    """PQ probe returns exactly 5 ranked candidates per query; the ADC
+    approximation keeps non-trivial overlap with the exact top-10 (random
+    fixture embeddings + untrained 16-codeword codebook → modest recall is
+    the expected operating point; recall is bought with k-means-trained
+    codebooks and more codewords, not a different plan)."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import sim_pq_topk
+
+    pq = sim_pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        assert sorted(x["rnk"] for x in rs) == list(range(1, len(rs) + 1))
+        ds = [x["approx_d2"] for x in sorted(rs, key=lambda x: x["rnk"])]
+        assert ds == sorted(ds) and all(d >= -1e-6 for d in ds)
+        assert all(x["cid"] != qid for x in rs)
+    brute10 = {(r["qid"], r["cid"]) for r in sim_bruteforce(spark, sf_dir).collect()}
+    pq_pairs = {(r["qid"], r["cid"]) for r in pq}
+    overlap = len(pq_pairs & brute10) / max(len(pq_pairs), 1)
+    assert overlap >= 0.05, f"PQ overlap with exact top-10 {overlap:.2f} too low"
