@@ -953,3 +953,70 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection (CCNet-style corpus-frequency cut)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+boiler AS (
+  SELECT g FROM ng, n_docs GROUP BY g, n
+  HAVING count(DISTINCT doc_id) * 20 >= n
+)
+SELECT doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS boiler_share
+FROM ng LEFT JOIN boiler b USING (g)
+GROUP BY doc_id
+"""
+
+
+@register("text_boilerplate_ngrams", BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by corpus frequency (the CCNet/RefinedWeb
+    line-dedup rule, expressed over word bigrams because the synthetic docs
+    have no line structure — the plan is IDENTICAL for lines: explode unit →
+    document-frequency count → join the frequent set back → per-doc share).
+    A bigram present in ≥5% of all documents is 'boilerplate'; each doc
+    reports its boilerplate occurrence share, the signal used to strip
+    headers/footers/navigation before training.
+
+    Scale posture: one shuffle builds the DF table; the frequent set is
+    orders of magnitude smaller than the corpus (it's capped by 20x the
+    corpus-wide distinct-unit count at the threshold) and BROADCASTS back
+    against the exploded units — the corpus itself shuffles once on doc_id
+    for the final per-doc aggregate. The n_docs scalar rides along as a
+    broadcast 1-row cross join, never a collect."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    ng = docs.select(
+        "doc_id", F.explode(TX.word_ngrams(TX.tokens(F.col("text")), 2)).alias("g")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    boiler = (
+        ng.join(F.broadcast(n_docs))
+        .groupBy("g", "n")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") * 20 >= F.col("n"))
+        .select("g")
+    )
+    hit = F.col("b_g").isNotNull().cast("int")
+    return (
+        ng.join(F.broadcast(boiler.select(F.col("g").alias("b_g"))), ng.g == F.col("b_g"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit).cast("long").alias("n_boiler"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias("boiler_share"),
+        )
+    )
