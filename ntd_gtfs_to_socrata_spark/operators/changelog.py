@@ -68,3 +68,31 @@ def fold_errors(
     return log.agg(
         F.array_join(F.array_sort(F.collect_list(line)), sep).alias("error_blob")
     )
+
+
+def scd2_history(
+    log: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: every change event becomes a
+    versioned validity interval — ``valid_from`` = its own timestamp,
+    ``valid_to`` = the next change's timestamp for the same key (NULL while
+    current). The warehouse-history generalization of A2: last_write_wins
+    is exactly ``scd2_history(...).filter(is_current)``.
+
+    One shuffle on the key (the same window spec computes lead + version),
+    deterministic under ties via the tiebreak column — the 100 TB posture
+    matches every other W1-family window here."""
+    order = [F.col(order_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(order_col)).over(w)
+    return (
+        log.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -672,3 +672,39 @@ def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A2b SCD Type-2 history (the versioned generalization of last-write-wins)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+SELECT user_id, event_type, event_id, round(value, 2) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+"""
+
+
+@register("a2b_scd2_history", SCD2_ORACLE)
+def a2b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b: the full SCD Type-2 version history behind A2's dict-overwrite
+    semantics (publish_to_catalog.py:93-124 keeps only the winner; a
+    warehouse keeps every version with its validity interval).
+    `a2_changelog_last_write_wins` ≡ this filtered to is_current — the
+    operator (operators/changelog.py scd2_history) exposes both."""
+    events = load_table(spark, sf_dir, "events")
+    hist = CL.scd2_history(events, ["user_id", "event_type"], "ts", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("long").alias("version"),
+        "is_current",
+    )

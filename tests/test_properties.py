@@ -351,3 +351,31 @@ def test_lag_gap_sessionization_law(spark, events):
             prev = s
         want[(u, seq)] = (n, prev - start)
     assert got == want
+
+
+@slow
+@given(rows=ROWS)
+def test_scd2_current_equals_last_write_wins(spark, rows):
+    """Law: scd2_history(...).filter(is_current) ≡ last_write_wins(...),
+    and validity intervals chain per key (valid_to[v] = valid_from[v+1])."""
+    from ntd_gtfs_to_socrata_spark.operators import changelog as CL
+
+    df = _df(spark, rows)
+    hist = CL.scd2_history(df, ["k"], "seq").collect()
+    current = {
+        (r["k"], r["v"], r["seq"]) for r in hist if r["is_current"]
+    }
+    lww = {
+        (r["k"], r["v"], r["seq"])
+        for r in CL.last_write_wins(df, ["k"], "seq").collect()
+    }
+    assert current == lww
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert rs[-1]["valid_to"] is None
