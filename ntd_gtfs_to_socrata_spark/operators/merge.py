@@ -120,3 +120,46 @@ def snapshot_diff(
         F.coalesce(F.col("__k_old"), F.col("__k_new")).alias(key),
         change.alias("change"),
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    value: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The value-carrying CDC delta stream behind [[snapshot_diff]]:
+    ``(key, change, v_old, v_new, *carry)`` — v_old/v_new are NULL outside
+    their side, carry columns are coalesced across sides. This is the input
+    an incremental materialized-view maintainer consumes: each row carries
+    exactly enough to retract the old contribution and apply the new one.
+
+    Same plan as snapshot_diff: ONE co-partitioned full-outer sort-merge
+    join on the key (exchange-free when both snapshots are bucketed)."""
+    o = old.select(
+        F.col(key).alias("__k_old"),
+        F.col(value).alias("v_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in carry],
+    )
+    n = new.select(
+        F.col(key).alias("__k_new"),
+        F.col(value).alias("v_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in carry],
+    )
+    change = (
+        F.when(F.col("__k_old").isNull(), "insert")
+        .when(F.col("__k_new").isNull(), "delete")
+        .when(F.col("v_old") != F.col("v_new"), "update")
+        .otherwise("unchanged")
+    )
+    return o.join(n, o.__k_old == n.__k_new, "full_outer").select(
+        F.coalesce(F.col("__k_old"), F.col("__k_new")).alias(key),
+        change.alias("change"),
+        "v_old",
+        "v_new",
+        *[
+            F.coalesce(F.col(f"__o_{c}"), F.col(f"__n_{c}")).alias(c)
+            for c in carry
+        ],
+    )

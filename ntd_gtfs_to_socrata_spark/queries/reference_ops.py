@@ -708,3 +708,73 @@ def a2b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("long").alias("version"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# J8b incremental aggregate maintenance (materialized view + CDC delta)
+# ---------------------------------------------------------------------------
+
+INCR_AGG_ORACLE = """
+WITH new_snap AS (
+  SELECT o_orderkey AS k, o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS v
+  FROM orders WHERE o_orderkey % 9 <> 0
+)
+SELECT g, CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_rows
+FROM new_snap GROUP BY g
+"""
+
+
+@register("j8b_incremental_agg", INCR_AGG_ORACLE)
+def j8b_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8b: incremental materialized-view maintenance — the aggregate over
+    the NEW snapshot is produced WITHOUT rescanning it as a whole: stored
+    MV(old) ⊕ group-delta(CDC stream), where the delta retracts v_old and
+    applies v_new per change row (insert/delete/update). The oracle computes
+    the same aggregate by full recompute over the new snapshot, so the hash
+    match IS the maintenance-correctness proof.
+
+    Scale posture: at 100 TB the old snapshot is never rescanned — only the
+    delta (typically ≪1% of rows) shuffles on the group key, and the stored
+    MV (|groups| rows) joins it full-outer. This is the Delta/iceberg
+    MERGE-to-rollup pattern the reference's serial re-publish loop
+    (publish_to_catalog.py:486-528) cannot express."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    old_snap = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("g"), cents.alias("v")
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 9 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        (cents + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)).alias("v"),
+    )
+    # the stored MV (in production: read back, not recomputed)
+    mv_old = old_snap.groupBy("g").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    delta = M.snapshot_delta(old_snap, new_snap, key="k", value="v", carry=("g",))
+    d = delta.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("change") == "insert", F.col("v_new"))
+            .when(F.col("change") == "delete", -F.col("v_old"))
+            .when(F.col("change") == "update", F.col("v_new") - F.col("v_old"))
+            .otherwise(F.lit(0))
+        ).alias("ds"),
+        F.sum(
+            F.when(F.col("change") == "insert", 1)
+            .when(F.col("change") == "delete", -1)
+            .otherwise(0)
+        ).alias("dc"),
+    )
+    maintained = (
+        mv_old.join(d, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("sum_v"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return maintained

@@ -379,3 +379,62 @@ def test_scd2_current_equals_last_write_wins(spark, rows):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]
         assert rs[-1]["valid_to"] is None
+
+
+NUMROWS = st.lists(st.tuples(KEYS, st.integers(min_value=-5, max_value=5)), max_size=8)
+
+
+@slow
+@given(existing=NUMROWS, incoming=NUMROWS)
+def test_incremental_agg_maintenance_law(spark, existing, incoming):
+    """Law: MV(old) ⊕ group-delta(snapshot_delta(old, new)) == MV(new) for
+    any pair of snapshots (last write per key wins inside each snapshot)."""
+    def snap(rows):
+        # one row per key (snapshots are keyed states): last value wins
+        d = {}
+        for k, v in rows:
+            d[k] = v
+        return d
+
+    o, n = snap(existing), snap(incoming)
+    old = spark.createDataFrame(
+        [(k, v, k % 2) for k, v in o.items()] or [(None, None, None)],
+        "k int, v int, g int",
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v, k % 2) for k, v in n.items()] or [(None, None, None)],
+        "k int, v int, g int",
+    ).filter(F.col("k").isNotNull())
+
+    mv_old = old.groupBy("g").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    delta = M.snapshot_delta(old, new, key="k", value="v", carry=("g",))
+    d = delta.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("change") == "insert", F.col("v_new"))
+            .when(F.col("change") == "delete", -F.col("v_old"))
+            .when(F.col("change") == "update", F.col("v_new") - F.col("v_old"))
+            .otherwise(F.lit(0))
+        ).alias("ds"),
+        F.sum(
+            F.when(F.col("change") == "insert", 1)
+            .when(F.col("change") == "delete", -1)
+            .otherwise(0)
+        ).alias("dc"),
+    )
+    maintained = {
+        r["g"]: (r["sum_v"], r["n_rows"])
+        for r in mv_old.join(d, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("sum_v"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .collect()
+    }
+    want = {}
+    for k, v in n.items():
+        g = k % 2
+        s, c = want.get(g, (0, 0))
+        want[g] = (s + v, c + 1)
+    assert maintained == want
