@@ -1195,3 +1195,63 @@ def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ: order-insensitive partition checksums (cross-system sync verification)
+# ---------------------------------------------------------------------------
+
+from ntd_gtfs_to_socrata_spark.operators import textops as _TX
+
+_CK_MOD = 1_000_000_007
+
+DQ_CHECKSUM_ORACLE = f"""
+WITH sig AS (
+  SELECT o_orderkey % 32 AS bucket,
+         ((((o_orderkey % {_CK_MOD}) * 1000003 + (o_custkey % {_CK_MOD})) % {_CK_MOD}
+            * 1000003 + CAST(floor(o_totalprice * 100) AS BIGINT)) % {_CK_MOD}
+            * 31 + {_TX.poly_hash_sql("o_orderstatus || '|' || o_orderpriority", 16)}
+         ) % {_CK_MOD} AS row_sig
+  FROM orders
+)
+SELECT bucket, count(*) AS n_rows,
+       bit_xor(row_sig) AS xor_sig,
+       CAST(sum(row_sig) AS BIGINT) % {_CK_MOD} AS sum_sig
+FROM sig GROUP BY bucket
+"""
+
+
+@register("dq_partition_checksums", DQ_CHECKSUM_ORACLE)
+def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-bucket checksums over a keyed table: row →
+    engine-portable signature (chained modular polynomial over the numeric
+    fields + char_poly_hash of the string fields), bucket → (count,
+    XOR-fold, modular sum). Two tables on two systems (the reference's
+    Socrata copy vs the lake copy, publish_to_catalog.py's implicit sync
+    assumption) match iff every bucket row matches — comparing 32 rows
+    instead of re-shipping the table. THIS query hash-matching DuckDB is
+    itself the cross-engine demo.
+
+    Scale posture: map-only signature + one partial-aggregated shuffle of
+    |buckets| rows; both fold functions (XOR, modular sum) are commutative
+    monoids, so partition order and AQE coalescing cannot change the
+    result. A production deployment widens to xxhash64 signatures — same
+    plan, engine-specific hash."""
+    o = load_table(spark, sf_dir, "orders")
+    mod = F.lit(_CK_MOD)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    poly = _TX.char_poly_hash(
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")), 16
+    )
+    h1 = (F.col("o_orderkey") % mod) * 1000003 + (F.col("o_custkey") % mod)
+    h2 = (h1 % mod) * 1000003 + cents
+    row_sig = ((h2 % mod) * 31 + poly) % mod
+    return (
+        o.select((F.col("o_orderkey") % 32).alias("bucket"), row_sig.alias("row_sig"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("row_sig").alias("xor_sig"),
+            (F.sum("row_sig") % mod).alias("sum_sig"),
+        )
+    )
