@@ -547,3 +547,66 @@ def tp_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture resampling (multilingual / rare-source boost)
+# ---------------------------------------------------------------------------
+
+TEMPERATURE_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per_source),
+p AS (
+  SELECT source, n_tokens, n_tokens / CAST(total_tokens AS DOUBLE) AS share,
+         (n_tokens / CAST(total_tokens AS DOUBLE))
+           * (n_tokens / CAST(total_tokens AS DOUBLE)) AS pt,
+         total_tokens
+  FROM per_source, tot
+),
+z AS (SELECT sum(pt) AS z FROM p)
+SELECT source, n_tokens,
+       round(share, 4) AS actual_share,
+       round(pt / z, 4) AS temp_share,
+       round((pt / z) / share, 4) AS resample_weight,
+       CAST(floor(pt / z * total_tokens) AS BIGINT) AS expected_tokens
+FROM p, z
+"""
+
+
+@register("tp_temperature_resample", TEMPERATURE_ORACLE)
+def tp_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixture (the XLM-R / mT5 sampling rule):
+    q_i ∝ p_i^(1/τ) with τ = 0.5 — rare sources are up-weighted, dominant
+    sources damped, less aggressively than [[tp_mixture_weights]]'s uniform
+    target. The exponent 1/τ = 2 is written as an exact square on both
+    engines so no libm ``pow`` ULP difference can leak through the 4dp
+    rounding. `resample_weight` feeds the same deterministic keep-rate
+    machinery as [[tp_weighted_sample]].
+
+    Scale posture: one map-side-combinable token-count aggregation over the
+    corpus; the two scalars (total, normalizer Z) ride as broadcast 1-row
+    cross joins — the corpus is scanned once and never re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    p = per_source.join(F.broadcast(tot)).select(
+        "source", "n_tokens", "total_tokens",
+        share.alias("share"), (share * share).alias("pt"),
+    )
+    z = p.agg(F.sum("pt").alias("z"))
+    q = F.col("pt") / F.col("z")
+    return p.join(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 4).alias("actual_share"),
+        F.round(q, 4).alias("temp_share"),
+        F.round(q / F.col("share"), 4).alias("resample_weight"),
+        F.floor(q * F.col("total_tokens")).cast("long").alias("expected_tokens"),
+    )
