@@ -1255,3 +1255,83 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("row_sig") % mod).alias("sum_sig"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (deterministic hash family → full oracle)
+# ---------------------------------------------------------------------------
+
+_CMS_PRIMES = (1000003, 999983, 777767, 65539)  # one row of the sketch each
+_CMS_W = 256
+
+CMS_ORACLE = f"""
+WITH ks AS (SELECT l_partkey AS k FROM lineitem),
+hf(d, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in enumerate(_CMS_PRIMES))}),
+h AS (SELECT k, d, ((k % {_CK_MOD}) * p) % {_CK_MOD} % {_CMS_W} AS bucket FROM ks, hf),
+counters AS (SELECT d, bucket, count(*) AS n FROM h GROUP BY d, bucket),
+topk AS (
+  SELECT k, count(*) AS exact_n FROM ks GROUP BY k
+  ORDER BY exact_n DESC, k ASC LIMIT 20
+),
+probes AS (
+  SELECT k, exact_n, d, ((k % {_CK_MOD}) * p) % {_CK_MOD} % {_CMS_W} AS bucket
+  FROM topk, hf
+),
+est AS (
+  SELECT k, exact_n, min(n) AS est_n
+  FROM probes JOIN counters USING (d, bucket) GROUP BY k, exact_n
+)
+SELECT k AS partkey, exact_n, est_n, est_n >= exact_n AS never_under FROM est
+"""
+
+
+@register("a6_count_min_heavy_hitters", CMS_ORACLE)
+def a6_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: d={d} hash rows x w={w} buckets of COUNTS replace a
+    full per-key frequency table; any key's frequency is read back as
+    min over rows of its bucket counter — never an underestimate, biased
+    high by collisions (the CMS guarantee, asserted per-key in the
+    `never_under` column and in tests). The hash family is a deterministic
+    modular-multiply, so unlike `a6_approx_distinct` (HLL, impl-specific)
+    the ENTIRE sketch is replayed by the DuckDB oracle and value-hash
+    checked.
+
+    Scale posture: the sketch build is explode(d) → partial-aggregated
+    shuffle of at most d·w counter rows — constant-size state however large
+    the stream (the same reason CMS works in a streaming `foreachBatch`
+    accumulator); probes join the d·w counter table BROADCAST. The exact
+    top-20 here exists only to ground-truth the estimates; production reads
+    candidates from the sketch alone."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    mod = F.lit(_CK_MOD)
+    buckets = F.array(
+        *[(((F.col("k") % mod) * p) % mod) % _CMS_W for p in _CMS_PRIMES]
+    )
+    counters = (
+        li.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("k").asc())
+        .limit(20)
+    )
+    probes = topk.select("k", "exact_n", F.posexplode(buckets).alias("d", "bucket"))
+    est = (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.select(
+        F.col("k").alias("partkey"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+    )
+
+
+a6_count_min_heavy_hitters.__doc__ = a6_count_min_heavy_hitters.__doc__.format(
+    d=len(_CMS_PRIMES), w=_CMS_W
+)

@@ -59,3 +59,22 @@ def test_approx_distinct_within_relative_error(spark, sf_dir):
         ao, ap = approx[flag]
         assert abs(ao - eo) <= 0.1 * eo
         assert abs(ap - ep) <= 0.1 * ep
+
+
+def test_count_min_never_underestimates_and_bounded_overshoot(spark, sf_dir):
+    """CMS guarantee: estimates never undercount; min-over-d keeps the
+    collision bias within a few stream-fractions of the bucket width."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.relational import (
+        _CMS_W,
+        a6_count_min_heavy_hitters,
+    )
+
+    rows = a6_count_min_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["never_under"] for r in rows)
+    n_stream = load_table(spark, sf_dir, "lineitem").count()
+    bound = 4 * n_stream / _CMS_W
+    for r in rows:
+        overshoot = r["est_n"] - r["exact_n"]
+        assert 0 <= overshoot <= bound, (r["partkey"], overshoot, bound)
