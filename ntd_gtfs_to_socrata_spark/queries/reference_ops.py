@@ -209,8 +209,8 @@ flagged AS (
   FROM stops
 )
 SELECT l_returnflag, count(*) AS total_rows,
-       sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS valid_rows,
-       sum(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS invalid_rows
+       CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+       CAST(sum(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
 FROM flagged GROUP BY l_returnflag
 """
 

@@ -171,7 +171,7 @@ WITH dim AS (
          CAST(length(o_orderpriority) AS BIGINT) AS weight
   FROM orders
 )
-SELECT o.o_orderstatus, count(*) AS n, sum(d.weight) AS total_weight
+SELECT o.o_orderstatus, count(*) AS n, CAST(sum(d.weight) AS BIGINT) AS total_weight
 FROM orders o JOIN dim d ON o.o_orderpriority = d.priority
 GROUP BY o.o_orderstatus
 """

@@ -48,7 +48,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'validation'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY split
 """
 
@@ -147,7 +147,7 @@ def tp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_PROFILE_ORACLE = """
 SELECT count(*) AS n_docs,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
        min(n_chars) AS min_chars,
@@ -197,7 +197,7 @@ c AS (
   FROM t
 )
 SELECT lang, CAST(floor(off / 512.0) AS BIGINT) AS seq_bin,
-       count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM c GROUP BY lang, seq_bin
 """
 
@@ -270,30 +270,38 @@ def tp_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     split. This is the standard pre-training hygiene check (n-gram overlap
     between corpus and benchmarks) run INSIDE the engine.
 
-    Scale posture: one shuffle on the shingle key joins the (tiny) eval
-    shingle set against the distinct train shingles; at 100 TB shingles
-    are xxhash64'd to 8-byte keys (collision-safe counts, no long strings
-    through the shuffle) and the distinct-train side is map-side
-    pre-aggregated per partition before the exchange. Raw strings are kept
-    here so the DuckDB oracle checks equality exactly."""
+    Scale posture: the eval set is tiny BY CONSTRUCTION (benchmarks, 2%
+    of keyspace here), so its distinct shingle set broadcasts and the
+    98%-of-corpus train side is probed MAP-SIDE (broadcast semi join
+    inside the explode stage): the train shingles are never shuffled,
+    never made distinct, never sorted. Only the surviving contaminated
+    shingles (⊆ eval set) hit an exchange. The r1 formulation
+    (distinct train shingles → sort-merge left join) shuffled the whole
+    train shingle universe and was 6x slower at sf0.1; at 100 TB it
+    would shuffle ~the corpus itself. At extreme eval sizes the
+    broadcast side is xxhash64'd to 8-byte keys first; raw strings are
+    kept here so the DuckDB oracle checks equality exactly."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     tagged = docs.select(
         "doc_id",
         TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"),
         (_bucket() >= 98).alias("is_eval"),
     )
-    shingled = tagged.select(
-        "doc_id", "is_eval", F.explode("sh").alias("shingle")
+    eval_sh = tagged.filter(F.col("is_eval")).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
-    train_sh = shingled.filter(~F.col("is_eval")).select("shingle").distinct()
-    eval_sh = shingled.filter(F.col("is_eval")).select("doc_id", "shingle")
-    hit = F.col("t_shingle").isNotNull()
+    # distinct shingles that occur in BOTH train and eval: stream the train
+    # explode against the broadcast eval shingle set, dedupe the survivors
+    contaminated = (
+        tagged.filter(~F.col("is_eval"))
+        .select(F.explode("sh").alias("shingle"))
+        .join(F.broadcast(eval_sh.select("shingle").distinct()), "shingle", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    hit = F.col("hit").isNotNull()
     return (
-        eval_sh.join(
-            train_sh.select(F.col("shingle").alias("t_shingle")),
-            eval_sh.shingle == F.col("t_shingle"),
-            "left",
-        )
+        eval_sh.join(F.broadcast(contaminated), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -316,7 +324,7 @@ WITH per_source AS (
   FROM documents GROUP BY source
 ),
 tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
-SELECT source, n_docs, n_tokens,
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(n_tokens / CAST(total_tokens AS DOUBLE), 4) AS actual_share,
        round((1.0 / n_sources) / (n_tokens / CAST(total_tokens AS DOUBLE)), 4)
          AS sample_weight
@@ -391,7 +399,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'validation'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM kept GROUP BY split
 """
 
@@ -568,7 +576,7 @@ p AS (
   FROM per_source, tot
 ),
 z AS (SELECT sum(pt) AS z FROM p)
-SELECT source, n_tokens,
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(share, 4) AS actual_share,
        round(pt / z, 4) AS temp_share,
        round((pt / z) / share, 4) AS resample_weight,

@@ -66,6 +66,16 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     if len(spark_df) != len(duck_df):
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
     s, d = normalize(spark_df), normalize(duck_df)
+    # The driver's value-hash is representation-sensitive: an int64 5 and a
+    # float64 5.0 hash differently (bit us in r1: DuckDB sum(int)->HUGEINT
+    # -> pandas float64). Flag numeric-kind dtype divergence as a failure.
+    for col in s.columns:
+        sk = s[col].dtype.kind
+        dk = d[col].dtype.kind
+        if {sk, dk} <= {"i", "u", "f"} and (sk in "iu") != (dk in "iu"):
+            issues.append(f"DTYPE MISMATCH col={col} spark={s[col].dtype} duck={d[col].dtype}")
+    if issues:
+        return "; ".join(issues)
     n_exact_bad = n_approx_bad = 0
     first_bad = None
     for col in s.columns:
