@@ -589,10 +589,30 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = counted.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # top-k heaps, driver merge of k rows) — the rank window then runs
+    # over the 100 survivors only, never the full vocabulary.
+    top = counted.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    # Rank the <=100 survivors without any WindowExec: pack them into one
+    # array (global agg over k rows), comparator-sort, posexplode. The
+    # only single-partition stage ever sees k rows, not the vocabulary.
+    def by_freq_desc(l, r):  # noqa: ANN001 - Column comparator
+        return (
+            F.when(l["n"] > r["n"], -1)
+            .when(l["n"] < r["n"], 1)
+            .when(l["token"] < r["token"], -1)
+            .when(l["token"] > r["token"], 1)
+            .otherwise(0)
+        )
+
+    packed = top.agg(
+        F.array_sort(F.collect_list(F.struct("n", "token")), by_freq_desc).alias("arr")
     )
-    return ranked.filter(F.col("rnk") <= 100)
+    return packed.select(F.posexplode("arr")).select(
+        F.col("col.token").alias("token"),
+        F.col("col.n").alias("n"),
+        (F.col("pos") + 1).alias("rnk"),
+    )
 
 
 TFIDF_ORACLE = """
