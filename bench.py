@@ -6,9 +6,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Each query is fully executed via the no-op sink (computes every row without
 driver-side collection — the honest cost of the plan, not of toPandas).
-Per-query time is the best of 2 timed passes: the container shares the host
+Per-query time is the median of 3 timed passes: the container shares the host
 with other tenants and single-pass totals were observed to swing 2x between
-identical runs; min-of-2 keeps round-over-round comparisons about the code.
+identical runs; the median rejects a single outlier pass in either direction
+(min-of-2 could report a lucky pass, masking a real regression).
+
+A query that throws is skipped-and-reported (``errors`` key), never fatal:
+one broken query must not zero out a whole round's perf evidence.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -90,6 +95,7 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Warm codegen/JIT per plan at the smallest SF (plans are identical, so
     # the generated-code cache is hot); timings below then measure data-size
     # cost at the target SF, not one-time Janino compilation.
@@ -97,30 +103,39 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in names:
-        REGISTRY[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            REGISTRY[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — skip-and-report, never fatal
+            errors[name] = f"warm: {type(e).__name__}: {e}"[:500]
 
     total = 0.0
     for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = REGISTRY[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        total += best
+        if name in errors:
+            continue
+        passes: list[float] = []
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                df = REGISTRY[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                passes.append(time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"measure: {type(e).__name__}: {e}"[:500]
+            continue
+        med = statistics.median(passes)
+        timings[name] = round(med, 3)
+        total += med
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,14 +37,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long and floor-convert to
-    microsecond TimestampType (matching DuckDB's micro truncation)."""
+    """Normalize ``events.ts`` to session-TZ ``TimestampType`` regardless of
+    the fixture's physical parquet type.
+
+    Fixture generations have varied: TIMESTAMP(NANOS) (which Spark's
+    vectorized reader only surfaces via ``nanosAsLong`` as a BIGINT) and
+    plain ``timestamp[us]`` (surfaced as TIMESTAMP_NTZ). Branch on the
+    *scanned* dtype instead of hard-coding one era's physical type — the
+    loader contract is the logical schema, not the file encoding. Session
+    timezone is pinned to UTC (session.py), so NTZ→TimestampType is a
+    value-preserving cast and matches DuckDB's naive-timestamp reading."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # nanos-as-long era: floor-convert to micros (DuckDB truncates too).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -33,6 +33,27 @@ def quarantine_counts(df: DataFrame, group_key: str, valid_col: str = "is_valid"
     )
 
 
+def bus_numbers(df: DataFrame, feed_col: str, route_col: str, count_alias: str = "n") -> DataFrame:
+    """A1b (publish_to_catalog.py:356-365): the reference attaches a per-feed
+    ``busLineDict`` — a dict of line-category → count — to each changelog
+    entry. Distributed twin: per-(feed, route) counts rolled into one
+    ``MAP<route, count>`` row per feed.
+
+    Two-level hash aggregate, both with map-side partial combine; the map is
+    built from an ``array_sort``-ed entry list so the same data always
+    yields the same map iteration order (dict insertion order is
+    deterministic in the serial reference; a distributed engine must impose
+    an order explicitly). Map cardinality is bounded by distinct routes per
+    feed — a per-key metadata dict, not a data-sized blob — so the row
+    stays small at 100 TB."""
+    per_route = df.groupBy(feed_col, route_col).agg(F.count(F.lit(1)).alias(count_alias))
+    return per_route.groupBy(feed_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col(route_col), F.col(count_alias))))
+        ).alias("bus_numbers")
+    )
+
+
 def last_write_wins(
     log: DataFrame,
     keys: list[str],

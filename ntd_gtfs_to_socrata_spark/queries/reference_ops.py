@@ -621,6 +621,39 @@ def a4_error_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1b bus_numbers map: per-feed dict of per-route counts
+# ---------------------------------------------------------------------------
+
+A1B_ORACLE = """
+WITH per_route AS (
+  SELECT user_id, event_type AS route, count(*) AS n_stops
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, route, n_stops,
+       count(*) OVER (PARTITION BY user_id) AS n_routes
+FROM per_route
+"""
+
+
+@register("a1b_bus_numbers_map", A1B_ORACLE)
+def a1b_bus_numbers_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1b (``busLineDict``, publish_to_catalog.py:356-365): the per-feed
+    category→count dict the reference stuffs into each changelog entry,
+    as a first-class ``MAP<STRING,BIGINT>`` aggregation. The map is built
+    distributed (bus_numbers operator), then exploded back to rows for the
+    value-hash gate — `size()` of the map rides along so the map itself,
+    not just its entries, is oracle-checked."""
+    events = load_table(spark, sf_dir, "events")
+    feeds = events.select("user_id", F.col("event_type").alias("route"))
+    m = CL.bus_numbers(feeds, "user_id", "route")
+    return m.select(
+        "user_id",
+        F.size("bus_numbers").cast("long").alias("n_routes"),
+        F.explode("bus_numbers").alias("route", "n_stops"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J8 snapshot diff (CDC extract): old vs new full snapshots → change set
 # ---------------------------------------------------------------------------
 

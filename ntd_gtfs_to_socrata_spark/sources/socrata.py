@@ -9,13 +9,17 @@ behind an injectable transport:
 - ``read_resource``: SoQL resource scan; the ``where`` argument is
   serialized into ``$where`` — predicate pushdown to the server, the
   manual analog of a DataSource-V2 ``SupportsPushDownFilters``;
-- paging via ``$limit``/``$offset`` so an arbitrarily large resource never
-  materializes as one response (the 100 TB posture; a full custom
-  DataSource V2 reader would map one partition per page range).
+- **executor-side paging**: one tiny ``$select=count(1)`` probe on the
+  driver sizes the scan, then a page-range DataFrame is mapped through
+  ``mapInPandas`` so every ``$limit``/``$offset`` page is fetched and
+  parsed *inside a task*. No page body ever lands on the driver — the
+  100 TB posture SURVEY §2.1 S1 specifies (one partition per page range,
+  exactly what a custom DataSource V2 ``planInputPartitions`` would do).
 
 Transport is ``(url) -> (status, body_text)`` so tests inject fakes and
 production injects a requests session (gated import — requests may be
-absent in this environment).
+absent in this environment). The transport is serialized to executors via
+cloudpickle, so it must be picklable (plain functions and closures are).
 """
 
 from __future__ import annotations
@@ -85,21 +89,54 @@ class SocrataSource:
         fourfour: str,
         where: str | None = None,
         schema: T.StructType = AGENCY_FEED_SCHEMA,
+        order: str | None = ":id",
     ) -> DataFrame:
         """S2 (publish_to_catalog.py:524-528): SoQL scan with server-side
-        predicate pushdown and limit/offset paging."""
-        pages: list[dict] = []
-        offset = 0
-        while True:
-            url = f"{self.base_url}/resource/{fourfour}.json?$limit={self.page_size}&$offset={offset}"
-            if where:
-                url += f"&$where={quote(where)}"
-            status, body = self.transport(url)
-            if status != 200:
-                raise RuntimeError(f"resource scan failed: HTTP {status}")
-            batch = json.loads(body)
-            pages.extend(batch)
-            if len(batch) < self.page_size:
-                break
-            offset += self.page_size
-        return spark.createDataFrame(pages, schema=schema)
+        predicate pushdown and limit/offset paging — pages fetched in tasks.
+
+        Protocol: (1) driver issues one ``$select=count(1)`` probe (a
+        one-row response) to size the scan; (2) ``spark.range(n_pages)``
+        with one partition per page becomes the input-partition plan;
+        (3) ``mapInPandas`` fetches+parses each page inside its task, so
+        row data flows executor→downstream without ever accumulating in a
+        driver-side list. ``order`` (default Socrata's ``:id`` row id)
+        makes offset paging deterministic across tasks — without a total
+        order, concurrent offset windows may overlap/miss rows.
+        """
+        base = f"{self.base_url}/resource/{fourfour}.json"
+        probe = f"{base}?$select={quote('count(1) AS n')}"
+        if where:
+            probe += f"&$where={quote(where)}"
+        status, body = self.transport(probe)
+        if status != 200:
+            raise RuntimeError(f"resource scan failed: HTTP {status}")
+        total = int(json.loads(body)[0]["n"])
+        page_size = self.page_size
+        n_pages = -(-total // page_size) if total else 0
+        if n_pages == 0:
+            return spark.createDataFrame([], schema=schema)
+
+        transport = self.transport
+        cols = [f.name for f in schema.fields]
+
+        def fetch_pages(batches):
+            import pandas as pd  # noqa: PLC0415 — executor-side import
+
+            for pdf in batches:
+                for page in pdf["id"].tolist():
+                    url = f"{base}?$limit={page_size}&$offset={page * page_size}"
+                    if order:
+                        url += f"&$order={quote(order)}"
+                    if where:
+                        url += f"&$where={quote(where)}"
+                    st, bd = transport(url)
+                    if st != 200:
+                        raise RuntimeError(f"resource scan failed: HTTP {st}")
+                    batch = json.loads(bd)
+                    out = pd.DataFrame.from_records(batch, columns=cols)
+                    # absent keys -> NaN; normalize to None so Arrow maps
+                    # them to SQL NULL for string/boolean fields alike
+                    yield out.astype(object).where(pd.notna(out), None)
+
+        pages = spark.range(0, n_pages, numPartitions=n_pages)
+        return pages.mapInPandas(fetch_pages, schema=schema)

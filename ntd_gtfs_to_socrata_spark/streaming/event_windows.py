@@ -21,30 +21,32 @@ from pyspark.sql import types as T
 
 from ntd_gtfs_to_socrata_spark.operators import merge as M
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long,
-# see io._load_events for the batch twin)
-EVENTS_PHYSICAL_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``io._load_events``: normalize ``ts`` to
+    session-TZ TimestampType whatever the fixture's physical encoding.
+
+    File-stream sources require a user-supplied schema, so probe the
+    *actual* physical schema with a one-off batch read (metadata-only, no
+    data scan) instead of hard-coding one fixture era's encoding — the
+    hard-coded LongType schema silently mis-decoded ``timestamp[us]``
+    fixtures into garbage epoch values (r5 fix, same root cause as the
+    batch loader outage)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
     # file-stream sources need a directory; select just events.parquet
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(physical)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = physical["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
