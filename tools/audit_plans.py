@@ -8,6 +8,7 @@ want at 100 TB". Usage: python tools/audit_plans.py [sf_dir]
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -43,6 +44,57 @@ BNLJ_OK = {
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
 }
+
+# global (un-partitioned) window whitelist: each is a documented exact
+# variant whose input is tiny or whose scale-safe twin ships alongside
+GLOBAL_WINDOW_OK = {
+    # exact equi-depth ntile over full orders — single-partition by
+    # construction; a6_width_bucket_bins is the approx_percentile twin
+    # that holds at scale. Keep the exact variant out of at-scale paths.
+    "a6_equidepth_bins",
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[...], [...], [...]`` into its top-level bracket groups."""
+    groups: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def global_window_lines(physical: str) -> list[str]:
+    """Return every ``Window`` node line with NO partition spec — the
+    single-partition WindowExec that serializes the whole input through
+    one task at scale.
+
+    Rendering (verified against Spark 4): ``Window [funcs], [partition],
+    [order]`` when both specs present; partition-only drops the order
+    group, order-only drops the partition group (both render 2 groups —
+    disambiguated because an order group carries ASC/DESC markers);
+    neither renders 1 group."""
+    hits: list[str] = []
+    for line in physical.splitlines():
+        m = re.match(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?Window\s+(\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # funcs + partition + order
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # funcs + partition (unordered frame) — partitioned
+        hits.append(line.strip())
+    return hits
+
 
 # deliberately-expensive composition queries: each embeds whole pipelines
 # whose exchange counts are already audited individually
@@ -91,10 +143,13 @@ def main() -> None:
         # one-shuffle rewrite of the same result.
         if n_exchange >= 6 and name not in EXCHANGES_OK:
             issues.append(f"EXCHANGES={n_exchange}")
+        if name not in GLOBAL_WINDOW_OK and global_window_lines(physical):
+            issues.append("GLOBAL_WINDOW")
         tag = " !! " + ",".join(issues) if issues else ""
         print(f"{name}: exch={n_exchange} bc={n_bc}{tag}")
         flags += bool(issues)
     print(f"\n{flags} queries flagged")
+    sys.exit(1 if flags else 0)
 
 
 if __name__ == "__main__":
