@@ -77,15 +77,18 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
 
     The fixture files are single-row-group parquet, so Spark's byte-range
     splitting cannot parallelize the scan: every downstream map (shingle
-    explode, vector scoring) would run in ONE task. At 100 TB a lake file
-    has thousands of row groups and this is a no-op — the check is against
-    the actual scan partitioning, not a blanket repartition. Costs one
-    narrow-payload shuffle only when it buys a parallel map stage; callers
-    apply it before expensive per-row work, never before a plain
-    filter/agg (whose first exchange already spreads the load)."""
+    explode, vector scoring) would run in ONE task. At 100 TB a lake
+    directory has thousands of files and this is a no-op — the probe is
+    ``df.inputFiles()`` (metadata from the analyzed plan's file index; no
+    RDD conversion, no job). Costs one narrow-payload shuffle only when it
+    buys a parallel map stage; callers apply it before expensive per-row
+    work, never before a plain filter/agg (whose first exchange already
+    spreads the load). Non-file-backed frames (inputFiles() == []) get the
+    rebalance too — they are tiny test frames where the extra exchange is
+    noise."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 8):
+    if len(df.inputFiles()) < min(target, 8):
         return df.repartition(target)
     return df
 

@@ -45,8 +45,15 @@ def bus_numbers(df: DataFrame, feed_col: str, route_col: str, count_alias: str =
     deterministic in the serial reference; a distributed engine must impose
     an order explicitly). Map cardinality is bounded by distinct routes per
     feed — a per-key metadata dict, not a data-sized blob — so the row
-    stays small at 100 TB."""
-    per_route = df.groupBy(feed_col, route_col).agg(F.count(F.lit(1)).alias(count_alias))
+    stays small at 100 TB.
+
+    Keys are cast to string and NULL routes coalesce to ``'unknown'``:
+    ``map_from_entries`` throws at runtime on a null key, whereas the
+    reference's dict (and a SQL GROUP BY) would carry a NULL-keyed group —
+    the sentinel keeps the operator total on generic inputs. Oracles must
+    apply the same coalesce."""
+    safe_route = F.coalesce(F.col(route_col).cast("string"), F.lit("unknown")).alias(route_col)
+    per_route = df.groupBy(F.col(feed_col), safe_route).agg(F.count(F.lit(1)).alias(count_alias))
     return per_route.groupBy(feed_col).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col(route_col), F.col(count_alias))))

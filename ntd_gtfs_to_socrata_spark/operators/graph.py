@@ -42,6 +42,14 @@ def connected_components(
     where component_id is the minimum node id in the component.
 
     ``edges`` is treated as undirected; self-loops and duplicates are fine.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` — partial labels are silently WRONG component ids
+    (a long-chain graph whose diameter exceeds the budget would split one
+    component into many), so exhaustion must never return. Near-dup graphs
+    converge in a handful of rounds; a raise here means the input is not a
+    dedup-shaped graph — raise the budget or switch to a diameter-halving
+    scheme (large-star/small-star, Kiveris et al.).
     """
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -56,6 +64,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             bidir.join(labels, bidir.v == labels.node)
@@ -74,6 +83,14 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the propagation budget); "
+            "partial labels would be wrong — raise max_iterations or use a "
+            "diameter-halving variant"
+        )
     return labels.select("node", F.col("label").alias("component_id"))

@@ -951,19 +951,22 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: two aggregations (vocab counts; per-doc score) + one
     join on the token key — all map-side combinable. The corpus total is
-    a 1-row broadcast. At 100 TB the vocab table is pruned to top-K + an
-    OOV floor so the join build side stays bounded, and tokens travel as
-    xxhash64 keys; strings kept here so the oracle is exact."""
+    a 1-row scalar aggregate (partial+final: each task contributes one
+    partial sum, the final merge sees 1 row per partition — never the
+    vocab itself) broadcast back as a cross join, the same shape
+    tp_mixture_weights uses. An unpartitioned window over the vocab would
+    instead funnel every distinct token (hundreds of millions at 100 TB)
+    through ONE WindowExec task. At 100 TB the vocab table is additionally
+    pruned to top-K + an OOV floor so the join build side stays bounded,
+    and tokens travel as xxhash64 keys; strings kept here so the oracle is
+    exact."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w_all = Window.partitionBy()
-    # total token count via a window over the aggregated vocab (tiny) —
-    # avoids duplicating the vocab subtree with an agg+join (SCALE.md
-    # "subtree recompute")
-    probs = vocab.select(
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
         F.col("tok").alias("v_tok"),
-        F.log(F.col("c") / F.sum("c").over(w_all).cast("double")).alias("lp"),
+        F.log(F.col("c") / F.col("n_total")).alias("lp"),
     )
     return (
         toks.join(probs, toks.tok == probs.v_tok)

@@ -626,8 +626,8 @@ def a4_error_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A1B_ORACLE = """
 WITH per_route AS (
-  SELECT user_id, event_type AS route, count(*) AS n_stops
-  FROM events GROUP BY user_id, event_type
+  SELECT user_id, coalesce(event_type, 'unknown') AS route, count(*) AS n_stops
+  FROM events GROUP BY user_id, coalesce(event_type, 'unknown')
 )
 SELECT user_id, route, n_stops,
        count(*) OVER (PARTITION BY user_id) AS n_routes

@@ -102,6 +102,16 @@ class SocrataSource:
         driver-side list. ``order`` (default Socrata's ``:id`` row id)
         makes offset paging deterministic across tasks — without a total
         order, concurrent offset windows may overlap/miss rows.
+
+        STATIC-SNAPSHOT ASSUMPTION: the page plan is sized once by the
+        count probe; if the server-side resource grows or shrinks between
+        the probe and the task-side fetches, offset windows shift under
+        us. Each task therefore verifies its page's row count against the
+        probe total (every page must be full except the last, which must
+        hold exactly the remainder) and raises on mismatch rather than
+        silently missing/duplicating rows. Re-run the scan on failure —
+        the reference has the same read-then-act race, just undetected
+        (publish_to_catalog.py:524-530).
         """
         base = f"{self.base_url}/resource/{fourfour}.json"
         probe = f"{base}?$select={quote('count(1) AS n')}"
@@ -133,6 +143,17 @@ class SocrataSource:
                     if st != 200:
                         raise RuntimeError(f"resource scan failed: HTTP {st}")
                     batch = json.loads(bd)
+                    expected = (
+                        page_size
+                        if page < n_pages - 1
+                        else total - (n_pages - 1) * page_size
+                    )
+                    if len(batch) != expected:
+                        raise RuntimeError(
+                            f"resource changed during scan: page {page} returned "
+                            f"{len(batch)} rows, expected {expected} (probe total "
+                            f"{total}); re-run the scan"
+                        )
                     out = pd.DataFrame.from_records(batch, columns=cols)
                     # absent keys -> NaN; normalize to None so Arrow maps
                     # them to SQL NULL for string/boolean fields alike

@@ -11,6 +11,26 @@ from ntd_gtfs_to_socrata_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_addoption(parser: pytest.Parser) -> None:
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (full-registry / long-running gates)",
+    )
+
+
+def pytest_collection_modifyitems(
+    config: pytest.Config, items: list[pytest.Item]
+) -> None:
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow gate; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("pytest", cpus=8, shuffle_partitions=8)

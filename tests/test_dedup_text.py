@@ -92,3 +92,25 @@ def test_connected_components_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_connected_components_converges_or_raises(spark):
+    """A graph whose diameter exceeds the iteration budget must RAISE, not
+    return silently-partial (wrong) component ids; within budget, a path
+    graph converges to one component. (r4/r5 verdict carry-over.)"""
+    import pytest
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    long_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_path, max_iterations=3)
+
+    short_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    got = connected_components(short_path, max_iterations=15).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == 9

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "a6_width_bucket_bins",  # 1-row quantile-bounds array, broadcast cross join
     "tp_mixture_weights",  # 1-row corpus-totals scalar, broadcast cross join
     "tp_weighted_sample",  # same 1-row totals scalar feeding the rate table
+    "text_unigram_logprob",  # 1-row corpus-token-total scalar, broadcast cross join
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
 }
