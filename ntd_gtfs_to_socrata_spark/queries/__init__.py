@@ -47,6 +47,7 @@ def load_all_query_modules() -> None:
         reference_ops,
         relational,
         similarity_q,
+        sources_sinks_q,
         streaming_q,
         subqueries,
         time_windows,

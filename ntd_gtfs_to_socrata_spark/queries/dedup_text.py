@@ -963,7 +963,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    # corpus total == sum of per-doc token counts: computed from size()
+    # over the raw scan — no explode, no vocab-subtree recompute, one
+    # partial+final scalar agg (NULL text contributes 0, matching the
+    # explode branch where it yields no rows)
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(TX.tokens(F.col("text")))
+            )
+        )
+        .cast("double")
+        .alias("n_total")
+    )
     probs = vocab.crossJoin(F.broadcast(total)).select(
         F.col("tok").alias("v_tok"),
         F.log(F.col("c") / F.col("n_total")).alias("lp"),

@@ -5,7 +5,7 @@ The driver samples ~50 of the registry per round; the r3/r4 events outage
 broke 18 queries of which only 4 were driver-visible. This test makes "all
 queries green" one command:
 
-    python -m pytest tests/test_full_registry.py -m slow
+    python -m pytest tests/test_full_registry.py --runslow
     # or, equivalently, the underlying CLI:
     python tools/check_oracle.py /root/testdata/sf0.01
 """

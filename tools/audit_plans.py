@@ -25,6 +25,7 @@ PYTHON_OK = {
     "mm_binary_metadata",
     "stream_stateful_user_totals",
     "udtf_split_sentences",  # UDTF API coverage; declarative twin is posexplode(split())
+    "s5_zip_member_extract",  # zip-member extraction is the documented mapInPandas surface
 }
 # broadcast-nested-loop join is the intended shape for the scored cross
 # products (small broadcast side vs corpus)
@@ -42,6 +43,8 @@ BNLJ_OK = {
     "tp_mixture_weights",  # 1-row corpus-totals scalar, broadcast cross join
     "tp_weighted_sample",  # same 1-row totals scalar feeding the rate table
     "text_unigram_logprob",  # 1-row corpus-token-total scalar, broadcast cross join
+    "text_boilerplate_ngrams",  # 1-row doc-count scalar, broadcast cross join
+    "tp_temperature_resample",  # 1-row corpus-totals scalar feeding the rate table
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
 }
@@ -53,6 +56,14 @@ GLOBAL_WINDOW_OK = {
     # construction; a6_width_bucket_bins is the approx_percentile twin
     # that holds at scale. Keep the exact variant out of at-scale paths.
     "a6_equidepth_bins",
+    # global window over the MONTHLY aggregate series — cardinality is
+    # months-in-corpus (bounded small), not data-sized
+    "trend_monthly_growth",
+    # global row_number AFTER limit(20) — a 20-row frame by construction
+    "tp_shuffle_order",
+    # per-source rate table (one row per corpus source, a handful) — the
+    # window input is the metadata frame, not the corpus
+    "tp_weighted_sample",
 }
 
 
@@ -106,6 +117,19 @@ EXCHANGES_OK = {
     # offline quality monitor joining the FULL exact and approximate
     # top-k pipelines — exchange count is the sum of its parts
     "sim_ivf_recall",
+    # unigram-LM score = vocab agg + token⋈vocab join + per-doc agg; the
+    # docs subtree recomputes per branch (static explain shows each copy's
+    # repartition; AQE reuses the identical exchanges at runtime)
+    "text_unigram_logprob",
+    # DF-count agg + frequent-set broadcast join + per-doc agg over two
+    # recomputed ngram branches — judged sound in r5 (plan audit)
+    "text_boilerplate_ngrams",
+    # train/eval split + shingle inverted index + overlap join: three
+    # pipelines composed; ONE logical shuffle each — judged sound in r5
+    "tp_contamination_check",
+    # per-source temperature rates (tiny agg branches) + map-side sampled
+    # union; exchanges are the per-branch aggs, all narrow metadata
+    "tp_temperature_resample",
 }
 
 
