@@ -90,7 +90,104 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (graph diameter exceeds the propagation budget); "
-            "partial labels would be wrong — raise max_iterations or use a "
-            "diameter-halving variant"
+            "partial labels would be wrong — raise max_iterations or use "
+            "connected_components_star (diameter-halving)"
         )
     return labels.select("node", F.col("label").alias("component_id"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node u links its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood min(Γ⁺(u)). Preserves connectivity;
+    strictly reduces edge "height". One shuffle join + one agg."""
+    bidir = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn")).alias("new_v")
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient each edge high→low; every high node links all its
+    smaller neighbors (and itself) to their minimum. Completes the
+    star-collapse the large-star set up. One shuffle join + one agg."""
+    hi_lo = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = hi_lo.groupBy("u").agg(F.min("v").alias("mn"))
+    linked = hi_lo.join(mins, "u")
+    to_min = linked.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    self_link = mins.select("u", F.col("mn").alias("v"))
+    return to_min.unionByName(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-diameter-safe twin of ``connected_components``.
+
+    Min-label propagation needs diameter-many rounds (a 1M-node chain ⇒
+    1M shuffles); star rounds HALVE the effective diameter each time, so
+    convergence is O(log n) rounds on ANY graph shape. Per round: two
+    (groupBy + join) pairs over an edge set that only shrinks (edges
+    collapse toward component minima), every shuffle keyed on the node id
+    with 16-byte payloads, lineage truncated per round exactly like the
+    propagation loop. Use this when the input is not a dedup-shaped clump
+    graph — or as the fallback after ``connected_components`` raises.
+
+    Returns (node, component_id), component_id = min node id, identical
+    contract to ``connected_components``.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every node that appears anywhere, including isolated self-loop nodes
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint when the (count, sum(u), sum(v)) signature stops moving:
+        # star rounds only rewire edges downward, so an unchanged signature
+        # means an unchanged edge set — one cheap scalar agg per round
+        sig = e.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        sig = tuple(sig)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds — unexpected for any graph "
+            "(O(log n) bound); check for adversarial inputs"
+        )
+    # after collapse every edge points node→component-min; nodes absent
+    # from the final edge set are their own component (singletons)
+    labels = e.groupBy("u").agg(F.min("v").alias("component_id"))
+    return all_nodes.join(labels, all_nodes.node == labels.u, "left").select(
+        "node",
+        F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
+    )

@@ -149,6 +149,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posting list per shingle) → map-side pair generation → per-pair common
     count → exact Jaccard ≥ 0.2.
 
+    Shingles are already distinct per doc BEFORE the explode
+    (``word_shingles`` = array_distinct over the ngram array, map-side):
+    a later ``distinct`` on (doc_id, shingle) would add a full extra
+    shuffle for rows that cannot exist. Set-Jaccard semantics therefore
+    hold exactly, and posting lists carry each (doc, shingle) once.
+
     Scale posture: the shingle join is the exact version of LSH banding —
     at 100 TB you'd first drop ultra-common shingles (document-frequency
     cap, see `dedup_ngram_jaccard_dfcap`) to bound the join fan-out, then
@@ -207,6 +213,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "component_id")
+
+
+@register("dedup_cc_star", CC_ORACLE)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diameter-halving twin of ``dedup_connected_components``:
+    alternating large-star/small-star rounds (Kiveris et al.) instead of
+    min-label propagation. Same fixpoint, same oracle, O(log n) rounds on
+    ANY graph shape — the variant to reach for when the edge graph is not
+    a dedup-shaped clump (propagation raises past its round budget on
+    long chains; this converges). Both are value-hash checked against the
+    same recursive-CTE oracle, proving algorithm-independence of the
+    result."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components_star
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component_id")
 
 

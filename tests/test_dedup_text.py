@@ -114,3 +114,39 @@ def test_connected_components_converges_or_raises(spark):
     got = connected_components(short_path, max_iterations=15).collect()
     assert {r["component_id"] for r in got} == {0}
     assert len(got) == 9
+
+
+def test_star_cc_matches_union_find(spark):
+    """Large-star/small-star ≡ union-find on the mixed synthetic graph
+    (chain + triangle + dupes + self-loop + pair)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components_star
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (11, 12), (12, 10),
+        (20, 21), (21, 20), (20, 21),
+        (30, 30),
+        (40, 41),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component_id"] for r in connected_components_star(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30,
+        40: 40, 41: 40,
+    }
+
+
+def test_star_cc_converges_on_long_path(spark):
+    """The diameter-halving variant handles the 1000-node path that makes
+    plain propagation raise: O(log n) rounds, one component labeled 0."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components_star
+
+    long_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "src long, dst long"
+    )
+    got = connected_components_star(long_path, max_iterations=20).collect()
+    assert len(got) == 1001
+    assert {r["component_id"] for r in got} == {0}
