@@ -1013,6 +1013,79 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_TOPK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+topk AS (
+  SELECT tok, c FROM vocab ORDER BY c DESC, tok ASC LIMIT 20
+),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         ln(coalesce(k.c, 1) / CAST(tot.n AS DOUBLE)) AS lp,
+         CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN topk k ON t.tok = k.tok, tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(avg(lp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob_topk", UNIGRAM_TOPK_ORACLE)
+def text_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``text_unigram_logprob``: prune the LM vocab to
+    the top-K tokens (deterministic tie-break: count desc, token asc) and
+    give out-of-vocabulary tokens a pseudo-count-1 floor — the a6_width_
+    bucket_bins pattern of registering the bounded-scale sibling beside
+    the exact one.
+
+    Why this is the at-scale plan: the full vocab is corpus-cardinality
+    (hundreds of millions of join-build rows at 100 TB) while top-K is a
+    CONSTANT-size broadcast, so the score join becomes map-side; the
+    top-K itself is ``orderBy().limit()`` = TakeOrderedAndProject (per-
+    partition partial top-K, single merge of K·partitions rows) — never a
+    global window. K=20 here (the synthetic vocab is ~31 tokens) so the
+    OOV floor path is genuinely exercised and oracle-checked."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    topk = vocab.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(20)
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(TX.tokens(F.col("text")))
+            )
+        )
+        .cast("double")
+        .alias("n_total")
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(topk.select(F.col("tok").alias("v_tok"), "c")),
+            F.col("tok") == F.col("v_tok"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("n_total")).alias("lp"),
+            F.col("v_tok").isNull().cast("int").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate detection (CCNet-style corpus-frequency cut)
 # ---------------------------------------------------------------------------

@@ -48,11 +48,12 @@ from dataclasses import dataclass
 from typing import Any
 from urllib.parse import quote
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Row, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -63,12 +64,22 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 from ntd_gtfs_to_socrata_spark.sources.socrata import (
     AGENCY_FEED_SCHEMA,
     default_transport,
 )
+
+
+def default_post_transport(url: str, body: bytes, headers: dict) -> tuple[int, str]:
+    try:
+        import requests  # noqa: PLC0415 — optional dependency
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("no transport available and requests missing") from e
+    resp = requests.post(url, data=body, headers=headers, timeout=600)
+    return resp.status_code, resp.text
 
 
 def _soql_literal(value: Any) -> str | None:
@@ -244,9 +255,76 @@ class SocrataScanReader(DataSourceReader):
             yield tuple(r.get(n) for n in names)
 
 
+@dataclass
+class _UpsertCommit(WriterCommitMessage):
+    n_rows: int
+    n_batches: int
+
+
+class SocrataUpsertWriter(DataSourceWriter):
+    """S7 as a native writer: ``df.write.format("socrata").mode("append")``
+    runs the reference's batched row-upsert POST (publish_to_catalog.py:
+    345-352, including the ascii→utf-8 encode-retry) once per partition on
+    the executors; the driver sees only per-task commit messages.
+
+    ``mode("append")`` IS upsert — Socrata merges by row identifier, so
+    append is idempotent-by-key (the J4 semantics live server-side).
+    ``mode("overwrite")`` is rejected: snapshot-replace needs the deletion
+    anti-join against existing keys (J5, ``operators/merge.full_sync``) —
+    a plan, not a blind write.
+
+    Hermetic test mode: the ``log_path`` option redirects every POST to an
+    append-only local log (url + row count per batch), the same
+    observe-from-the-task pattern as the reader's fake server."""
+
+    def __init__(self, options: dict[str, str], schema: T.StructType) -> None:
+        self.base_url = options.get("base_url", "").rstrip("/")
+        self.fourfour = options.get("fourfour", "")
+        self.batch_size = int(options.get("batch_size", "10000"))
+        self.log_path = options.get("log_path")
+        if not self.log_path and not self.base_url:
+            raise ValueError("socrata writer needs base_url (or log_path for tests)")
+
+    def _transport(self, url: str, body: bytes, headers: dict) -> tuple[int, str]:
+        if self.log_path:
+            entry = {"url": url, "n": len(json.loads(body.decode("utf-8")))}
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            return 200, "{}"
+        return default_post_transport(url, body, headers)
+
+    def write(self, iterator: Iterator[Row]) -> _UpsertCommit:
+        from ntd_gtfs_to_socrata_spark.sinks import _post_rows
+
+        url = f"{self.base_url}/resource/{self.fourfour}.json"
+        results = list(
+            _post_rows(iterator, url, self._transport, self.batch_size, "application/json")
+        )
+        failed = [(s, n) for s, n in results if not 200 <= s < 300]
+        if failed:
+            raise RuntimeError(f"upsert POST failed for batches: {failed}")
+        return _UpsertCommit(
+            n_rows=sum(n for _, n in results), n_batches=len(results)
+        )
+
+    def commit(self, messages: list[_UpsertCommit]) -> None:
+        # row upserts are applied per-POST and idempotent by key; there is
+        # no finalize step. Record the run total in test mode.
+        if self.log_path:
+            total = sum(m.n_rows for m in messages if m)
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps({"commit": total}) + "\n")
+
+    def abort(self, messages: list[_UpsertCommit]) -> None:
+        # nothing to roll back: Socrata upserts have no transaction; a
+        # retried job re-POSTs the same keyed rows (idempotent)
+        pass
+
+
 class SocrataDataSource(DataSource):
-    """``spark.read.format("socrata")`` — options: base_url, fourfour,
-    page_size, order, fake_rows (tests)."""
+    """``spark.read.format("socrata")`` / ``df.write.format("socrata")`` —
+    options: base_url, fourfour, page_size, order, batch_size,
+    fake_rows / log_path (tests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -257,6 +335,15 @@ class SocrataDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> SocrataScanReader:
         return SocrataScanReader(dict(self.options), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> SocrataUpsertWriter:
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') would need the deletion anti-join against "
+                "existing keys — use operators.merge.full_sync (J5) and "
+                "write the result with mode('append')"
+            )
+        return SocrataUpsertWriter(dict(self.options), schema)
 
 
 def register_socrata_datasource(spark: SparkSession) -> None:

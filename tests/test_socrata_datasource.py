@@ -120,3 +120,46 @@ def test_soql_compilation():
 def test_reader_requires_target():
     with pytest.raises(ValueError, match="base_url"):
         SocrataScanReader({}, schema=None)
+
+
+def test_writer_batched_upsert(spark, tmp_path):
+    """S7 as a native writer: per-partition batched POSTs happen in tasks,
+    every input row lands in exactly one batch, and the commit message
+    totals match the input cardinality."""
+    register_socrata_datasource(spark)
+    log = tmp_path / "posts.log"
+    df = (
+        spark.range(10)
+        .select(
+            F.concat_ws("_", F.lit("f1"), F.col("id")).alias("feed_id_stop_id"),
+            F.lit("café").alias("stop_name"),  # non-ascii -> utf-8 retry path
+        )
+        .repartition(2)
+    )
+    (
+        df.write.format("socrata")
+        .option("log_path", str(log))
+        .option("fourfour", "x87r-3ckx")
+        .option("batch_size", "3")
+        .mode("append")
+        .save()
+    )
+    entries = [json.loads(line) for line in log.read_text().splitlines()]
+    posts = [e for e in entries if "url" in e]
+    commits = [e for e in entries if "commit" in e]
+    assert sum(e["n"] for e in posts) == 10
+    # 2 partitions x ceil(5/3) batches = 4 POSTs
+    assert len(posts) == 4
+    assert commits == [{"commit": 10}]
+
+
+def test_writer_rejects_overwrite(spark, tmp_path):
+    register_socrata_datasource(spark)
+    df = spark.range(3).select(F.col("id").cast("string").alias("feed_id_stop_id"))
+    with pytest.raises(Exception, match="full_sync"):
+        (
+            df.write.format("socrata")
+            .option("log_path", str(tmp_path / "x.log"))
+            .mode("overwrite")
+            .save()
+        )

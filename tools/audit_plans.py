@@ -43,6 +43,7 @@ BNLJ_OK = {
     "tp_mixture_weights",  # 1-row corpus-totals scalar, broadcast cross join
     "tp_weighted_sample",  # same 1-row totals scalar feeding the rate table
     "text_unigram_logprob",  # 1-row corpus-token-total scalar, broadcast cross join
+    "text_unigram_logprob_topk",  # same 1-row total + constant top-K broadcast vocab
     "text_boilerplate_ngrams",  # 1-row doc-count scalar, broadcast cross join
     "tp_temperature_resample",  # 1-row corpus-totals scalar feeding the rate table
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
