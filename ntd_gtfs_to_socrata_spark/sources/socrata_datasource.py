@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -321,10 +322,70 @@ class SocrataUpsertWriter(DataSourceWriter):
         pass
 
 
+class SocrataStreamReader(SimpleDataSourceStreamReader):
+    """Incremental microbatch reads of a Socrata resource: the offset is a
+    row cursor over the ``:id``-ordered resource, so each batch fetches
+    only rows the last committed offset hasn't covered — the streaming
+    twin of the reference's rerun-the-whole-resource batch scan
+    (publish_to_catalog.py:524-530), with Structured Streaming's
+    checkpointed exactly-once offset tracking replacing "hope the cron
+    didn't overlap".
+
+    At most ``page_size`` rows per microbatch (source-side rate limit);
+    ``readBetweenOffsets`` replays any [start, end) range deterministically
+    for failure recovery — both map directly onto SoQL
+    ``$order=:id&$offset&$limit`` windows. Appends-only by assumption
+    (Socrata row ids are monotone); updates to old rows belong to the
+    batch full-sync path, not the tail-follow."""
+
+    def __init__(self, options: dict[str, str], schema: T.StructType) -> None:
+        self.base_url = options.get("base_url", "").rstrip("/")
+        self.fourfour = options.get("fourfour", "")
+        self.page_size = int(options.get("page_size", "50000"))
+        self.schema = schema
+        fake = options.get("fake_rows")
+        self.fake_rows: list[dict[str, Any]] | None = (
+            json.loads(fake) if fake is not None else None
+        )
+        if self.fake_rows is None and not self.base_url:
+            raise ValueError("socrata stream needs base_url (or fake_rows for tests)")
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch(self, start: int, limit: int) -> list[dict[str, Any]]:
+        if self.fake_rows is not None:
+            return self.fake_rows[start : start + limit]
+        base = f"{self.base_url}/resource/{self.fourfour}.json"
+        url = f"{base}?$order={quote(':id')}&$offset={start}&$limit={limit}"
+        status, body = default_transport(url)
+        if status != 200:
+            raise RuntimeError(f"socrata stream fetch failed: HTTP {status}")
+        return json.loads(body)
+
+    def _as_tuples(self, rows: list[dict[str, Any]]) -> list[tuple]:
+        # a LIST, not a generator: the runner caches the prefetched batch
+        # and copies it for replay, so the return must be picklable
+        names = [f.name for f in self.schema.fields]
+        return [tuple(r.get(n) for n in names) for r in rows]
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        rows = self._fetch(start["offset"], self.page_size)
+        return self._as_tuples(rows), {"offset": start["offset"] + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        n = end["offset"] - start["offset"]
+        return self._as_tuples(self._fetch(start["offset"], n) if n > 0 else [])
+
+    def commit(self, end: dict) -> None:
+        # offsets are plain row cursors; nothing to clean up source-side
+        pass
+
+
 class SocrataDataSource(DataSource):
-    """``spark.read.format("socrata")`` / ``df.write.format("socrata")`` —
-    options: base_url, fourfour, page_size, order, batch_size,
-    fake_rows / log_path (tests)."""
+    """``spark.read.format("socrata")`` / ``df.write.format("socrata")`` /
+    ``spark.readStream.format("socrata")`` — options: base_url, fourfour,
+    page_size, order, batch_size, fake_rows / log_path (tests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -344,6 +405,9 @@ class SocrataDataSource(DataSource):
                 "write the result with mode('append')"
             )
         return SocrataUpsertWriter(dict(self.options), schema)
+
+    def simpleStreamReader(self, schema: T.StructType) -> SocrataStreamReader:
+        return SocrataStreamReader(dict(self.options), schema)
 
 
 def register_socrata_datasource(spark: SparkSession) -> None:

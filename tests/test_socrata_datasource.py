@@ -153,6 +153,39 @@ def test_writer_batched_upsert(spark, tmp_path):
     assert commits == [{"commit": 10}]
 
 
+def test_stream_reader_incremental_microbatches(spark, tmp_path):
+    """readStream over the resource: the row-cursor offset advances by at
+    most page_size per microbatch and every row arrives exactly once
+    across batches. (PythonMicroBatchStream has no AvailableNow support,
+    so run the default trigger and stop once the tail is drained.)"""
+    import time
+
+    register_socrata_datasource(spark)
+    q = (
+        spark.readStream.format("socrata")
+        .option("fake_rows", json.dumps(ROWS))
+        .option("page_size", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName("socrata_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM socrata_tail").count() >= len(ROWS):
+                break
+            time.sleep(0.5)
+        got = spark.sql("SELECT feed_id FROM socrata_tail").collect()
+    finally:
+        q.stop()
+    assert sorted(r["feed_id"] for r in got) == sorted(r["feed_id"] for r in ROWS)
+    # 10 rows at page_size 4 -> at least 3 data-carrying microbatches
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3
+
+
 def test_writer_rejects_overwrite(spark, tmp_path):
     register_socrata_datasource(spark)
     df = spark.range(3).select(F.col("id").cast("string").alias("feed_id_stop_id"))
