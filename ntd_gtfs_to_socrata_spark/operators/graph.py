@@ -96,6 +96,70 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component_id"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set; returns
+    (node, rank) for every node that appears as a source or target.
+
+    The classic centrality score a web-corpus curation pipeline uses for
+    link-based document quality (the reference has no graph surface; ▲
+    north-star). FIXED iteration count, not convergence detection, so the
+    result is a deterministic function of the edge set and a declarative
+    (unrolled-CTE) SQL oracle can reproduce it exactly.
+
+    Simplified formulation (no dangling-mass redistribution):
+    ``r_0(n) = 1.0``; ``r_{i+1}(n) = (1-d) + d * Σ_{(m,n)∈E} r_i(m)/outdeg(m)``.
+    Nodes with no in-edges settle at ``1-d``.
+
+    Scale posture per iteration: ONE shuffle join (edges ⋈ ranks on the
+    source key — out-degrees are precomputed once and travel WITH the
+    edge rows, so no second join) + ONE aggregation on the target key.
+    Rank state is (long, double) = 16 bytes/row regardless of document
+    width. ``localCheckpoint`` truncates lineage each round, same as
+    ``connected_components``. Skewed in-degree (a viral page) is an AQE
+    skew-join case; the contribution aggregation itself partial-combines
+    map-side.
+    """
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+    )
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree joined ONCE and carried on the edge row — each iteration
+    # then needs only the rank join, not a rank join plus a degree join
+    e_deg = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("node2"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: every node u links its STRICTLY LARGER neighbors to the
     minimum of its closed neighborhood min(Γ⁺(u)). Preserves connectivity;

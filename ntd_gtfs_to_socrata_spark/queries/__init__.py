@@ -43,6 +43,8 @@ def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from ntd_gtfs_to_socrata_spark.queries import (  # noqa: F401
         dedup_text,
+        graph_q,
+        layout_q,
         multimodal_q,
         reference_ops,
         relational,

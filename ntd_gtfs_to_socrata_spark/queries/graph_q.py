@@ -1,0 +1,143 @@
+"""Graph analytics over the near-duplicate document graph (▲ north-star;
+the reference has no graph surface).
+
+A large-scale training-data pipeline needs more than clustering from its
+dedup graph: PageRank-style centrality picks the CANONICAL document per
+duplicate cluster (the most-linked variant, the same link-based quality
+idea web-corpus curation uses), triangle counts measure how clique-like
+the near-dup neighborhoods are (a transcription-farm signature), and the
+degree distribution is the first profile you pull before tuning LSH
+thresholds. All three run on the exact shingle-Jaccard edge set that
+``dedup_connected_components`` uses, so every number here is consistent
+with the clustering the dedup pipeline ships.
+
+Oracle strategy: PageRank runs a FIXED iteration count, so the DuckDB
+oracle unrolls the iterations as chained CTEs (standard SQL forbids
+aggregation inside a recursive term) — the distributed loop is
+value-hash checked against a fully declarative computation, same
+philosophy as the recursive-CTE oracle for connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.queries import register
+from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard, _ngram_oracle
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs. The near-dup
+    graph is symmetric (both directions of every pair), so every node has
+    in-edges and each iteration's GROUP BY covers the full node set."""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(
+            f"pr{i + 1} AS (\n"
+            f"  SELECT e.dst AS node, {1 - _PR_DAMP} + {_PR_DAMP} * "
+            f"sum(p.pr / d.outdeg) AS pr\n"
+            f"  FROM edges e JOIN pr{i} p ON p.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst\n)"
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH pairs AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM edges),
+{chained}
+SELECT node AS doc_id, round(pr, 4) AS pr FROM pr{_PR_ITERS}
+"""
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based centrality of documents inside their near-dup
+    neighborhoods: 5 fixed PageRank iterations (operators/graph.py
+    ``pagerank``) over the symmetric shingle-Jaccard edge set. The
+    highest-rank doc per component is the natural canonical pick when
+    'min doc_id' is too arbitrary (e.g. prefer the variant most copies
+    derive from)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import pagerank
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 4).alias("pr")
+    )
+
+
+TRIANGLE_ORACLE = f"""
+WITH pairs AS ({_ngram_oracle()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register("graph_triangle_count", TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the near-dup graph via the oriented
+    edge-edge-edge join: edges already satisfy ``doc_a < doc_b`` (the
+    pair generator emits i<j only), so each triangle {a<b<c} is counted
+    exactly once as (a,b)+(b,c)+(a,c) — no /6 correction, no symmetric
+    blow-up. Scale posture: at 100 TB orient edges low-degree→high-degree
+    instead of by id (the standard skew bound: every wedge is generated
+    at its lowest-degree vertex); id orientation is used here because the
+    oracle must reproduce the same orientation declaratively and dedup
+    clumps are degree-bounded anyway."""
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+DEGREE_ORACLE = f"""
+WITH pairs AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_distribution", DEGREE_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph — the one-glance profile
+    that says whether near-dup mass sits in pairs (degree 1) or
+    boilerplate mega-clusters (long tail), and therefore which LSH/df-cap
+    knobs to tighten. Two hash aggregations, both map-side combining."""
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    bidir = pairs.select(F.col("doc_a").alias("node")).unionByName(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.operators import bloom as B
 from ntd_gtfs_to_socrata_spark.operators import changelog as CL
 from ntd_gtfs_to_socrata_spark.operators import keys as K
 from ntd_gtfs_to_socrata_spark.operators import merge as M
@@ -482,6 +483,46 @@ def j3_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deletions = M.locate_deletions(customer, incoming, key="c_custkey")
     return deletions.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_deletions"))
+
+
+J3B_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("j3b_bloom_prefilter_anti_join", J3B_ORACLE)
+def j3b_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale sibling of J3 (``locateDeletions``,
+    publish_to_catalog.py:261-288): deletion anti-join with a Bloom
+    prefilter (operators/bloom.py). The deletion key set is compacted to
+    a 65 536-bit mask (8 KB, independent of cardinality) and probed
+    MAP-SIDE, so the ~80 % of lineitem rows that are definitely not
+    deleted never enter a join — only possible-members (true members + a
+    small false-positive tail) shuffle into the exact anti-join that
+    resolves them. False negatives are impossible, so the composition is
+    row-for-row the plain anti-join and the oracle is plain ``NOT IN``.
+    This is the shape Spark's own runtime row-level filtering injects
+    (bloom_filter_agg / might_contain — not in the public registry);
+    here it is built from public primitives so the plan is explicit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deletions = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    survivors = B.bloom_anti_join(
+        li, deletions, probe_key="l_orderkey", keys_key="o_orderkey"
+    )
+    return survivors.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
 
 
 # ---------------------------------------------------------------------------
