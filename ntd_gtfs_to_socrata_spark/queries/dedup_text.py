@@ -448,6 +448,109 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end LSH dedup pipeline: the actual 100 TB path, composed
+# ---------------------------------------------------------------------------
+
+LSH_PIPELINE_ORACLE = f"""
+WITH RECURSIVE cands AS ({LSH_PAIRS_ORACLE}),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+expl AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN expl ea ON ea.doc_id = c.doc_a
+  JOIN expl eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(cc.comp, d.doc_id) AS component_id,
+       (coalesce(cc.comp, d.doc_id) = d.doc_id) AS kept
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+
+
+@register("dedup_lsh_pipeline", LSH_PIPELINE_ORACLE)
+def dedup_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE scale-path dedup pipeline, composed end-to-end:
+    MinHash-LSH candidate generation (O(docs), banded buckets) → exact
+    shingle-Jaccard verification on the CANDIDATE PAIRS ONLY → connected
+    components → keep the min doc per cluster. This is the pipeline a
+    100 TB corpus actually runs: the exact all-shared-shingle variant
+    (``dedup_ngram_jaccard``) exists as the oracle-able ground truth, but
+    here the quadratic step touches only LSH survivors.
+
+    Scale posture of the verify step: candidate pairs join the per-doc
+    DISTINCT shingle arrays by doc_id (two hash joins keyed on doc_id —
+    only candidate docs carry their arrays through the shuffle), and the
+    intersection count is a map-side ``array_intersect``/``size`` over
+    the sorted-distinct arrays. No explode of the full corpus happens
+    after candidate generation; cost is O(candidates × doc length), not
+    O(corpus²).
+
+    Output contract matches ``dedup_keep_one_per_cluster``
+    (doc_id, component_id, kept) so downstream filters are drop-in; note
+    LSH recall < 1 means the two queries may legitimately differ on
+    pairs LSH missed — each is checked against its own oracle."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+    )
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    verified = joined.filter(jac >= 0.2).select("doc_a", "doc_b")
+    cc = connected_components(verified, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component_id").alias("comp")
+    )
+    comp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return docs.select("doc_id").join(
+        F.broadcast(cc), F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id",
+        comp.alias("component_id"),
+        (comp == F.col("doc_id")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text quality scoring
 # ---------------------------------------------------------------------------
 
@@ -1149,5 +1252,55 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ngrams"),
             F.sum(hit).cast("long").alias("n_boiler"),
             F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias("boiler_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (gibberish / repetition quality signal)
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch FROM documents
+),
+freq AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(max(t.n) AS BIGINT) AS n_chars_counted,
+       round(-sum((c / t.n) * log2(c / t.n)), 4) AS entropy
+FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+GROUP BY f.doc_id
+"""
+
+
+@register("text_char_entropy", CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    classic cheap gibberish detector: natural prose sits ~4-4.5 bits,
+    single-char spam near 0, uniform random bytes near 8. Quality
+    filters cut both tails before training.
+
+    Plan: explode characters → (doc, char) hash aggregate (map-side
+    combined — the combine key space is doc × charset, so the partial
+    aggregate collapses each partition's chars before the exchange) →
+    per-doc entropy fold. The empty-string filter makes the query
+    robust to either split-by-empty-pattern edge behavior, so Spark and
+    DuckDB agree exactly; both sides divide in double and round(4)."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w_tot = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.withColumn("n", w_tot)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_counted"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
         )
     )

@@ -141,3 +141,97 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _canonical_oracle() -> str:
+    """CC (recursive CTE) + PageRank (unrolled CTEs) + per-component
+    argmax, all declarative. Ranks are rounded to 4 decimals BEFORE the
+    argmax compare on both sides so float low-bit noise cannot flip the
+    winner differently in the two engines."""
+    pr_steps = []
+    for i in range(_PR_ITERS):
+        pr_steps.append(
+            f"pr{i + 1} AS (\n"
+            f"  SELECT e.dst AS node, {1 - _PR_DAMP} + {_PR_DAMP} * "
+            f"sum(p.pr / d.outdeg) AS pr\n"
+            f"  FROM edges e JOIN pr{i} p ON p.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst\n)"
+        )
+    chained = ",\n".join(pr_steps)
+    return f"""
+WITH RECURSIVE pairs AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM edges),
+{chained},
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+joined AS (
+  SELECT cc.comp, cc.node, round(p.pr, 4) AS pr
+  FROM cc JOIN pr{_PR_ITERS} p ON p.node = cc.node
+),
+best AS (SELECT comp, max(pr) AS max_pr FROM joined GROUP BY comp)
+SELECT j.comp AS component_id,
+       min(j.node) AS canonical_doc,
+       max(b.max_pr) AS canonical_pr,
+       (SELECT count(*) FROM cc c2 WHERE c2.comp = j.comp) AS n_members
+FROM joined j JOIN best b ON b.comp = j.comp AND j.pr = b.max_pr
+GROUP BY j.comp
+"""
+
+
+@register("graph_canonical_by_rank", _canonical_oracle())
+def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection by centrality: connected components
+    give the duplicate clusters, PageRank gives each member's centrality,
+    and the cluster's canonical doc is its max-rank member (min doc_id on
+    exact rank ties — symmetric clusters produce exact ties after the
+    round-4 quantisation both engines apply before comparing). This is
+    the principled upgrade over 'keep min doc_id': the most-linked
+    variant is the one the other copies derive from.
+
+    Scale posture: both inputs are per-NODE frames of the near-dup
+    subgraph (orders of magnitude smaller than the corpus); the argmax
+    is one groupBy for the per-component max joined back — the same
+    two-pass shape as ``w3_topk_per_group``'s scale variant, no global
+    window."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        "node", F.col("component_id").alias("comp")
+    )
+    pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP).select(
+        F.col("node").alias("pnode"), F.round("rank", 4).alias("pr")
+    )
+    joined = cc.join(pr, cc.node == F.col("pnode")).select("comp", "node", "pr")
+    best = joined.groupBy("comp").agg(F.max("pr").alias("max_pr"))
+    members = joined.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    winners = (
+        joined.join(best, "comp")
+        .filter(F.col("pr") == F.col("max_pr"))
+        .groupBy("comp")
+        .agg(F.min("node").alias("canonical_doc"), F.max("max_pr").alias("canonical_pr"))
+    )
+    return winners.join(members, "comp").select(
+        F.col("comp").alias("component_id"),
+        "canonical_doc",
+        "canonical_pr",
+        "n_members",
+    )
