@@ -100,9 +100,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of by id (the standard skew bound: every wedge is generated
     at its lowest-degree vertex); id orientation is used here because the
     oracle must reproduce the same orientation declaratively and dedup
-    clumps are degree-bounded anyway."""
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    clumps are degree-bounded anyway.
+
+    The edge set feeds THREE join legs; it is materialized once
+    (``localCheckpoint``) so the upstream pair pipeline isn't recomputed
+    per leg — the same share-don't-recompute posture every iterative
+    operator here uses."""
+    pairs = (
+        _ngram_jaccard(spark, sf_dir, df_cap=None)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
@@ -134,12 +141,18 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the near-dup graph — the one-glance profile
     that says whether near-dup mass sits in pairs (degree 1) or
     boilerplate mega-clusters (long tail), and therefore which LSH/df-cap
-    knobs to tighten. Two hash aggregations, both map-side combining."""
+    knobs to tighten. Two hash aggregations, both map-side combining.
+
+    Endpoints come from ONE ``explode(array(doc_a, doc_b))`` over the
+    pair set rather than a two-branch union — a union would duplicate
+    the whole upstream pair pipeline in the plan (each branch re-derives
+    it), doubling its exchanges; pairs are unique (i<j), so occurrence
+    count IS the neighbor count."""
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
-    bidir = pairs.select(F.col("doc_a").alias("node")).unionByName(
-        pairs.select(F.col("doc_b").alias("node"))
+    nodes = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("node")
     )
-    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -208,7 +221,12 @@ def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    # pairs feed BOTH the CC loop and the PageRank loop — materialize
+    # once so neither re-derives the pair pipeline; `joined` then feeds
+    # three aggregation legs (best / members / winners) and is likewise
+    # checkpointed (it's a per-node frame of the near-dup subgraph —
+    # small by construction)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -220,7 +238,11 @@ def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP).select(
         F.col("node").alias("pnode"), F.round("rank", 4).alias("pr")
     )
-    joined = cc.join(pr, cc.node == F.col("pnode")).select("comp", "node", "pr")
+    joined = (
+        cc.join(pr, cc.node == F.col("pnode"))
+        .select("comp", "node", "pr")
+        .localCheckpoint(eager=True)
+    )
     best = joined.groupBy("comp").agg(F.max("pr").alias("max_pr"))
     members = joined.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     winners = (
