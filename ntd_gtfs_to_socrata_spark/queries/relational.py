@@ -569,6 +569,56 @@ def a6_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A6_WINSORIZED_ORACLE = """
+WITH thr AS (
+  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_extendedprice < thr.lo
+                       OR l_extendedprice > thr.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       round(avg(greatest(thr.lo, least(thr.hi, l_extendedprice))), 2)
+         AS winsorized_avg,
+       round(avg(l_extendedprice), 2) AS raw_avg
+FROM lineitem, thr
+GROUP BY l_returnflag
+"""
+
+
+@register("a6_winsorized_stats", A6_WINSORIZED_ORACLE)
+def a6_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: winsorized (p05/p95-clipped) means next to raw means — the
+    outlier-robust summary a feature pipeline ships instead of trusting
+    tail-sensitive averages. The clip thresholds are a 1-row exact
+    percentile aggregate broadcast back as a cross join (the
+    ``tp_mixture_weights`` scalar shape); clipping itself is a map-side
+    least/greatest. At 100 TB the thresholds come from
+    ``approx_percentile`` (mergeable t-digest) with the identical plan.
+    Both engines interpolate percentiles the same way and the clipped
+    averages are rounded to 2 on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    price = F.col("l_extendedprice")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), price))
+    return (
+        li.crossJoin(F.broadcast(thr))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(((price < F.col("lo")) | (price > F.col("hi"))).cast("long"))
+            .alias("n_clipped"),
+            F.round(F.avg(clipped), 2).alias("winsorized_avg"),
+            F.round(F.avg(price), 2).alias("raw_avg"),
+        )
+    )
+
+
 @register("a6_freq_items")  # rows-only: heavy-hitter sketch is impl-specific
 def a6_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: heavy hitters via freqItems (a one-pass streaming-summary

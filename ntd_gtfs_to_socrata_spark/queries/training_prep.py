@@ -618,3 +618,85 @@ def tp_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q / F.col("share"), 4).alias("resample_weight"),
         F.floor(q * F.col("total_tokens")).cast("long").alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucket filter (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+PERPLEXITY_FILTER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id, ln(v.c / CAST(tot.n AS DOUBLE)) AS lp
+  FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+),
+scores AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+  FROM scored GROUP BY doc_id
+),
+thr AS (
+  SELECT quantile_cont(avg_logprob, [1.0/3, 2.0/3]) AS t FROM scores
+),
+bucketed AS (
+  SELECT s.doc_id, s.n_tokens, s.avg_logprob,
+         CASE WHEN s.avg_logprob >= thr.t[2] THEN 'head'
+              WHEN s.avg_logprob >= thr.t[1] THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scores s, thr
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(avg_logprob), 4) AS mean_logprob
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register("tp_perplexity_filter", PERPLEXITY_FILTER_ORACLE)
+def tp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus-trained unigram LM (``text_unigram_logprob``), cut the score
+    distribution at its terciles, and label docs head / middle / tail.
+    CCNet keeps head+middle and drops (or down-samples) the tail; the
+    per-bucket doc/token accounting here is exactly the retention report
+    that decision reads.
+
+    Determinism across engines: scores are rounded to 4 decimals BEFORE
+    the tercile computation, both engines compute the cut points with
+    the same linear-interpolation definition (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``) on the same doubles, and bucket compares
+    use >= on those quantised values.
+
+    Scale posture: the tercile thresholds are a 1-row exact-percentile
+    aggregate broadcast back as a cross join (at 100 TB swap in
+    ``approx_percentile`` — same plan shape, sketch-mergeable); the
+    corpus-sized frame is touched by one map-side CASE after that
+    broadcast. No global sort, no window."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import text_unigram_logprob
+
+    scores = text_unigram_logprob(spark, sf_dir)
+    thr = scores.agg(
+        F.percentile("avg_logprob", [1.0 / 3, 2.0 / 3]).alias("t")
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.element_at("t", 2), "head")
+        .when(F.col("avg_logprob") >= F.element_at("t", 1), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select("doc_id", "n_tokens", "avg_logprob", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        )
+    )

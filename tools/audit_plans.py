@@ -48,6 +48,8 @@ BNLJ_OK = {
     "tp_temperature_resample",  # 1-row corpus-totals scalar feeding the rate table
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
+    "a6_winsorized_stats",  # 1-row p05/p95 threshold scalar, broadcast cross join
+    "tp_perplexity_filter",  # 1-row tercile-threshold scalar over the score frame
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -131,6 +133,11 @@ EXCHANGES_OK = {
     # per-source temperature rates (tiny agg branches) + map-side sampled
     # union; exchanges are the per-branch aggs, all narrow metadata
     "tp_temperature_resample",
+    # embeds the full text_unigram_logprob pipeline (allowlisted above)
+    # TWICE in the static plan (score frame feeds both the tercile agg
+    # and the bucket pass; AQE reuses the identical exchanges at
+    # runtime) + the final 3-group bucket agg
+    "tp_perplexity_filter",
 }
 
 
