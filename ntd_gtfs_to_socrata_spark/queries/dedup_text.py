@@ -1304,3 +1304,216 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (rolling char windows)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 40  # window width (chars)
+_SPAN_S = 20  # stride (chars)
+
+SPAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= {_SPAN_W}
+              THEN list_distinct(list_transform(
+                     range(1, length(text) - {_SPAN_W - 2}, {_SPAN_S}),
+                     i -> substr(text, CAST(i AS INTEGER), {_SPAN_W})))
+              ELSE [] END AS spans
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(spans) AS span FROM w),
+dup AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+per AS (
+  SELECT e.doc_id, count(*) AS n_dup
+  FROM e JOIN dup USING (span) GROUP BY e.doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.spans) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN len(w.spans) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(per.n_dup, 0) AS DOUBLE) / len(w.spans), 4)
+       END AS dup_share
+FROM w LEFT JOIN per ON per.doc_id = w.doc_id
+"""
+
+
+@register("dedup_span_rolling_hash", SPAN_ORACLE)
+def dedup_span_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (the ExactSubstr idea from
+    "Deduplicating Training Data Makes Language Models Better" re-shaped
+    for a shuffle engine): slide a 40-char window at stride 20 over each
+    doc, mark windows whose text occurs verbatim in ≥2 distinct docs, and
+    score each doc by its duplicated-span share. Catches copied passages
+    that token-level Jaccard dilutes away in long documents.
+
+    Scale posture: windows are generated map-side with higher-order
+    functions (sequence→transform→substr, all codegen); the only shuffle
+    is the span-key aggregate. At 100 TB spans travel as xxhash64 of the
+    window (16 bytes/row, like the shingle path); raw strings are kept
+    here so the DuckDB oracle is exact. Stride/width trade recall for
+    row count (stride=width/2 guarantees any duplicated region ≥ 1.5
+    windows long yields an aligned hit when copies are window-aligned;
+    suffix-array exactness is deliberately NOT the contract)."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    starts = F.sequence(
+        F.lit(1), F.length("text") - F.lit(_SPAN_W - 1), F.lit(_SPAN_S)
+    )
+    spans_col = F.when(
+        F.length("text") >= _SPAN_W,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.col("text").substr(i, F.lit(_SPAN_W)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = docs.select("doc_id", spans_col.alias("spans"))
+    e = w.select("doc_id", F.explode("spans").alias("span"))
+    dup = (
+        e.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("span")
+    )
+    per = e.join(dup, "span").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    base = w.select("doc_id", F.size("spans").alias("n_spans"))
+    joined = base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+    )
+    return joined.withColumn(
+        "dup_share",
+        F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4)
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level corpus dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 10  # tokens per segment
+_SEG_DF = 2  # a segment present in more than this many docs is boilerplate
+
+LINES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT)),
+                        g -> array_to_string(toks[g * {_SEG_LEN} + 1 : g * {_SEG_LEN} + {_SEG_LEN}], ' ')) AS segs
+  FROM t
+),
+e AS (
+  SELECT doc_id, CAST(generate_subscripts(segs, 1) - 1 AS INT) AS pos,
+         unnest(segs) AS seg
+  FROM s
+),
+boiler AS (SELECT seg FROM e GROUP BY seg HAVING count(DISTINCT doc_id) > {_SEG_DF}),
+marked AS (
+  SELECT e.doc_id, e.pos, e.seg, b.seg IS NOT NULL AS is_dup
+  FROM e LEFT JOIN boiler b ON e.seg = b.seg
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_segs,
+         sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN is_dup THEN NULL ELSE seg END, ' ' ORDER BY pos), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars,
+       md5(clean_text) AS clean_md5
+FROM rebuilt
+"""
+
+
+@register("dedup_lines_corpus", LINES_ORACLE)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/CCNet pass): segment every
+    doc into fixed 10-token "lines" (the fixture corpus has no newlines,
+    so the segmentation rule stands in for line breaks), drop any segment
+    that appears verbatim in more than 2 distinct documents, and REBUILD
+    each document from its surviving segments in order. The md5 of the
+    rebuilt text is part of the checked output, so the oracle proves the
+    reconstruction — not just the counts — is byte-identical.
+
+    Scale posture: segmentation is map-side higher-order functions; the
+    boilerplate set is one segment-key aggregate (map-side combined); the
+    rebuild is one shuffle on doc_id with an array_sort over (pos, seg)
+    structs — no global sort, no window. At 100 TB the boilerplate set
+    joins back by segment hash and the rebuild reuses the doc_id
+    partitioning from the explode."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    n_segs_col = F.ceil(F.size(toks) / F.lit(float(_SEG_LEN))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs_col - 1),
+        lambda g: F.array_join(F.slice(toks, g * _SEG_LEN + 1, _SEG_LEN), " "),
+    )
+    e = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    boiler = (
+        e.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > _SEG_DF)
+        .select("seg", F.lit(True).alias("is_dup"))
+    )
+    marked = e.join(boiler, "seg", "left").select(
+        "doc_id", "pos", "seg", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_dup"), F.struct(F.col("pos"), F.col("seg")))
+        )
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s.seg), " "
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate recall monitor (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_lsh_recall")  # rows-only: self-measured quality metric
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality monitor for the near-dup scale path: recall of
+    the MinHash-LSH candidate pairs against the exact Jaccard ≥ 0.2 pair
+    set, plus the candidate-verification workload (how many LSH pairs an
+    exact re-check would have to score). The sibling of `sim_ivf_recall`
+    for the text-dedup family: run it per corpus snapshot and alert when
+    banding parameters stop matching the duplicate profile.
+
+    Rows-only by design: both inputs are themselves fully oracle-checked
+    queries; this one reduces them to a single metrics row."""
+    exact = _ngram_jaccard(spark, sf_dir, None).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir)
+    hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    stats = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        lsh.agg(F.count(F.lit(1)).alias("n_lsh_candidates"))
+    ).crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    return stats.select(
+        "n_exact",
+        "n_lsh_candidates",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_exact")
+            ),
+            4,
+        ).alias("recall"),
+    )
