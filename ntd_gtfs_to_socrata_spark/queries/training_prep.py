@@ -700,3 +700,148 @@ def tp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window document chunking (context-length packing's sibling)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk stride (overlap = _CHUNK - _STRIDE)
+
+CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks), {_STRIDE}),
+                        p -> array_to_string(toks[p + 1 : p + {_CHUNK}], ' ')) AS chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+       CAST(len(regexp_split_to_array(unnest(chunks), ' ')) AS BIGINT) AS n_tokens,
+       md5(unnest(chunks)) AS chunk_md5
+FROM c
+"""
+
+
+@register("tp_chunk_documents", CHUNK_ORACLE)
+def tp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every doc into 32-token
+    chunks at stride 24 (8-token overlap so no sentence is ever cut
+    without context on either side) — the step that turns variable-length
+    documents into model-context-sized training samples when packing
+    whole docs (``tp_pack_sequences``) isn't wanted. The md5 of each
+    chunk is part of the checked output, so chunk CONTENT (not just
+    counts) is proven identical across engines.
+
+    Scale posture: chunk generation is entirely map-side (sequence →
+    slice → array_join inside codegen, then one posexplode); there is NO
+    shuffle at all — the output stays partitioned exactly like the input
+    scan, which is what you want feeding a partitioned tokenizer write.
+    Overlap factor (_CHUNK/_STRIDE) multiplies output rows, not shuffle
+    volume."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_STRIDE)),
+        lambda p: F.array_join(F.slice(toks, p + 1, _CHUNK), " "),
+    )
+    return docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (target-domain resampling signal)
+# ---------------------------------------------------------------------------
+
+DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+raw_v AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+tgt_v AS (SELECT tok, count(*) AS ct FROM toks WHERE source = 'src0' GROUP BY tok),
+consts AS (
+  SELECT (SELECT count(*) FROM raw_v) AS vsize,
+         (SELECT sum(cr) FROM raw_v) AS nr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt_v) AS nt
+),
+lp AS (
+  SELECT r.tok,
+         ln((coalesce(t.ct, 0) + 1) / CAST(nt + vsize AS DOUBLE))
+         - ln((r.cr + 1) / CAST(nr + vsize AS DOUBLE)) AS llr
+  FROM raw_v r LEFT JOIN tgt_v t ON r.tok = t.tok, consts
+)
+SELECT k.doc_id,
+       count(*) AS n_tokens,
+       round(sum(l.llr), 4) AS log_importance,
+       (sum(l.llr) > 0) AS target_like
+FROM toks k JOIN lp l ON k.tok = l.tok
+GROUP BY k.doc_id
+"""
+
+
+@register("tp_dsir_importance", DSIR_ORACLE)
+def tp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    doc by the log-likelihood ratio of a target-domain unigram LM (docs
+    from source='src0') vs the raw-corpus LM, add-1 smoothed over the
+    shared vocabulary. Positive log-importance = the doc looks more like
+    the target domain than the background — the map-side selection signal
+    for domain-targeted resampling (a fixed threshold, NOT a global
+    quantile, so selection never needs a global sort).
+
+    Scale posture: two token-key aggregates (raw and target vocab — the
+    target one filter-pushes source='src0' to the scan), one token-key
+    left join between them, and the three corpus constants are 1-row
+    scalar aggregates broadcast back via crossJoin (the
+    tp_mixture_weights shape). Per-doc scoring is the same token-key join
+    + doc_id aggregate as text_unigram_logprob. Nothing global, nothing
+    driver-side."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    raw_v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_v = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumnRenamed("tok", "t_tok")
+    )
+    consts = raw_v.agg(
+        F.count(F.lit(1)).cast("double").alias("vsize"),
+        F.sum("cr").cast("double").alias("nr"),
+    ).crossJoin(
+        F.broadcast(
+            tgt_v.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt"))
+        )
+    )
+    lp = (
+        raw_v.join(tgt_v, raw_v.tok == tgt_v.t_tok, "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("tok").alias("v_tok"),
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("vsize")))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("vsize")))
+            ).alias("llr"),
+        )
+    )
+    return (
+        toks.join(lp, toks.tok == lp.v_tok)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("llr"), 4).alias("log_importance"),
+            (F.sum("llr") > 0).alias("target_like"),
+        )
+    )
