@@ -119,3 +119,67 @@ def lay_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (runtime partition skipping via a dim filter)
+# ---------------------------------------------------------------------------
+
+_DPP_STAGE = "/root/repo/.synthetic_fixtures/dpp_events"
+
+DPP_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE day(CAST(ts AS DATE)) <= 7
+GROUP BY event_date
+"""
+
+
+def _staged_events_by_day(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf dir) a copy of events partitioned by event_date —
+    the lake layout whose directories DPP skips at runtime."""
+    import os
+
+    target = os.path.join(_DPP_STAGE, os.path.basename(sf_dir.rstrip("/")))
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(target)
+    return target
+
+
+@register("layout_dpp_partition_prune", DPP_ORACLE)
+def layout_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a date-partitioned events table: the
+    fact side is the staged ``partitionBy(event_date)`` layout; the dim
+    side is a derived calendar filtered to the first week of each month.
+    Catalyst turns the dim's date set into a runtime IN-subquery on the
+    fact scan's PartitionFilters (``dynamicpruning#``), so only matching
+    date directories are read — the physical-layout twin of the z-order
+    tiles above (static min/max skipping) for the join-driven case.
+
+    At 100 TB this is THE mechanism that makes fact⋈dim queries cheap on
+    a date/tenant-partitioned lake: the fact scan cost is proportional to
+    the dim selectivity, not the table size, with zero query rewrite.
+    Asserted in tests/test_partition_pruning.py::test_dpp_runtime_subquery
+    (plan contains dynamicpruning on event_date; result identical with
+    DPP disabled)."""
+    target = _staged_events_by_day(spark, sf_dir)
+    fact = spark.read.parquet(target)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") <= 7)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -69,3 +69,24 @@ def test_compaction_bin_packs_small_files(spark, sf_dir, tmp_path):
     assert got.count() == orders.count()
     import glob
     assert len(glob.glob(dst + "/part-*.parquet")) == 4
+
+
+def test_dpp_runtime_subquery(spark, sf_dir):
+    """The broadcast-dim join over the date-partitioned staged events table
+    must plan a dynamicpruning expression on the fact scan's partition
+    column, and produce identical rows with DPP force-disabled."""
+    from ntd_gtfs_to_socrata_spark.queries.layout_q import (
+        layout_dpp_partition_prune,
+    )
+
+    df = layout_dpp_partition_prune(spark, sf_dir)
+    plan = plan_text(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    expected = sorted(map(tuple, df.collect()))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        off = sorted(map(tuple, layout_dpp_partition_prune(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    assert off == expected
