@@ -799,42 +799,34 @@ def tp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for domain-targeted resampling (a fixed threshold, NOT a global
     quantile, so selection never needs a global sort).
 
-    Scale posture: two token-key aggregates (raw and target vocab — the
-    target one filter-pushes source='src0' to the scan), one token-key
-    left join between them, and the three corpus constants are 1-row
-    scalar aggregates broadcast back via crossJoin (the
-    tp_mixture_weights shape). Per-doc scoring is the same token-key join
-    + doc_id aggregate as text_unigram_logprob. Nothing global, nothing
-    driver-side."""
+    Scale posture: ONE token-key aggregate computes BOTH corpus counts
+    (cr = all docs, ct = conditional count over source='src0' — a dual
+    count in the same partial+final pass, so the raw⋈target vocab join
+    the textbook formulation needs never exists), the three corpus
+    constants reduce that vocab to a 1-row scalar aggregate broadcast
+    back via crossJoin (the tp_mixture_weights shape), and per-doc
+    scoring is the same token-key join + doc_id aggregate as
+    text_unigram_logprob. Two shuffles total on the data plane. Nothing
+    global, nothing driver-side."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
-    raw_v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_v = (
-        toks.filter(F.col("source") == "src0")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .withColumnRenamed("tok", "t_tok")
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("source") == "src0", 1)).alias("ct"),
     )
-    consts = raw_v.agg(
+    consts = vocab.agg(
         F.count(F.lit(1)).cast("double").alias("vsize"),
         F.sum("cr").cast("double").alias("nr"),
-    ).crossJoin(
-        F.broadcast(
-            tgt_v.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt"))
-        )
+        F.sum("ct").cast("double").alias("nt"),
     )
-    lp = (
-        raw_v.join(tgt_v, raw_v.tok == tgt_v.t_tok, "left")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            F.col("tok").alias("v_tok"),
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("vsize")))
-                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("vsize")))
-            ).alias("llr"),
-        )
+    lp = vocab.crossJoin(F.broadcast(consts)).select(
+        F.col("tok").alias("v_tok"),
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.col("vsize")))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("vsize")))
+        ).alias("llr"),
     )
     return (
         toks.join(lp, toks.tok == lp.v_tok)

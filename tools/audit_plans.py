@@ -50,6 +50,9 @@ BNLJ_OK = {
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
     "a6_winsorized_stats",  # 1-row p05/p95 threshold scalar, broadcast cross join
     "tp_perplexity_filter",  # 1-row tercile-threshold scalar over the score frame
+    "sim_matryoshka_topk",  # broadcast query-set × corpus screen, sim_bruteforce shape
+    "tp_dsir_importance",  # 1-row corpus-constants scalar, broadcast cross join
+    "dedup_lsh_recall",  # three 1-row metric aggregates cross-joined (control plane)
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -138,6 +141,17 @@ EXCHANGES_OK = {
     # and the bucket pass; AQE reuses the identical exchanges at
     # runtime) + the final 3-group bucket agg
     "tp_perplexity_filter",
+    # quality monitor joining the FULL exact-Jaccard and LSH pipelines —
+    # exchange count is the sum of its parts, each audited individually
+    "dedup_lsh_recall",
+    # span-key agg + dup-filter join + per-doc agg + join back to the
+    # per-doc span counts: ONE logical shuffle per step; the exploded
+    # subtree recomputes per static branch, AQE reuses at runtime
+    "dedup_span_rolling_hash",
+    # two data-plane shuffles (dual-count vocab agg; score join + doc
+    # agg); the rest is the vocab subtree re-listed under the 1-row
+    # consts branch and the fixture rebalance repartition per scan copy
+    "tp_dsir_importance",
 }
 
 
