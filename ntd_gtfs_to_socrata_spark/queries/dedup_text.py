@@ -1517,3 +1517,86 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fasttext-style scorer with fixed weights)
+# ---------------------------------------------------------------------------
+
+# Published model weights (deterministic stand-in for a trained linear
+# quality model): features are the text_quality_scores signals.
+_QC_W = {
+    "avg_token_len": 0.9,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 2.5,
+    "log_tokens": 0.35,
+}
+_QC_B = -4.2
+
+QC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS avg_token_len,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS punct_ratio,
+    CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS stopword_ratio,
+    ln(greatest(len(toks), 1)) AS log_tokens
+  FROM t
+),
+z AS (
+  SELECT doc_id,
+         {_QC_W['avg_token_len']} * avg_token_len
+         + {_QC_W['punct_ratio']} * punct_ratio
+         + {_QC_W['stopword_ratio']} * stopword_ratio
+         + {_QC_W['log_tokens']} * log_tokens
+         + {_QC_B} AS z
+  FROM feat
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS quality_prob,
+       (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+FROM z
+"""
+
+
+@register("text_quality_classifier", QC_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier: sigmoid over the text_quality_scores
+    feature vector with fixed published weights — the deployment shape of
+    a fasttext/logistic quality model (CCNet, Llama-style "looks like a
+    reference page" filters). Training happens offline; INFERENCE at
+    corpus scale is exactly this map-only expression, so scoring 100 TB
+    is one codegen'd pass with zero shuffle, and the keep-decision
+    (p >= 0.5) composes directly with the hash-split/pack stages.
+
+    A real deployment swaps the 4 hand-set weights for trained ones
+    (or a Pandas-UDF ONNX scorer for nonlinear models); the plan shape
+    is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        (
+            F.length("text").cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TX.stopword_ratio(toks, _STOPWORDS).alias("stopword_ratio"),
+        F.log(F.greatest(F.size(toks), F.lit(1)).cast("double")).alias("log_tokens"),
+    )
+    z = (
+        F.lit(_QC_W["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(_QC_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(_QC_W["log_tokens"]) * F.col("log_tokens")
+        + F.lit(_QC_B)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.round(prob, 4).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -433,3 +433,61 @@ def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses it. Same cost envelope as tw_session_windows."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     return lag_gap_sessions(ev, gap_sec=1800)
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day volume anomaly (median/MAD robust z-score)
+# ---------------------------------------------------------------------------
+
+DQ_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+med AS (SELECT median(n_events) AS med FROM daily),
+dev AS (
+  SELECT event_date, n_events, abs(n_events - med) AS adev
+  FROM daily, med
+),
+mad AS (SELECT median(adev) AS mad FROM dev)
+SELECT d.event_date, d.n_events,
+       round(d.adev / greatest(m.mad, 0.5), 4) AS robust_z,
+       (d.adev / greatest(m.mad, 0.5) > 3.0) AS is_anomaly
+FROM dev d, mad m
+"""
+
+
+@register("dq_anomaly_daily_counts", DQ_ANOMALY_ORACLE)
+def dq_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly detection: per-day event volumes scored
+    with a median/MAD robust z-score (outlier days don't poison the
+    baseline the way mean/stddev would) — the ingest-monitoring query a
+    production feed runs after every load to catch partial days, double
+    loads, and upstream outages.
+
+    Scale posture: the data-plane work is ONE date-key aggregate
+    (map-side combined; cardinality = days, not rows). Everything after
+    operates on the tiny daily series: the median and MAD are 1-row
+    scalar aggregates broadcast back via crossJoin — never a global
+    window over the raw events. The MAD floor (0.5) keeps the score
+    finite on perfectly regular feeds. At 100 TB swap median() for
+    approx_percentile on the DAILY frame only if the date range is
+    genuinely unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.agg(F.median("n_events").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "event_date",
+        "n_events",
+        F.abs(F.col("n_events") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.median("adev").alias("mad"))
+    rz = F.col("adev") / F.greatest(F.col("mad"), F.lit(0.5))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "event_date",
+        "n_events",
+        F.round(rz, 4).alias("robust_z"),
+        (rz > 3.0).alias("is_anomaly"),
+    )

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "sim_matryoshka_topk",  # broadcast query-set × corpus screen, sim_bruteforce shape
     "tp_dsir_importance",  # 1-row corpus-constants scalar, broadcast cross join
     "dedup_lsh_recall",  # three 1-row metric aggregates cross-joined (control plane)
+    "dq_anomaly_daily_counts",  # 1-row median/MAD scalars over the tiny daily series
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -152,6 +153,10 @@ EXCHANGES_OK = {
     # agg); the rest is the vocab subtree re-listed under the 1-row
     # consts branch and the fixture rebalance repartition per scan copy
     "tp_dsir_importance",
+    # ONE data-plane shuffle (the date-key daily agg); the daily subtree
+    # is re-listed under the median and MAD scalar branches in the static
+    # plan (AQE reuses the identical exchange at runtime)
+    "dq_anomaly_daily_counts",
 }
 
 
