@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -322,6 +323,59 @@ class SocrataUpsertWriter(DataSourceWriter):
         pass
 
 
+class SocrataStreamWriter(DataSourceStreamWriter):
+    """Streaming upsert sink: ``df.writeStream.format("socrata")`` POSTs
+    each microbatch's rows with the same batched, encode-retrying protocol
+    as the batch writer — per-partition on the executors, commit messages
+    only to the driver. Because Socrata upserts are idempotent BY KEY, a
+    replayed microbatch (failure before checkpoint commit) re-POSTs the
+    same keyed rows and converges — the effectively-once contract the
+    ``foreachBatch`` merge (streaming/stateful.py) documents, packaged as
+    a native sink.
+
+    ``commit(batchId)`` records the batch id in test mode so the
+    checkpoint-replay test can prove batch-boundary tracking."""
+
+    def __init__(self, options: dict[str, str], schema: T.StructType) -> None:
+        self.base_url = options.get("base_url", "").rstrip("/")
+        self.fourfour = options.get("fourfour", "")
+        self.batch_size = int(options.get("batch_size", "10000"))
+        self.log_path = options.get("log_path")
+        if not self.log_path and not self.base_url:
+            raise ValueError("socrata stream writer needs base_url (or log_path)")
+
+    def _transport(self, url: str, body: bytes, headers: dict) -> tuple[int, str]:
+        if self.log_path:
+            entry = {"url": url, "n": len(json.loads(body.decode("utf-8")))}
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            return 200, "{}"
+        return default_post_transport(url, body, headers)
+
+    def write(self, iterator: Iterator[Row]) -> _UpsertCommit:
+        from ntd_gtfs_to_socrata_spark.sinks import _post_rows
+
+        url = f"{self.base_url}/resource/{self.fourfour}.json"
+        results = list(
+            _post_rows(iterator, url, self._transport, self.batch_size, "application/json")
+        )
+        failed = [(s, n) for s, n in results if not 200 <= s < 300]
+        if failed:
+            raise RuntimeError(f"stream upsert POST failed for batches: {failed}")
+        return _UpsertCommit(n_rows=sum(n for _, n in results), n_batches=len(results))
+
+    def commit(self, messages: list[_UpsertCommit], batchId: int) -> None:  # noqa: N803
+        if self.log_path:
+            total = sum(m.n_rows for m in messages if m)
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps({"commit": total, "batch_id": batchId}) + "\n")
+
+    def abort(self, messages: list[_UpsertCommit], batchId: int) -> None:  # noqa: N803
+        # no transaction to roll back; a retried microbatch re-POSTs the
+        # same keyed rows (idempotent by row identifier)
+        pass
+
+
 class SocrataStreamReader(SimpleDataSourceStreamReader):
     """Incremental microbatch reads of a Socrata resource: the offset is a
     row cursor over the ``:id``-ordered resource, so each batch fetches
@@ -408,6 +462,14 @@ class SocrataDataSource(DataSource):
 
     def simpleStreamReader(self, schema: T.StructType) -> SocrataStreamReader:
         return SocrataStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> SocrataStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "streaming overwrite is not a Socrata operation — stream "
+                "upserts with the default append mode"
+            )
+        return SocrataStreamWriter(dict(self.options), schema)
 
 
 def register_socrata_datasource(spark: SparkSession) -> None:

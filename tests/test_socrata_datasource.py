@@ -196,3 +196,62 @@ def test_writer_rejects_overwrite(spark, tmp_path):
             .mode("overwrite")
             .save()
         )
+
+
+def test_stream_writer_posts_microbatches(spark, tmp_path):
+    """writeStream.format('socrata'): a rate-limited streaming read of the
+    fake resource feeds the streaming upsert sink; every row must be
+    POSTed exactly once across microbatches and each commit must carry its
+    batch id."""
+    import time
+
+    register_socrata_datasource(spark)
+    log = tmp_path / "stream_posts.log"
+    q = (
+        spark.readStream.format("socrata")
+        .option("fake_rows", json.dumps(ROWS))
+        .option("page_size", 4)
+        .load()
+        .writeStream.format("socrata")
+        .option("log_path", str(log))
+        .option("batch_size", 2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        posted = 0
+        while time.time() < deadline:
+            if log.exists():
+                entries = [json.loads(l) for l in log.read_text().splitlines()]
+                posted = sum(e["n"] for e in entries if "n" in e)
+                if posted >= len(ROWS):
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    entries = [json.loads(l) for l in log.read_text().splitlines()]
+    assert sum(e["n"] for e in entries if "n" in e) == len(ROWS)
+    # batch_size=2 caps each POST at 2 rows
+    assert all(e["n"] <= 2 for e in entries if "n" in e)
+    commits = [e for e in entries if "commit" in e]
+    assert commits and all("batch_id" in e for e in commits)
+    assert sum(e["commit"] for e in commits) == len(ROWS)
+
+
+def test_stream_writer_rejects_complete_mode(spark, tmp_path):
+    register_socrata_datasource(spark)
+    sdf = (
+        spark.readStream.format("socrata")
+        .option("fake_rows", json.dumps(ROWS))
+        .load()
+    )
+    agg = sdf.groupBy("feed_id").count()
+    with pytest.raises(Exception, match="[Oo]verwrite|[Cc]omplete"):
+        (
+            agg.writeStream.format("socrata")
+            .outputMode("complete")
+            .option("log_path", str(tmp_path / "y.log"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+            .start()
+        ).awaitTermination(60)
