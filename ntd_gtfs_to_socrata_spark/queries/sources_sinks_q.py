@@ -179,3 +179,69 @@ def s9_revision_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("summary", k, summary[k]) for k in ("created", "updated", "errors")
     ]
     return spark.createDataFrame(rows, "step string, action string, n long")
+
+
+# ---------------------------------------------------------------------------
+# S13b: schema-evolution scan (mergeSchema across drifted snapshots)
+# ---------------------------------------------------------------------------
+
+_EVO_STAGE = "/root/repo/.synthetic_fixtures/schema_evo"
+
+SCHEMA_EVO_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_discount_total
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, floor(o_totalprice) * 0.25 AS o_discount_total
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(o_discount_total) AS n_evolved,
+       coalesce(sum(o_discount_total), 0.0) AS discount_total
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+@register("s13b_schema_merge_scan", SCHEMA_EVO_ORACLE)
+def s13b_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake (S13's drift story): two parquet
+    snapshots of the same table where the NEWER one added a column
+    (``o_discount_total``), read as one dataset with
+    ``mergeSchema=true`` — old files surface NULL for the new column,
+    new files carry it, and one aggregate proves both populations are
+    read correctly. This is the append-only schema-drift contract every
+    long-lived lake table relies on (the file-format twin of the CSV
+    layer's ``conform_to_target``, P2).
+
+    Scale posture: mergeSchema's cost is footer-reads at planning time
+    (at 100 TB: keep it off for reads and evolve via the table catalog's
+    schema, or bound it with a partition filter); the data-plane scan +
+    one group-by aggregate is unchanged. Staged once per sf dir under
+    .synthetic_fixtures/; snapshots derive deterministically from orders
+    so the oracle replays them exactly."""
+    import os
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    target = os.path.join(_EVO_STAGE, os.path.basename(sf_dir.rstrip("/")))
+    v1, v2 = os.path.join(target, "v1"), os.path.join(target, "v2")
+    if not os.path.exists(os.path.join(v2, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(v1)
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderpriority",
+            # floor()*0.25 is an exact binary multiple: partition-order
+            # independent sums, no round-half divergence between engines
+            (F.floor("o_totalprice") * 0.25).alias("o_discount_total"),
+        ).write.mode("overwrite").parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_discount_total").alias("n_evolved"),
+        F.coalesce(F.sum("o_discount_total"), F.lit(0.0)).alias("discount_total"),
+    )
