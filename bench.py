@@ -67,6 +67,10 @@ HEADLINE = [
     # dedup / text / similarity / UDF surface
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_lines_corpus",
+    "text_quality_classifier",
+    "tp_dsir_importance",
+    "sim_matryoshka_topk",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "text_quality_scores",

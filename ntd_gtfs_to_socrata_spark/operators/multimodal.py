@@ -73,3 +73,45 @@ def decode_media(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         fake_decode_batch, schema=DECODE_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, window_no int, n_samples long, sum_sq long, peak long"
+)
+
+_AUDIO_WIN = 100  # samples per analysis window
+
+
+def audio_window_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB AUDIO DECODER + real windowed feature extraction.
+
+    A real implementation decodes the container first (e.g.
+    ``soundfile.read(io.BytesIO(payload))`` — not available in this
+    container); the stub treats the payload bytes AS the 8-bit PCM
+    samples. Everything downstream — numpy-vectorized per-window
+    sum-of-squares / peak over Arrow batches — is the production shape
+    for distributed audio feature extraction (RMS/VAD/loudness). Outputs
+    are integers, so results are bit-exact across engines and batch
+    orders."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in ("doc_id", "window_no", "n_samples", "sum_sq", "peak")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for w in range(0, max(len(samples), 1), _AUDIO_WIN):
+                win = samples[w : w + _AUDIO_WIN]
+                out["doc_id"].append(doc_id)
+                out["window_no"].append(w // _AUDIO_WIN)
+                out["n_samples"].append(len(win))
+                out["sum_sq"].append(int((win * win).sum()))
+                out["peak"].append(int(win.max()) if len(win) else 0)
+        yield pd.DataFrame(out)
+
+
+def audio_window_stats(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched windowed audio features (stub codec, real plumbing):
+    one output row per 100-sample analysis window per blob."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        audio_window_batch, schema=AUDIO_WINDOW_SCHEMA
+    )

@@ -86,3 +86,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_no"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+MM_AUDIO_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS samples
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(samples) / 100.0) AS BIGINT)),
+                        g -> samples[g * 100 + 1 : g * 100 + 100]) AS wins
+  FROM b
+)
+SELECT doc_id,
+       CAST(generate_subscripts(wins, 1) - 1 AS INT) AS window_no,
+       CAST(len(unnest(wins)) AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(unnest(wins), x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+       CAST(list_aggregate(unnest(wins), 'max') AS BIGINT) AS peak
+FROM w
+"""
+
+
+@register("mm_audio_window_stats", MM_AUDIO_ORACLE)
+def mm_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction shape: payload bytes as 8-bit PCM (STUB
+    codec — the fixture corpus is ASCII, so byte values ARE code points
+    and the oracle replays the exact windows), then numpy-vectorized
+    per-100-sample window sum-of-squares + peak inside Arrow-batched
+    mapInPandas. Integer outputs ⇒ bit-exact value-hash check of the
+    whole UDF path (batch iteration, fan-out row expansion, schema).
+
+    Scale posture: pure map-side fan-out (no shuffle); each task decodes
+    and windows only its partition's blobs. At 100 TB this is the VAD /
+    loudness-filter front of an audio training pipeline; swapping the
+    stub for soundfile/ffmpeg changes one function
+    (operators/multimodal.py::audio_window_batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_window_stats(MM.attach_payload(docs))
