@@ -255,3 +255,63 @@ def connected_components_star(
         "node",
         F.coalesce(F.col("component_id"), F.col("node")).alias("component_id"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration label propagation (community detection): every node
+    starts with its own id as label; each round it adopts the most
+    frequent label among its in-neighbors (tiebreak: smaller label), or
+    keeps its own when it has none. Deterministic by construction —
+    FIXED rounds + total-order tiebreak — so an unrolled-CTE SQL oracle
+    reproduces it exactly (the ``pagerank`` philosophy; classic async LPA
+    with random visit order is irreproducible under task retries and has
+    no place in a value-checked pipeline).
+
+    Communities differ from connected components on bridged graphs: a
+    thin bridge between two dense clumps keeps ONE component but TWO
+    majority-label communities — the signal for "these two duplicate
+    families touch but shouldn't merge" (threshold-boundary pairs).
+
+    Scale posture per round: one shuffle join (edges ⋈ labels on the
+    source key), one (node, label) count aggregate (map-side combined),
+    one per-node argmax via a PARTITIONED row_number window, one join
+    back to the node set — all hash-partitioned on the node key, reused
+    round to round; label state is 16 bytes/row; ``localCheckpoint``
+    truncates lineage per round."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node2").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e.e_src == labels.node)
+            .groupBy(F.col("e_dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node2", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -257,3 +257,69 @@ def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_pr",
         "n_members",
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration label propagation as chained CTEs:
+    per round, (node, label) vote counts → per-node argmax (count desc,
+    label asc) → label update with keep-own fallback."""
+    steps = []
+    for i in range(_LPA_ITERS):
+        steps.append(
+            f"""votes{i} AS (
+  SELECT e.dst AS node, p.label, count(*) AS c
+  FROM edges e JOIN lp{i} p ON p.node = e.src GROUP BY e.dst, p.label
+),
+best{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM votes{i}) WHERE rn = 1
+),
+lp{i + 1} AS (
+  SELECT a.node, coalesce(b.label, a.label) AS label
+  FROM lp{i} a LEFT JOIN best{i} b ON b.node = a.node
+)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH pairs AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+lp0 AS (
+  SELECT DISTINCT node, node AS label FROM (
+    SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)
+),
+{chained}
+SELECT label AS community, count(*) AS n_members, min(node) AS min_doc_id
+FROM lp{_LPA_ITERS} GROUP BY label
+"""
+
+
+@register("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup graph via deterministic
+    fixed-round label propagation (operators/graph.py
+    ``label_propagation``): majority-label communities split
+    bridge-connected duplicate families that connected components would
+    merge — the review queue for borderline LSH thresholds. Output is the
+    community profile (label, size, min member)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import label_propagation
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=_LPA_ITERS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_doc_id"),
+    )

@@ -152,3 +152,35 @@ def test_zorder_locality_beats_single_column_sort(spark):
     )
     # z tiles bound y to ~1/8 of the domain; x tiles span ~all of it
     assert z_tiles < x_tiles / 4
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: connected components
+    merges them into one component, but majority-vote label propagation
+    keeps two communities (the bridge is outvoted by each side's clique
+    neighbors)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    pairs = clique_a + clique_b + bridge
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+
+    cc = connected_components(edges)
+    assert cc.select("component_id").distinct().count() == 1
+
+    labels = label_propagation(edges, iterations=3)
+    communities = {
+        r["label"] for r in labels.select("label").distinct().collect()
+    }
+    assert len(communities) == 2
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[10]
