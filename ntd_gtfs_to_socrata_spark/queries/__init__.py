@@ -43,6 +43,7 @@ def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from ntd_gtfs_to_socrata_spark.queries import (  # noqa: F401
         dedup_text,
+        entity_res,
         graph_q,
         layout_q,
         multimodal_q,
@@ -53,6 +54,7 @@ def load_all_query_modules() -> None:
         streaming_q,
         subqueries,
         time_windows,
+        tokenizer_q,
         tpch_deep,
         training_prep,
     )

@@ -1,0 +1,250 @@
+"""Entity resolution (blocking → pairwise scoring → entity clustering)
+and grid-bucketed geospatial neighbor joins (▲ north-star; the reference
+has no record-linkage or spatial surface — its only "matching" is the
+exact feed-id equi-join at publish_to_catalog.py:221-247).
+
+Both families share one scale idea: NEVER compare all pairs. Candidate
+pairs come from an equi-join on a cheap deterministic key — a blocking
+key for ER (stable attributes survive the corruption being matched
+through), a grid cell for spatial (distance bounds which cells can hold
+a neighbor) — so the only shuffle is a keyed join whose fan-out is the
+block/cell occupancy, not |A|x|B|. The expensive verifier (edit
+distance, haversine) runs map-side on candidates only. At 100 TB both
+joins are plain shuffled equi-joins: skewed blocks are AQE-splittable,
+and the block key can be salted exactly like j6_salted_skew_join.
+
+The dirty side is SYNTHESIZED deterministically from the clean table
+(drop one character of the name at a key-derived position), the same
+dirty-fixture pattern as a1_validation_quarantine_counts: both Spark
+and the DuckDB oracle derive identical corruption, so the match set is
+value-hash checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# ER: blocked candidate generation + levenshtein verification
+# ---------------------------------------------------------------------------
+
+# Deleted-char position p = (c_custkey % 8) + 10 lands inside the digit
+# region of the fixed 18-char 'Customer#NNNNNNNNN' name.
+_DIRTY_SQL = """
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         concat(substr(c_name, 1, (c_custkey % 8) + 9),
+                substr(c_name, (c_custkey % 8) + 11)) AS name_dirty
+  FROM customer
+"""
+
+_MATCH_SQL = f"""
+  SELECT a.c_custkey AS custkey_clean,
+         b.c_custkey AS custkey_dirty,
+         levenshtein(a.c_name, b.name_dirty) AS lev,
+         CAST(a.c_custkey = b.c_custkey AS INT) AS is_true_match
+  FROM customer a
+  JOIN ({_DIRTY_SQL}) b
+    ON a.c_nationkey = b.c_nationkey
+   AND CAST(floor(a.c_acctbal / 100) AS BIGINT) = CAST(floor(b.c_acctbal / 100) AS BIGINT)
+  WHERE levenshtein(a.c_name, b.name_dirty) <= 1
+"""
+
+ER_MATCH_ORACLE = _MATCH_SQL
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrupted duplicate feed: every customer re-observed with one
+    name character dropped at a key-derived position (deterministic, so
+    the oracle synthesizes the identical feed)."""
+    p = (F.col("c_custkey") % 8) + 10
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), p - 1),
+            F.substring(F.col("c_name"), p + 1, F.lit(18)),
+        ).alias("name_dirty"),
+    )
+
+
+def _blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = load_table(spark, sf_dir, "customer")
+    dirty = _dirty_customers(spark, sf_dir)
+    block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    cand = clean.alias("a").join(
+        dirty.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
+    )
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty"))
+    return cand.filter(lev <= 1).select(
+        F.col("a.c_custkey").alias("custkey_clean"),
+        F.col("b.c_custkey").alias("custkey_dirty"),
+        lev.alias("lev"),
+        (F.col("a.c_custkey") == F.col("b.c_custkey")).cast("int").alias("is_true_match"),
+    )
+
+
+@register("er_blocked_matches", ER_MATCH_ORACLE)
+def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over a corrupted duplicate feed: block on the STABLE
+    attributes (nation, account-balance century — untouched by the name
+    corruption), then verify candidates with edit distance ≤ 1. True
+    matches (same entity behind both records) are flagged so downstream
+    precision is measurable; blocking recall is 100% by construction
+    because the blocking key is corruption-invariant.
+
+    Scale posture: candidate generation is ONE shuffled equi-join on the
+    blocking key — never an all-pairs comparison. Levenshtein runs
+    map-side on join survivors only. A skewed block (one nation+balance
+    bucket holding millions) is the j6 salting case; AQE skew-join
+    handles moderate skew unaided."""
+    return _blocked_matches(spark, sf_dir)
+
+
+ER_CLUSTER_ORACLE = f"""
+WITH RECURSIVE m AS ({_MATCH_SQL}),
+edges AS (
+  SELECT custkey_clean AS src, custkey_dirty + 10000000 AS dst FROM m
+  UNION
+  SELECT custkey_dirty + 10000000 AS src, custkey_clean AS dst FROM m
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(root) AS component_id FROM reach GROUP BY node
+"""
+
+
+@register("er_entity_clusters", ER_CLUSTER_ORACLE)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise matches → ENTITIES: connected components over the bipartite
+    match graph (clean ids vs offset dirty ids), so transitive matches
+    (clean A ↔ dirty B ↔ clean C) land in one entity cluster — the step
+    that turns link scores into a deduplicated golden-record table, same
+    shape as dedup_connected_components for documents. Value-hash checked
+    against a recursive-CTE fixpoint oracle."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _blocked_matches(spark, sf_dir).select(
+        F.col("custkey_clean").alias("src"),
+        (F.col("custkey_dirty") + 10000000).alias("dst"),
+    )
+    cc = connected_components(pairs, src="src", dst="dst")
+    return cc.select("node", "component_id")
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: grid-bucketed haversine neighbor join
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic coordinates (modular arithmetic on the keys, so
+# both engines derive bit-identical points; no hash functions involved).
+_CUST_LAT = "(((c_custkey * 7919) % 1600) / 10.0 - 80.0)"
+_CUST_LON = "(((c_custkey * 104729) % 3600) / 10.0 - 180.0)"
+_SUPP_LAT = "(((s_suppkey * 4409) % 1600) / 10.0 - 80.0)"
+_SUPP_LON = "(((s_suppkey * 9973) % 3600) / 10.0 - 180.0)"
+
+_HAVERSINE_SQL = """
+  2 * 6371.0088 * asin(sqrt(
+      pow(sin(radians(c_lat - s_lat) / 2), 2)
+      + cos(radians(s_lat)) * cos(radians(c_lat))
+        * pow(sin(radians(c_lon - s_lon) / 2), 2)))
+"""
+
+GEO_GRID_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon,
+         CAST(floor({_CUST_LAT} / 2) AS BIGINT) AS cx,
+         CAST(floor({_CUST_LON} / 2) AS BIGINT) AS cy
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, {_SUPP_LAT} AS s_lat, {_SUPP_LON} AS s_lon,
+         CAST(floor({_SUPP_LAT} / 2) AS BIGINT) + dx.dx AS cx,
+         CAST(floor({_SUPP_LON} / 2) AS BIGINT) + dy.dy AS cy
+  FROM supplier, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+)
+SELECT s.s_suppkey, c.c_custkey, round({_HAVERSINE_SQL}, 1) AS dist_km
+FROM supp s JOIN cust c ON s.cx = c.cx AND s.cy = c.cy
+WHERE {_HAVERSINE_SQL} <= 100.0
+"""
+
+
+def _haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    return (
+        F.lit(2 * 6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+                + F.cos(F.radians(lat1))
+                * F.cos(F.radians(lat2))
+                * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+            )
+        )
+    )
+
+
+@register("geo_grid_neighbor_join", GEO_GRID_ORACLE)
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join without a cross join: bucket points into 2°x2° grid
+    cells, replicate the SMALLER side (suppliers) into its 3x3 cell
+    neighborhood (a map-side 9x explode), equi-join on the cell id, and
+    verify candidates with the exact haversine ≤ 100 km map-side.
+
+    The grid is the spatial analogue of LSH banding: candidate volume is
+    governed by cell occupancy, not |S|x|C|. Production notes baked into
+    the design: replicate the small side (9x a 100-row dim is free; 9x
+    the fact side is not), and the fixed 2° cell is sized for the lat
+    band where 1° lon ≥ 50 km — near the poles lon degrees shrink, so a
+    production variant sizes cells per latitude band (documented, not
+    needed for the fixed fixture domain of ±80°). Cell ids are pure
+    integer map-side arithmetic; the replicated dim side stays broadcast
+    (9x a dim is still a dim), so the big point table never shuffles at
+    all — with two fact-sized sides this becomes a keyed shuffle join on
+    the cell id, still never a cross join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_CUST_LAT).alias("c_lat"),
+        F.expr(_CUST_LON).alias("c_lon"),
+    )
+    cust = cust.select(
+        "*",
+        F.floor(F.col("c_lat") / 2).cast("long").alias("cx"),
+        F.floor(F.col("c_lon") / 2).cast("long").alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.expr(_SUPP_LAT).alias("s_lat"),
+            F.expr(_SUPP_LON).alias("s_lon"),
+            offsets.alias("o"),
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor(F.col("s_lat") / 2).cast("long") + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col("s_lon") / 2).cast("long") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist = _haversine_km(
+        F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
+    )
+    return (
+        cust.join(F.broadcast(supp), ["cx", "cy"])
+        .filter(dist <= 100.0)
+        .select("s_suppkey", "c_custkey", F.round(dist, 1).alias("dist_km"))
+    )

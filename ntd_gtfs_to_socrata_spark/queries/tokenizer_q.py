@@ -1,0 +1,94 @@
+"""Tokenizer-training primitives: distributed BPE pair statistics
+(▲ north-star; no counterpart in the reference, whose only text surface
+is regex validation at publish_to_catalog.py:128-154).
+
+Byte-pair-encoding training is, per merge round, "count every adjacent
+symbol pair across the corpus, weighted by word frequency; merge the
+most frequent pair". The count step is the expensive, corpus-sized part
+and is exactly a Spark aggregation; the merge choice is a 1-row argmax.
+The key scale move: collapse the corpus to the DISTINCT-TOKEN table
+first (vocab-sized, bounded by Heaps' law — millions of rows at 100 TB,
+not billions), carry each token's corpus frequency, and derive pair
+counts from the vocab with frequency weights. Pair generation is then a
+map-side higher-order-function expression over a vocab-sized input:
+both shuffles (token count, pair sum) are map-side-combined aggregations
+whose reduce volume is vocab/pair cardinality, independent of corpus
+row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
+from ntd_gtfs_to_socrata_spark.operators import textops as TX
+from ntd_gtfs_to_socrata_spark.queries import register
+
+# Adjacent character pairs of tok = substr(tok, i, 2) for i in 1..len-1.
+_PAIR_COUNTS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tc AS (
+  SELECT tok, count(*) AS n FROM tok WHERE len(tok) >= 2 GROUP BY tok
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tok)),
+                               i -> substr(tok, CAST(i AS INT), 2))) AS pair,
+         n
+  FROM tc
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+"""
+
+BPE_PAIR_ORACLE = f"SELECT * FROM ({_PAIR_COUNTS_SQL}) WHERE n_occurrences >= 5"
+
+BPE_TOP_ORACLE = f"""
+SELECT * FROM ({_PAIR_COUNTS_SQL})
+ORDER BY n_occurrences DESC, pair LIMIT 1
+"""
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    tok_counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = tok_counts.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+
+
+@register("bpe_pair_counts", BPE_PAIR_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies, the inner loop of
+    BPE tokenizer training, at support ≥ 5. Two map-side-combined
+    shuffles: corpus → distinct-token counts (vocab-sized reduce), vocab
+    → pair sums (alphabet²-bounded reduce). Pair explosion happens on the
+    VOCAB, not the corpus — a token appearing a million times contributes
+    its pairs once with weight 1e6."""
+    return _pair_counts(spark, sf_dir).filter(F.col("n_occurrences") >= 5)
+
+
+@register("bpe_top_merge", BPE_TOP_ORACLE)
+def bpe_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-selection step: the single most frequent adjacent pair
+    (count desc, pair asc for a deterministic tiebreak). TakeOrdered over
+    the pair-count aggregate — the 1-row result a BPE trainer would fold
+    into its merge table before re-segmenting."""
+    return _pair_counts(spark, sf_dir).orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(1)
