@@ -1,0 +1,125 @@
+"""Invariants for the ER / geo / BPE families beyond the oracle hash:
+blocking recall, match-precision flags, grid-candidate soundness near the
+threshold, BPE weighting arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries.entity_res import (
+    er_blocked_matches,
+    er_entity_clusters,
+    geo_grid_neighbor_join,
+)
+from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import (
+    bpe_pair_counts,
+    bpe_top_merge,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_er_blocking_recall_is_total(spark):
+    """Every customer must rediscover its own corrupted record: the
+    blocking key uses only corruption-invariant attributes, so true-match
+    recall is 100% by construction."""
+    n_customers = load_table(spark, SF, "customer").count()
+    matches = er_blocked_matches(spark, SF)
+    true_matches = matches.filter(F.col("is_true_match") == 1)
+    assert true_matches.count() == n_customers
+    # a true match is a single-char deletion -> edit distance exactly 1
+    assert true_matches.filter(F.col("lev") != 1).count() == 0
+
+
+def test_er_clusters_cover_all_matched_nodes(spark):
+    matches = er_blocked_matches(spark, SF)
+    clusters = er_entity_clusters(spark, SF).collect()
+    comp = {r["node"]: r["component_id"] for r in clusters}
+    # every matched pair landed in the same component
+    for r in matches.collect():
+        assert comp[r["custkey_clean"]] == comp[r["custkey_dirty"] + 10000000]
+
+
+def test_geo_candidates_respect_distance_threshold(spark):
+    rows = geo_grid_neighbor_join(spark, SF).collect()
+    assert all(r["dist_km"] <= 100.0 for r in rows)
+
+
+def test_geo_grid_never_misses_within_half_cell(spark):
+    """Brute-force check at the smoke SF: any supplier-customer pair
+    within 100 km whose points sit within one 2-degree cell of each other
+    must appear in the grid join output (the 3x3 neighborhood guarantee)."""
+    import math
+
+    def coords(key, mlat, mlon):
+        return ((key * mlat) % 1600) / 10.0 - 80.0, ((key * mlon) % 3600) / 10.0 - 180.0
+
+    cust = {
+        r["c_custkey"]: coords(r["c_custkey"], 7919, 104729)
+        for r in load_table(spark, SF, "customer").select("c_custkey").collect()
+    }
+    supp = {
+        r["s_suppkey"]: coords(r["s_suppkey"], 4409, 9973)
+        for r in load_table(spark, SF, "supplier").select("s_suppkey").collect()
+    }
+
+    def hav(a, b):
+        lat1, lon1 = a
+        lat2, lon2 = b
+        rad = math.radians
+        h = (
+            math.sin(rad(lat2 - lat1) / 2) ** 2
+            + math.cos(rad(lat1)) * math.cos(rad(lat2)) * math.sin(rad(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    expected = set()
+    for sk, sp in supp.items():
+        for ck, cp in cust.items():
+            cell_close = (
+                abs(math.floor(sp[0] / 2) - math.floor(cp[0] / 2)) <= 1
+                and abs(math.floor(sp[1] / 2) - math.floor(cp[1] / 2)) <= 1
+            )
+            if cell_close and hav(sp, cp) <= 100.0:
+                expected.add((sk, ck))
+
+    got = {
+        (r["s_suppkey"], r["c_custkey"])
+        for r in geo_grid_neighbor_join(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_counts_are_frequency_weighted(spark):
+    """Hand corpus: 'ab' twice and 'abc' once -> pair 'ab' weight 3,
+    'bc' weight 1; single-char tokens contribute nothing."""
+    df = spark.createDataFrame([("ab ab abc",), ("x",)], "text string")
+    tok_counts = (
+        df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = tok_counts.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences")).collect()
+    }
+    assert got == {"ab": 3, "bc": 1}
+
+
+def test_bpe_top_merge_is_global_argmax(spark):
+    top = bpe_top_merge(spark, SF).collect()
+    assert len(top) == 1
+    counts = bpe_pair_counts(spark, SF)
+    max_n = counts.agg(F.max("n_occurrences")).collect()[0][0]
+    assert top[0]["n_occurrences"] == max_n
