@@ -92,3 +92,96 @@ def bpe_top_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_counts(spark, sf_dir).orderBy(
         F.col("n_occurrences").desc(), F.col("pair").asc()
     ).limit(1)
+
+
+def _java_quote(s: str) -> str:
+    r"""Literal-quote a learned symbol for use inside a Java regex
+    (\Q..\E, with embedded \E split out the way Pattern.quote does)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _repl_escape(s: str) -> str:
+    """Escape Java regexp_replace replacement metacharacters."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def train_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 3
+) -> DataFrame:
+    """Full iterative BPE training over the corpus vocabulary.
+
+    State is the vocab-sized (rep, n) table where ``rep`` is the token's
+    current symbol segmentation as a space-joined string ("t h e" →
+    after merging ('t','h') → "th e"). Each round: (1) aggregate
+    adjacent-symbol pair counts (two map-side-combined shuffles, reduce
+    volume bounded by vocab/pair cardinality), (2) collect the 1-row
+    argmax — a control-plane scalar, the same collect contract as the
+    k-means centroids (similarity_q.py) — and (3) fold the merge into
+    ``rep`` with a literal-quoted whole-symbol regexp_replace (leftmost,
+    non-overlapping: standard BPE merge order). The corpus itself is
+    touched ONCE, to build the vocab; every iteration runs on the
+    vocab-sized state, which is what makes N-round training tractable at
+    100 TB (Heaps' law bounds the vocab at millions of rows while the
+    corpus has billions).
+    """
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(" ", F.split("tok", "")).alias("rep"), "n")
+        .persist()
+    )
+    vocab.count()  # materialize once; iterations re-read the cached state
+    merges = []
+    try:
+        state = vocab
+        for rank in range(1, n_merges + 1):
+            pair_counts = (
+                state.select(F.split("rep", " ").alias("syms"), "n")
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.slice(
+                                F.col("syms"), 1, F.size("syms") - 1
+                            ),
+                            lambda x, i: F.struct(
+                                x.alias("left"),
+                                F.element_at(F.col("syms"), i + 2).alias("right"),
+                            ),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("n").alias("n_occurrences"))
+            )
+            best = pair_counts.orderBy(
+                F.col("n_occurrences").desc(), F.col("left").asc(), F.col("right").asc()
+            ).limit(1).collect()
+            if not best:
+                break
+            left, right, n_occ = best[0]["left"], best[0]["right"], best[0]["n_occurrences"]
+            merges.append((rank, left, right, left + right, n_occ))
+            pattern = f"(?<= |^){_java_quote(left)} {_java_quote(right)}(?= |$)"
+            state = state.select(
+                F.regexp_replace("rep", pattern, _repl_escape(left + right)).alias("rep"),
+                "n",
+            ).persist()
+            state.count()
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, n_occurrences bigint"
+    )
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of BPE training (rows-only driver check: the
+    per-round argmax over a re-segmented state is iterative and not
+    SQL-expressible; tests/test_entity_res_tokenizer.py value-checks the
+    learned merge table against an independent pure-Python BPE trainer
+    on the same corpus)."""
+    return train_bpe_merges(spark, sf_dir, n_merges=3)

@@ -123,3 +123,62 @@ def test_bpe_top_merge_is_global_argmax(spark):
     counts = bpe_pair_counts(spark, SF)
     max_n = counts.agg(F.max("n_occurrences")).collect()[0][0]
     assert top[0]["n_occurrences"] == max_n
+
+
+def _python_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent reference BPE trainer (leftmost non-overlapping merge,
+    tiebreak: count desc, left asc, right asc)."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), n_occ = best
+        merges.append((rank, left, right, left + right, n_occ))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import bpe_train_merges
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    wc = Counter(
+        t
+        for txt in texts
+        for t in re.split(r"\s+", txt.strip())
+        if len(t) >= 2
+    )
+    expected = _python_bpe(dict(wc), 3)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["n_occurrences"])
+        for r in bpe_train_merges(spark, SF).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
