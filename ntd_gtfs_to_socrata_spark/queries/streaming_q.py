@@ -53,6 +53,43 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, round(t.lifetime_value, 2) AS lifetime_value
+FROM events e
+JOIN (SELECT user_id, sum(value) AS lifetime_value
+      FROM events GROUP BY user_id) t
+  ON e.user_id = t.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("stream_static_enrich", STREAM_STATIC_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, the third streaming join shape next to
+    stream-stream (above) and stateful (stateful.py): the purchase stream
+    joined to a STATIC broadcast dimension (per-user lifetime value,
+    computed once from the batch snapshot). Stream-static inner joins are
+    stateless — each micro-batch probes the broadcast table and emits
+    immediately, no watermark or join state — which is why this is the
+    recommended shape for slowly-changing dims at 100 TB/day stream
+    volume: dim refresh is a foreachBatch re-broadcast, never a shuffle
+    of the stream. Emits exactly the batch join rows, so it is fully
+    value-hash checked against the SQL oracle."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime_value"))
+    )
+    stream = EW.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", F.round("lifetime_value", 2).alias("lifetime_value")
+    )
+    name = _run_to_table(enriched, "sse", "append")
+    return spark.table(name)
+
+
 INTERVAL_JOIN_ORACLE = """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id,
        p.user_id AS user_id,
