@@ -248,3 +248,82 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 100.0)
         .select("s_suppkey", "c_custkey", F.round(dist, 1).alias("dist_km"))
     )
+
+
+GEO_KNN_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon,
+         CAST(floor({_CUST_LAT} / 2) AS BIGINT) AS cx,
+         CAST(floor({_CUST_LON} / 2) AS BIGINT) AS cy
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, {_SUPP_LAT} AS s_lat, {_SUPP_LON} AS s_lon,
+         CAST(floor({_SUPP_LAT} / 2) AS BIGINT) + dx.dx AS cx,
+         CAST(floor({_SUPP_LON} / 2) AS BIGINT) + dy.dy AS cy
+  FROM supplier, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+),
+cand AS (
+  SELECT c.c_custkey, s.s_suppkey, round({_HAVERSINE_SQL}, 1) AS dist_km
+  FROM supp s JOIN cust c ON s.cx = c.cx AND s.cy = c.cy
+)
+SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) = 1
+"""
+
+
+@register("geo_knn_per_customer", GEO_KNN_ORACLE)
+def geo_knn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer among the grid candidates (the 1-NN
+    refinement of the neighbor join above): the same broadcast grid join,
+    then a per-customer row_number over (distance, suppkey) — a
+    PARTITIONED window, so ranking state never concentrates. Customers
+    with an empty 3x3 neighborhood have no nearest candidate and are
+    absent, matching the candidates-only 1-NN semantics of every
+    grid/LSH ANN system (sim_ann_bucketed_topk makes the same contract
+    explicit for embeddings)."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_CUST_LAT).alias("c_lat"),
+        F.expr(_CUST_LON).alias("c_lon"),
+    )
+    cust = cust.select(
+        "*",
+        F.floor(F.col("c_lat") / 2).cast("long").alias("cx"),
+        F.floor(F.col("c_lon") / 2).cast("long").alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.expr(_SUPP_LAT).alias("s_lat"),
+            F.expr(_SUPP_LON).alias("s_lon"),
+            offsets.alias("o"),
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor(F.col("s_lat") / 2).cast("long") + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col("s_lon") / 2).cast("long") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist = _haversine_km(
+        F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
+    )
+    cand = cust.join(F.broadcast(supp), ["cx", "cy"]).select(
+        "c_custkey", "s_suppkey", F.round(dist, 1).alias("dist_km")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "dist_km")
+    )

@@ -1308,6 +1308,51 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DQ: join-key skew profile (the pre-flight check before choosing a join
+# strategy / salting factor)
+# ---------------------------------------------------------------------------
+
+DQ_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT count(*) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_per_key,
+       round(avg(n), 2) AS avg_per_key,
+       round(quantile_cont(n, 0.50), 2) AS p50_per_key,
+       round(quantile_cont(n, 0.99), 2) AS p99_per_key,
+       round(max(n) / avg(n), 2) AS skew_ratio
+FROM per_key
+"""
+
+
+@register("dq_join_key_skew", DQ_SKEW_ORACLE)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy profile of a join key (orders per custkey): key count,
+    max/avg/median/p99 rows per key, and the max/avg skew ratio that
+    decides the join strategy at 100 TB — ratio ≈ 1 → plain shuffle
+    join; heavy tail → AQE skew-join split; a few catastrophic keys →
+    the j6_salted_skew_join treatment. Two map-side-combined
+    aggregations (corpus → per-key counts → 1-row profile); the exact
+    percentiles run over the KEY table (bounded by key cardinality),
+    where a billion-key profile would switch to approx_percentile with
+    the same plan shape."""
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.avg("n"), 2).alias("avg_per_key"),
+        F.round(F.percentile("n", F.lit(0.50)), 2).alias("p50_per_key"),
+        F.round(F.percentile("n", F.lit(0.99)), 2).alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters (deterministic hash family → full oracle)
 # ---------------------------------------------------------------------------
 
