@@ -250,6 +250,72 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ER_GOLDEN_ORACLE = f"""
+WITH RECURSIVE m AS ({_MATCH_SQL}),
+edges AS (
+  SELECT custkey_clean AS src, custkey_dirty + 10000000 AS dst FROM m
+  UNION
+  SELECT custkey_dirty + 10000000 AS src, custkey_clean AS dst FROM m
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node),
+members AS (
+  SELECT CASE WHEN node >= 10000000 THEN node - 10000000 ELSE node END AS custkey,
+         node < 10000000 AS is_clean,
+         component_id
+  FROM comp
+)
+SELECT component_id AS entity_id,
+       count(*) AS n_records,
+       min(CASE WHEN is_clean THEN c.c_name END) AS canonical_name,
+       round(max(c.c_acctbal), 2) AS acctbal
+FROM members JOIN customer c ON c.c_custkey = members.custkey
+GROUP BY component_id
+"""
+
+
+@register("er_golden_record", ER_GOLDEN_ORACLE)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per resolved entity. Cluster
+    members (clean + dirty observations) join back to their source
+    attributes on the record key — a plain shuffled equi-join — and a
+    per-entity aggregate applies the survivorship rules (canonical name
+    from the CLEAN observations only, balance as the max across members,
+    member count for lineage). This closes the ER pipeline: block →
+    verify → cluster → golden record, each stage independently
+    oracle-checked."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _blocked_matches(spark, sf_dir).select(
+        F.col("custkey_clean").alias("src"),
+        (F.col("custkey_dirty") + 10000000).alias("dst"),
+    )
+    cc = connected_components(pairs, src="src", dst="dst")
+    members = cc.select(
+        F.when(F.col("node") >= 10000000, F.col("node") - 10000000)
+        .otherwise(F.col("node"))
+        .alias("custkey"),
+        (F.col("node") < 10000000).alias("is_clean"),
+        "component_id",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        members.join(cust, members.custkey == cust.c_custkey)
+        .groupBy(F.col("component_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min(F.when(F.col("is_clean"), F.col("c_name"))).alias("canonical_name"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
 GEO_KNN_ORACLE = f"""
 WITH cust AS (
   SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon,
