@@ -832,3 +832,83 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair generation)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_ORACLE = """
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings
+),
+a AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, bucket AS qb
+      FROM b WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT qid, b.vec_id AS neg_id, b.label AS neg_label,
+         round(list_inner_product(qe, b.e), 6) AS score
+  FROM a JOIN b ON a.qb = b.bucket AND a.qlabel <> b.label
+),
+ranked AS (
+  SELECT qid, neg_id, neg_label, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, neg_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, neg_id, neg_label, score, rnk FROM ranked WHERE rnk <= 4
+""".format(
+    bucket=" + ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
+        )
+        for p in range(N_PLANES)
+    )
+)
+
+
+@register("sim_hard_negatives", HARD_NEG_ORACLE)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every 10th vector), the 4 most-similar vectors with a DIFFERENT
+    label from the anchor's own LSH bucket — the "looks similar, isn't"
+    pairs that make contrastive losses sharp. Mining globally-hardest
+    negatives is an O(n²) score; restricting to the anchor's bucket is
+    the standard in-batch/in-shard approximation, and the LSH bucket is
+    exactly the shard most likely to hold the hardest ones. Candidate
+    generation is the same broadcast-anchors bucket join as
+    sim_ann_bucketed_topk; ranking is a partitioned WindowGroupLimit
+    (top-4 per anchor capped before the shuffle). Round-before-rank with
+    a neg_id tiebreak keeps the ordering FP-noise-proof — fully
+    value-hash checked."""
+    buckets = sim_lsh_buckets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    anchors = with_vec.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = with_vec.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(
+            cand,
+            (F.col("qbucket") == F.col("cbucket"))
+            & (F.col("qlabel") != F.col("neg_label")),
+        )
+        .select(
+            "qid",
+            "neg_id",
+            "neg_label",
+            F.round(dot(F.col("qe"), F.col("ce")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neg_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 4)
