@@ -156,6 +156,35 @@ def _python_bpe(word_counts: dict[str, int], n_merges: int):
     return merges
 
 
+def test_new_family_plan_shapes(spark):
+    """100 TB posture, checked in-plan: ER extracts equi-join keys from
+    the blocking expressions (hash join, never a nested-loop all-pairs);
+    the geo grid join broadcasts the replicated dim side; BPE pair counts
+    are two partial-aggregated exchanges with no Python stage."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import bpe_pair_counts as bpc
+
+    def plan_text(df):
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    er_plan = plan_text(er_blocked_matches(spark, SF))
+    assert "HashJoin" in er_plan  # Broadcast- or Shuffled-
+    assert "NestedLoop" not in er_plan and "CartesianProduct" not in er_plan
+
+    geo_plan = plan_text(geo_grid_neighbor_join(spark, SF))
+    assert "BroadcastHashJoin" in geo_plan
+    assert "CartesianProduct" not in geo_plan
+
+    bpe_plan = plan_text(bpc(spark, SF))
+    assert "partial_sum" in bpe_plan or "partial_count" in bpe_plan
+    assert "BatchEvalPython" not in bpe_plan and "ArrowEvalPython" not in bpe_plan
+
+
 def test_bpe_train_matches_python_reference(spark):
     import re
     from collections import Counter
