@@ -1688,3 +1688,49 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Script / character-class profile (charset screening)
+# ---------------------------------------------------------------------------
+
+SCRIPT_PROFILE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       n AS n_chars,
+       CAST(floor((n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 10000.0 / n) AS BIGINT) AS letter_bp,
+       CAST(floor((n - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10000.0 / n) AS BIGINT) AS digit_bp,
+       CAST(floor((n - length(regexp_replace(text, '[ ]', '', 'g'))) * 10000.0 / n) AS BIGINT) AS space_bp,
+       CAST(floor((n - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10000.0 / n) AS BIGINT) AS punct_bp
+FROM base
+"""
+
+
+@register("text_script_profile", SCRIPT_PROFILE_ORACLE)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per document — letter / digit / space /
+    punctuation shares in basis points (floor-scaled to integers, so the
+    cross-engine comparison is exact rather than FP-rounded). The cheap
+    first-line charset screen before language ID: mostly-digit or
+    mostly-symbol documents (tables, logs, minified code) get cut before
+    tokenization spends anything on them. Map-only: each ratio is two
+    codegen'd string ops (strip + length diff) — zero shuffles, linear
+    scan, trivially partition-parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text")
+
+    def bp(pattern: str) -> F.Column:
+        kept = n - F.length(F.regexp_replace("text", pattern, ""))
+        return F.floor(kept * 10000.0 / n).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        bp("[A-Za-z]").alias("letter_bp"),
+        bp("[0-9]").alias("digit_bp"),
+        bp("[ ]").alias("space_bp"),
+        bp("[.,!?;:]").alias("punct_bp"),
+    )
