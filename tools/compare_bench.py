@@ -1,0 +1,65 @@
+"""Round-over-round bench comparison: flag real per-query regressions.
+
+Usage: python tools/compare_bench.py OLD.json NEW.json [threshold]
+
+Accepts either the raw one-line ``bench.py`` output or the driver's
+recorded ``BENCH_r*.json`` wrapper (which nests the parsed line under
+``"parsed"``). Compares only queries present in BOTH files (new queries
+change the headline total legitimately — the shared-subtotal line is the
+apples-to-apples number), and flags a query only when it is BOTH >
+``threshold``× slower AND > 0.15 s absolute slower — sub-150 ms swings
+on a shared host are scheduler noise, not plan regressions.
+
+Exit code 1 when any regression is flagged, so this can gate CI.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = json.loads(text.splitlines()[0])
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key (not a bench artifact)")
+    return d
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    old_sub = sum(old["queries"][k] for k in shared)
+    new_sub = sum(new["queries"][k] for k in shared)
+    print(f"shared queries: {len(shared)}")
+    print(f"shared subtotal: {old_sub:.2f}s -> {new_sub:.2f}s "
+          f"({new_sub / old_sub:.2f}x)" if old_sub else "")
+    only_new = sorted(set(new["queries"]) - set(old["queries"]))
+    if only_new:
+        extra = sum(new["queries"][k] for k in only_new)
+        print(f"new-only queries: {len(only_new)} (+{extra:.2f}s of new coverage)")
+    regressions = []
+    for k in shared:
+        a, b = old["queries"][k], new["queries"][k]
+        if b > a * threshold and b - a > 0.15:
+            regressions.append((k, a, b))
+    for k, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
+        print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.2f}x)")
+    if not regressions:
+        print("no per-query regressions")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
