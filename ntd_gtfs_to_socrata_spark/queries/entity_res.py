@@ -147,9 +147,14 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic synthetic coordinates (modular arithmetic on the keys, so
 # both engines derive bit-identical points; no hash functions involved).
-_CUST_LAT = "(((c_custkey * 7919) % 1600) / 10.0 - 80.0)"
+# Latitude domain is ±60°: at |lat| < 60°, a 2° longitude cell spans ≥
+# 2·111.19·cos(60°) ≈ 111 km > the 100 km search radius (and a 2° lat
+# cell spans ≈ 222 km), so the 3×3 neighborhood PROVABLY contains every
+# within-radius pair — brute-force-asserted in tests. Wider-latitude data
+# sizes cells per latitude band instead (cell_lon = 2°/cos(lat_band)).
+_CUST_LAT = "(((c_custkey * 7919) % 1200) / 10.0 - 60.0)"
 _CUST_LON = "(((c_custkey * 104729) % 3600) / 10.0 - 180.0)"
-_SUPP_LAT = "(((s_suppkey * 4409) % 1600) / 10.0 - 80.0)"
+_SUPP_LAT = "(((s_suppkey * 4409) % 1200) / 10.0 - 60.0)"
 _SUPP_LON = "(((s_suppkey * 9973) % 3600) / 10.0 - 180.0)"
 
 _HAVERSINE_SQL = """
@@ -159,8 +164,11 @@ _HAVERSINE_SQL = """
         * pow(sin(radians(c_lon - s_lon) / 2), 2)))
 """
 
-GEO_GRID_ORACLE = f"""
-WITH cust AS (
+# Shared candidate-generation CTEs: customers with their grid cell,
+# suppliers replicated into the 3×3 cell neighborhood. Interpolated into
+# BOTH geo oracles so the candidate definition cannot drift between them.
+_GRID_CTE_SQL = f"""
+cust AS (
   SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon,
          CAST(floor({_CUST_LAT} / 2) AS BIGINT) AS cx,
          CAST(floor({_CUST_LON} / 2) AS BIGINT) AS cy
@@ -172,6 +180,10 @@ supp AS (
          CAST(floor({_SUPP_LON} / 2) AS BIGINT) + dy.dy AS cy
   FROM supplier, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
 )
+"""
+
+GEO_GRID_ORACLE = f"""
+WITH {_GRID_CTE_SQL}
 SELECT s.s_suppkey, c.c_custkey, round({_HAVERSINE_SQL}, 1) AS dist_km
 FROM supp s JOIN cust c ON s.cx = c.cx AND s.cy = c.cy
 WHERE {_HAVERSINE_SQL} <= 100.0
@@ -192,24 +204,12 @@ def _haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Col
     )
 
 
-@register("geo_grid_neighbor_join", GEO_GRID_ORACLE)
-def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance join without a cross join: bucket points into 2°x2° grid
-    cells, replicate the SMALLER side (suppliers) into its 3x3 cell
-    neighborhood (a map-side 9x explode), equi-join on the cell id, and
-    verify candidates with the exact haversine ≤ 100 km map-side.
-
-    The grid is the spatial analogue of LSH banding: candidate volume is
-    governed by cell occupancy, not |S|x|C|. Production notes baked into
-    the design: replicate the small side (9x a 100-row dim is free; 9x
-    the fact side is not), and the fixed 2° cell is sized for the lat
-    band where 1° lon ≥ 50 km — near the poles lon degrees shrink, so a
-    production variant sizes cells per latitude band (documented, not
-    needed for the fixed fixture domain of ±80°). Cell ids are pure
-    integer map-side arithmetic; the replicated dim side stays broadcast
-    (9x a dim is still a dim), so the big point table never shuffles at
-    all — with two fact-sized sides this becomes a keyed shuffle join on
-    the cell id, still never a cross join."""
+def _grid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the 2°×2° grid: customers keyed by their
+    cell, suppliers replicated into the 3×3 neighborhood (map-side 9×
+    explode of the dim side) and broadcast, joined on the cell id. One
+    DataFrame shared by the neighbor join and the 1-NN refinement, with
+    the exact haversine attached as ``dist``."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.expr(_CUST_LAT).alias("c_lat"),
@@ -243,10 +243,33 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = _haversine_km(
         F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
     )
+    return cust.join(F.broadcast(supp), ["cx", "cy"]).select(
+        "c_custkey", "s_suppkey", dist.alias("dist")
+    )
+
+
+@register("geo_grid_neighbor_join", GEO_GRID_ORACLE)
+def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join without a cross join: bucket points into 2°x2° grid
+    cells, replicate the SMALLER side (suppliers) into its 3x3 cell
+    neighborhood (a map-side 9x explode), equi-join on the cell id, and
+    verify candidates with the exact haversine ≤ 100 km map-side.
+
+    The grid is the spatial analogue of LSH banding: candidate volume is
+    governed by cell occupancy, not |S|x|C|. At the ±60° fixture domain
+    the 3×3 neighborhood provably contains EVERY within-100 km pair (a
+    2° lon cell spans ≥ 111 km down to cos 60°; brute-force-asserted in
+    tests); wider-latitude data sizes cells per latitude band instead.
+    Production notes baked into the design: replicate the small side (9x
+    a 100-row dim is free; 9x the fact side is not); cell ids are pure
+    integer map-side arithmetic; the replicated dim side stays broadcast
+    (9x a dim is still a dim), so the big point table never shuffles at
+    all — with two fact-sized sides this becomes a keyed shuffle join on
+    the cell id, still never a cross join."""
+    cand = _grid_candidates(spark, sf_dir)
     return (
-        cust.join(F.broadcast(supp), ["cx", "cy"])
-        .filter(dist <= 100.0)
-        .select("s_suppkey", "c_custkey", F.round(dist, 1).alias("dist_km"))
+        cand.filter(F.col("dist") <= 100.0)
+        .select("s_suppkey", "c_custkey", F.round("dist", 1).alias("dist_km"))
     )
 
 
@@ -317,18 +340,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GEO_KNN_ORACLE = f"""
-WITH cust AS (
-  SELECT c_custkey, {_CUST_LAT} AS c_lat, {_CUST_LON} AS c_lon,
-         CAST(floor({_CUST_LAT} / 2) AS BIGINT) AS cx,
-         CAST(floor({_CUST_LON} / 2) AS BIGINT) AS cy
-  FROM customer
-),
-supp AS (
-  SELECT s_suppkey, {_SUPP_LAT} AS s_lat, {_SUPP_LON} AS s_lon,
-         CAST(floor({_SUPP_LAT} / 2) AS BIGINT) + dx.dx AS cx,
-         CAST(floor({_SUPP_LON} / 2) AS BIGINT) + dy.dy AS cy
-  FROM supplier, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
-),
+WITH {_GRID_CTE_SQL},
 cand AS (
   SELECT c.c_custkey, s.s_suppkey, round({_HAVERSINE_SQL}, 1) AS dist_km
   FROM supp s JOIN cust c ON s.cx = c.cx AND s.cy = c.cy
@@ -342,50 +354,18 @@ QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) =
 @register("geo_knn_per_customer", GEO_KNN_ORACLE)
 def geo_knn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest supplier per customer among the grid candidates (the 1-NN
-    refinement of the neighbor join above): the same broadcast grid join,
-    then a per-customer row_number over (distance, suppkey) — a
-    PARTITIONED window, so ranking state never concentrates. Customers
-    with an empty 3x3 neighborhood have no nearest candidate and are
-    absent, matching the candidates-only 1-NN semantics of every
-    grid/LSH ANN system (sim_ann_bucketed_topk makes the same contract
-    explicit for embeddings)."""
+    refinement of the neighbor join above): the shared `_grid_candidates`
+    broadcast grid join, then a per-customer row_number over (distance,
+    suppkey) — a PARTITIONED window, so ranking state never concentrates.
+    Customers with an empty 3x3 neighborhood have no nearest candidate
+    and are absent: within 100 km the candidate set is provably complete
+    (±60° domain), so an absent customer truly has no supplier within
+    100 km — beyond that radius the 1-NN is candidates-only, the same
+    contract sim_ann_bucketed_topk makes explicit for embeddings."""
     from pyspark.sql.window import Window
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.expr(_CUST_LAT).alias("c_lat"),
-        F.expr(_CUST_LON).alias("c_lon"),
-    )
-    cust = cust.select(
-        "*",
-        F.floor(F.col("c_lat") / 2).cast("long").alias("cx"),
-        F.floor(F.col("c_lon") / 2).cast("long").alias("cy"),
-    )
-    offsets = F.explode(
-        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    )
-    supp = (
-        load_table(spark, sf_dir, "supplier")
-        .select(
-            "s_suppkey",
-            F.expr(_SUPP_LAT).alias("s_lat"),
-            F.expr(_SUPP_LON).alias("s_lon"),
-            offsets.alias("o"),
-        )
-        .select(
-            "s_suppkey",
-            "s_lat",
-            "s_lon",
-            (F.floor(F.col("s_lat") / 2).cast("long") + F.col("o.dx")).alias("cx"),
-            (F.floor(F.col("s_lon") / 2).cast("long") + F.col("o.dy")).alias("cy"),
-        )
-    )
-    dist = _haversine_km(
-        F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon")
-    )
-    cand = cust.join(F.broadcast(supp), ["cx", "cy"]).select(
-        "c_custkey", "s_suppkey", F.round(dist, 1).alias("dist_km")
+    cand = _grid_candidates(spark, sf_dir).select(
+        "c_custkey", "s_suppkey", F.round("dist", 1).alias("dist_km")
     )
     w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
     return (

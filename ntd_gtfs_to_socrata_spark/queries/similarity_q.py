@@ -111,18 +111,22 @@ def _plane_weights(p: int) -> list[int]:
     return [((p * 31 + d * 17) % 7) - 3 for d in range(DIM)]
 
 
-LSH_ORACLE = """
-SELECT vec_id, label, {bucket} AS bucket
-FROM embeddings
-""".format(
-    bucket=" + ".join(
-        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
-        "THEN {bit} ELSE 0 END)".format(
-            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
-        )
-        for p in range(N_PLANES)
+# The SQL rendering of the 8-plane bucket id, generated ONCE from the
+# same _plane_weights the Spark side uses — every oracle that buckets
+# interpolates this constant, so the hyperplane definition cannot drift
+# between oracles (or between oracle and operator).
+_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
+    "THEN {bit} ELSE 0 END)".format(
+        w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
     )
+    for p in range(N_PLANES)
 )
+
+LSH_ORACLE = f"""
+SELECT vec_id, label, {_BUCKET_SQL} AS bucket
+FROM embeddings
+"""
 
 
 @register("sim_lsh_hyperplane_buckets", LSH_ORACLE)
@@ -163,15 +167,7 @@ ranked AS (
   FROM scored
 )
 SELECT qid, cid, label, cosine, rnk FROM ranked WHERE rnk <= 5
-""".format(
-    bucket=" + ".join(
-        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
-        "THEN {bit} ELSE 0 END)".format(
-            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
-        )
-        for p in range(N_PLANES)
-    )
-)
+""".format(bucket=_BUCKET_SQL)
 
 
 @register("sim_ann_bucketed_topk", ANN_TOPK_ORACLE)
@@ -856,15 +852,7 @@ ranked AS (
   FROM scored
 )
 SELECT qid, neg_id, neg_label, score, rnk FROM ranked WHERE rnk <= 4
-""".format(
-    bucket=" + ".join(
-        "(CASE WHEN list_inner_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) >= 0 "
-        "THEN {bit} ELSE 0 END)".format(
-            w=", ".join(str(x) for x in _plane_weights(p)), bit=1 << p
-        )
-        for p in range(N_PLANES)
-    )
-)
+""".format(bucket=_BUCKET_SQL)
 
 
 @register("sim_hard_negatives", HARD_NEG_ORACLE)

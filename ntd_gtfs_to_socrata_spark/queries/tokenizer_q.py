@@ -135,6 +135,7 @@ def train_bpe_merges(
     )
     vocab.count()  # materialize once; iterations re-read the cached state
     merges = []
+    cached = [vocab]  # every persisted state, released before returning
     try:
         state = vocab
         for rank in range(1, n_merges + 1):
@@ -170,8 +171,14 @@ def train_bpe_merges(
                 "n",
             ).persist()
             state.count()
+            # previous round's blocks are dead once the new state is
+            # materialized — release them instead of leaking one cached
+            # vocab-sized frame per merge round
+            cached.append(state)
+            cached.pop(0).unpersist()
     finally:
-        vocab.unpersist()
+        for df in cached:
+            df.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, n_occurrences bigint"
     )

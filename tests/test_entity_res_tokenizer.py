@@ -46,14 +46,17 @@ def test_geo_candidates_respect_distance_threshold(spark):
     assert all(r["dist_km"] <= 100.0 for r in rows)
 
 
-def test_geo_grid_never_misses_within_half_cell(spark):
-    """Brute-force check at the smoke SF: any supplier-customer pair
-    within 100 km whose points sit within one 2-degree cell of each other
-    must appear in the grid join output (the 3x3 neighborhood guarantee)."""
+def test_geo_grid_is_complete_within_radius(spark):
+    """TRUE completeness, brute-forced over ALL supplier×customer pairs
+    (no grid pre-filter): every pair within 100 km must appear in the
+    grid join output. This is the property the ±60° domain + 2° cell +
+    3×3 neighborhood sizing guarantees — a 2° lon cell spans ≥ 111 km
+    down to cos 60°, so a within-100 km pair can never be more than one
+    cell apart on either axis."""
     import math
 
     def coords(key, mlat, mlon):
-        return ((key * mlat) % 1600) / 10.0 - 80.0, ((key * mlon) % 3600) / 10.0 - 180.0
+        return ((key * mlat) % 1200) / 10.0 - 60.0, ((key * mlon) % 3600) / 10.0 - 180.0
 
     cust = {
         r["c_custkey"]: coords(r["c_custkey"], 7919, 104729)
@@ -74,15 +77,12 @@ def test_geo_grid_never_misses_within_half_cell(spark):
         )
         return 2 * 6371.0088 * math.asin(math.sqrt(h))
 
-    expected = set()
-    for sk, sp in supp.items():
-        for ck, cp in cust.items():
-            cell_close = (
-                abs(math.floor(sp[0] / 2) - math.floor(cp[0] / 2)) <= 1
-                and abs(math.floor(sp[1] / 2) - math.floor(cp[1] / 2)) <= 1
-            )
-            if cell_close and hav(sp, cp) <= 100.0:
-                expected.add((sk, ck))
+    expected = {
+        (sk, ck)
+        for sk, sp in supp.items()
+        for ck, cp in cust.items()
+        if hav(sp, cp) <= 100.0
+    }
 
     got = {
         (r["s_suppkey"], r["c_custkey"])

@@ -55,7 +55,8 @@ def main() -> int:
         if b > a * threshold and b - a > 0.15:
             regressions.append((k, a, b))
     for k, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
-        print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.2f}x)")
+        ratio = f"{b / a:.2f}x" if a > 0 else "inf x"
+        print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({ratio})")
     if not regressions:
         print("no per-query regressions")
     return 1 if regressions else 0
