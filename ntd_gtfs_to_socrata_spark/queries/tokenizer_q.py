@@ -192,3 +192,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge table against an independent pure-Python BPE trainer
     on the same corpus)."""
     return train_bpe_merges(spark, sf_dir, n_merges=3)
+
+
+@register("bpe_token_counts")
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE: per-document sequence length under the
+    trained tokenizer — the number every packing/budgeting decision
+    (tp_pack_sequences, context-window accounting) actually needs,
+    which differs from the whitespace token count the moment merges
+    exist. Pipeline: train (3 merges, collected as control-plane
+    scalars) → segment the VOCAB by folding the merges into each
+    token's symbol string (3 chained literal regexp_replace — applied
+    vocab-side, never corpus-side) → broadcast-join the per-token
+    symbol count back to the exploded corpus → per-doc sum. Single-char
+    tokens (below the vocab's length floor) are 1 symbol by definition.
+    At 100 TB the trained segmentation is a persisted artifact keyed by
+    token — this query re-derives it inline to stay self-contained.
+    Rows-only: the result depends on the learned merges, so there is no
+    SQL oracle; tests value-check against the pure-Python trainer's
+    segmentation on the same corpus."""
+    merges_df = train_bpe_merges(spark, sf_dir, n_merges=3)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    rep = F.concat_ws(" ", F.split("tok", ""))
+    for left, right in merges:
+        pattern = f"(?<= |^){_java_quote(left)} {_java_quote(right)}(?= |$)"
+        rep = F.regexp_replace(rep, pattern, _repl_escape(left + right))
+    vocab = (
+        toks.filter(F.length("tok") >= 2)
+        .select("tok")
+        .distinct()
+        .select("tok", F.size(F.split(rep, " ")).alias("bpe_len"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn("bpe_len", F.coalesce("bpe_len", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("bpe_len").alias("n_bpe_tokens"),
+        )
+    )

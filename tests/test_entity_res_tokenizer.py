@@ -211,3 +211,51 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train_merges(spark, SF).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_token_counts_match_python_segmentation(spark):
+    """Apply side: per-doc BPE sequence lengths equal an independent
+    Python segmentation with the same learned merges."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import bpe_token_counts
+
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    wc = Counter(
+        t
+        for _, txt in rows
+        for t in re.split(r"\s+", txt.strip())
+        if len(t) >= 2
+    )
+    merges = [(left, right) for _, left, right, _, _ in _python_bpe(dict(wc), 3)]
+
+    def seg_len(tok: str) -> int:
+        if len(tok) < 2:
+            return 1
+        syms = list(tok)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {}
+    for doc_id, txt in rows:
+        toks = [t for t in re.split(r"\s+", txt.strip()) if t]
+        if toks:
+            expected[doc_id] = (len(toks), sum(seg_len(t) for t in toks))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(spark, SF).collect()
+    }
+    assert got == expected
