@@ -1734,3 +1734,106 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp("[ ]").alias("space_bp"),
         bp("[.,!?;:]").alias("punct_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs historical index (the daily-batch shape)
+# ---------------------------------------------------------------------------
+
+INCR_LSH_ORACLE = f"""
+WITH sigs AS ({MINHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sigs
+  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
+  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
+  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n
+  JOIN bands o ON n.band = o.band AND n.x = o.x AND n.y = o.y
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+verified AS (
+  SELECT new_id,
+         old_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+  FROM cand
+  JOIN shingled a ON a.doc_id = new_id
+  JOIN shingled b ON b.doc_id = old_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+)
+SELECT new_id, old_id AS dup_of, jaccard
+FROM verified
+QUALIFY row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id ASC) = 1
+"""
+
+
+@register("dedup_incremental_lsh", INCR_LSH_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — TODAY'S batch against the HISTORICAL index,
+    the shape a production corpus actually runs daily (full-corpus
+    re-dedup at 100 TB is a non-starter). New docs (doc_id % 5 = 0 plays
+    the incoming batch) join the index (the rest) only through shared
+    LSH band buckets; survivors are verified with exact shingle-Jaccard
+    on candidate pairs only, and each duplicate new doc reports its best
+    index match (highest rounded Jaccard, min doc tiebreak — rounded
+    BEFORE ranking so the argmax is FP-noise-proof).
+
+    Scale posture: at 100 TB the index side's signatures/shingle arrays
+    are a PERSISTED artifact (computed once when each doc entered the
+    corpus — this query derives them inline to stay self-contained); the
+    daily cost is then sig(new batch) + one bucket join whose left side
+    is batch-sized, verification bounded by candidates × doc length.
+    Asymmetric banding (new × old only) means intra-batch duplicates are
+    a separate, batch-local pass — deliberately, matching the index
+    contract."""
+    sigs = dedup_minhash(spark, sf_dir)
+    stacked = sigs.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "_", F.lit(i), F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+            ).alias(f"band{i}")
+            for i in range(4)
+        ],
+    ).selectExpr("doc_id", "stack(4, band0, band1, band2, band3) AS bucket")
+    new_b = stacked.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("new_id"), "bucket"
+    )
+    old_b = stacked.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("old_id"), "bucket"
+    )
+    cand = new_b.join(old_b, "bucket").select("new_id", "old_id").distinct()
+    shingled = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+    )
+    a = shingled.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "new_id").join(b, "old_id")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac_raw = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    verified = joined.filter(jac_raw >= 0.2).select(
+        "new_id", "old_id", F.round(jac_raw, 4).alias("jaccard")
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id").asc()
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+    )
