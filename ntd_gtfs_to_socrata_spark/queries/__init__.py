@@ -51,6 +51,7 @@ def load_all_query_modules() -> None:
         relational,
         similarity_q,
         sources_sinks_q,
+        stats_q,
         streaming_q,
         subqueries,
         time_windows,

@@ -1,0 +1,193 @@
+"""Distributed evaluation statistics (▲ north-star; the reference has no
+statistics surface — its only aggregate is the valid/invalid count at
+publish_to_catalog.py:545).
+
+Model-eval pipelines need uncertainty, not just point estimates. The two
+classic blockers at 100 TB are resampling (a naive bootstrap re-shuffles
+the corpus B times) and anything formulated as "sort everything". Both
+queries here use the distributed-native formulations:
+
+- POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty for
+  Massive Data Streams", Google 2012): instead of resampling n rows with
+  replacement (which needs global coordination), each row independently
+  receives a Poisson(1) count per replicate — the multinomial resample's
+  limit. Every replicate weight is a pure map-side expression, all B
+  replicates ride one explode, and the whole bootstrap is ONE
+  map-side-combined aggregation keyed by replicate id.
+- WELCH'S T from merge-able moments: mean/var/count per arm are
+  partial-aggregatable, so the test statistic is a 1-row fold over two
+  group aggregates — no pairing, no sort.
+
+Determinism contract: the "randomness" is a modular-arithmetic
+pseudo-uniform over (row key, replicate id) — the same engine-portable
+trick as the minhash permutations — so DuckDB replays the identical
+resample and the bootstrap is value-hash checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+_B = 32  # bootstrap replicates
+_U_MOD = 1_000_003  # pseudo-uniform modulus (prime)
+_U_A = 26545
+_U_B = 40503
+
+# P(Poisson(1) <= k) thresholds; weights capped at 6 (P ~ 5e-5)
+_POIS_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843,
+             0.996340153, 0.999405815)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def _pois_weight(u: Column) -> Column:
+    w = F.lit(6)
+    for k, c in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < F.lit(c), F.lit(k)).otherwise(w)
+    return w
+
+
+_U_SQL = (
+    f"(CAST(((event_id % {_U_MOD}) * {_U_A} + b * {_U_B}) % {_U_MOD} AS DOUBLE)"
+    f" / {_U_MOD})"
+)
+
+BOOTSTRAP_ORACLE = f"""
+WITH reps AS (
+  SELECT e.event_id, e.value, CAST(r.range AS BIGINT) AS b
+  FROM events e, range(0, {_B}) r
+  WHERE e.event_type = 'purchase'
+),
+weighted AS (
+  SELECT b, value, {_pois_case_sql(_U_SQL)} AS w FROM reps
+),
+means AS (
+  SELECT b, round(sum(w * value) / sum(w), 2) AS mean_b
+  FROM weighted GROUP BY b HAVING sum(w) > 0
+)
+SELECT count(*) AS n_replicates,
+       round(avg(mean_b), 2) AS boot_mean,
+       round(quantile_cont(mean_b, 0.025), 2) AS ci_lo,
+       round(quantile_cont(mean_b, 0.975), 2) AS ci_hi
+FROM means
+"""
+
+
+@register("eval_poisson_bootstrap_ci", BOOTSTRAP_ORACLE)
+def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean purchase value, via the Poisson
+    bootstrap: every (row, replicate) pair gets a deterministic
+    pseudo-uniform → Poisson(1) weight (a literal CASE chain, fully
+    codegen'd), replicate means are ONE groupBy(b) over the exploded
+    frame (map-side combined, reduce volume = B rows), and the CI is a
+    percentile over the B=32 replicate means — a 32-row driver-side-free
+    aggregate. No data ever re-shuffles per replicate; at 100 TB the
+    cost is B map-side multiply-adds per row, the distributed bootstrap
+    Chamandy et al. run at stream scale. Replicate means round to 2dp
+    BEFORE the quantile so partial-sum order can't flip the interval."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    reps = ev.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
+    )
+    u = (
+        ((F.col("event_id") % _U_MOD) * _U_A + F.col("b") * _U_B) % _U_MOD
+    ).cast("double") / F.lit(float(_U_MOD))
+    weighted = reps.select("b", "value", _pois_weight(u).alias("w"))
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 2
+            ).alias("mean_b"),
+            F.sum("w").alias("tot_w"),
+        )
+        .filter(F.col("tot_w") > 0)
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("mean_b"), 2).alias("boot_mean"),
+        F.round(F.percentile("mean_b", F.lit(0.025)), 2).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 2).alias("ci_hi"),
+    )
+
+
+TTEST_ORACLE = """
+WITH arms AS (
+  SELECT event_type,
+         count(*) AS n,
+         avg(value) AS m,
+         var_samp(value) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+),
+w AS (
+  SELECT
+    (SELECT m FROM arms WHERE event_type = 'click') AS m1,
+    (SELECT v FROM arms WHERE event_type = 'click') AS v1,
+    (SELECT n FROM arms WHERE event_type = 'click') AS n1,
+    (SELECT m FROM arms WHERE event_type = 'purchase') AS m2,
+    (SELECT v FROM arms WHERE event_type = 'purchase') AS v2,
+    (SELECT n FROM arms WHERE event_type = 'purchase') AS n2
+)
+SELECT n1, n2,
+       round(m1, 2) AS mean_click,
+       round(m2, 2) AS mean_purchase,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 2) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 1)
+         AS welch_df
+FROM w
+"""
+
+
+@register("eval_welch_ttest", TTEST_ORACLE)
+def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (click vs purchase event values)
+    from merge-able moments: each arm contributes (n, mean, var_samp) —
+    all partial-aggregatable, so the scan is one map-side-combined
+    groupBy — and the statistic folds the two 1-row aggregates with a
+    pivot + crossJoin-free conditional aggregation. The pattern for ANY
+    A/B readout at 100 TB: sufficient statistics shuffle, never rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    # pivot the two 1-row arms into one row via conditional aggregation
+    one = arms.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("v"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_num = F.pow(se2, 2)
+    df_den = (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return one.select(
+        "n1",
+        "n2",
+        F.round("m1", 2).alias("mean_click"),
+        F.round("m2", 2).alias("mean_purchase"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 2).alias("t_stat"),
+        F.round(df_num / df_den, 1).alias("welch_df"),
+    )
