@@ -83,10 +83,12 @@ HEADLINE = [
     "tp_hash_split",
     "tp_pack_sequences",
     "tp_contamination_check",
-    # entity resolution / geospatial / tokenizer training
+    # entity resolution / geospatial / tokenizer training / eval stats
     "er_blocked_matches",
     "geo_grid_neighbor_join",
     "bpe_pair_counts",
+    "dedup_incremental_lsh",
+    "eval_poisson_bootstrap_ci",
     # stream-stream join (batch twin) + variant extraction
     "ss_interval_join_batch",
     "f12b_variant_extract",
