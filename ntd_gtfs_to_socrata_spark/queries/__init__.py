@@ -47,6 +47,7 @@ def load_all_query_modules() -> None:
         graph_q,
         layout_q,
         multimodal_q,
+        privacy_q,
         reference_ops,
         relational,
         similarity_q,

@@ -1,0 +1,144 @@
+"""Privacy screening for training-data release (▲ north-star; the
+reference's only privacy posture is a consent filter pushed to its
+source, publish_to_catalog.py:525 — these are the corpus-level
+counterparts).
+
+Two standard checks before a dataset leaves the building:
+
+- K-ANONYMITY audit: group by the quasi-identifier tuple and flag
+  groups smaller than k — the rows a linkage attacker can single out.
+  One map-side-combined aggregation; the suppression decision is then a
+  broadcast semi/anti join on the QI tuple (same shape as P10's
+  valid/invalid split).
+- DP-MECHANISM counts: histogram release through the Laplace mechanism.
+  The noise here is a DETERMINISTIC pseudo-sample (modular-arithmetic
+  uniform → inverse-CDF Laplace) so the DuckDB oracle replays it and the
+  whole release pipeline is value-hash checked; a production release
+  swaps ONE expression — the uniform — for a secure RNG, keeping the
+  sensitivity/scale arithmetic and the plan untouched. (With a
+  deterministic seed this is mechanism PLUMBING, not a privacy
+  guarantee; the docstring is the contract.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries import register
+
+_K = 5
+
+K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS group_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+)
+SELECT count(*) AS n_groups,
+       CAST(sum(CASE WHEN group_size < {_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       CAST(sum(CASE WHEN group_size < {_K} THEN group_size ELSE 0 END) AS BIGINT)
+         AS n_rows_to_suppress,
+       CAST(min(group_size) AS BIGINT) AS min_group_size,
+       round(CAST(sum(CASE WHEN group_size < {_K} THEN group_size ELSE 0 END) AS DOUBLE)
+             / sum(group_size), 4) AS suppression_rate
+FROM qi
+"""
+
+
+@register("privacy_k_anonymity", K_ANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, balance band): how many QI groups fall below k=5, how many
+    rows they hold (the suppression cost of releasing this table), and
+    the smallest group (the worst-case linkage exposure). Two chained
+    map-side-combined aggregations — corpus → QI-group sizes (reduce
+    volume = QI cardinality) → 1-row audit. At 100 TB the follow-up
+    suppress/generalize pass is a broadcast anti-join of the flagged QI
+    tuples against the corpus, the P10 quarantine shape."""
+    qi = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    small = F.col("group_size") < _K
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(small.cast("long")).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0)).alias(
+            "n_rows_to_suppress"
+        ),
+        F.min("group_size").alias("min_group_size"),
+        F.round(
+            F.sum(F.when(small, F.col("group_size")).otherwise(0)).cast("double")
+            / F.sum("group_size"),
+            4,
+        ).alias("suppression_rate"),
+    )
+
+
+# Laplace(b) via inverse CDF of a deterministic pseudo-uniform u∈(0,1):
+# noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|). Sensitivity of a
+# count histogram is 1; eps = 0.5 → b = 2.
+_EPS_B = 2.0
+_U_MOD = 999_983  # prime modulus for the pseudo-uniform
+
+_U_SQL = f"(CAST((({{key}} % {_U_MOD}) * 31337 + 271) % {_U_MOD} AS DOUBLE) / {_U_MOD})"
+
+_KEY_SQL = "(length(event_type) * 7919 + ascii(substr(event_type, 1, 1)))"
+
+DP_COUNTS_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, count(*) AS true_count,
+         {_U_SQL.format(key=_KEY_SQL)} AS u
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       true_count,
+       round(true_count
+             + (-{_EPS_B}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 2)
+         AS released_count
+FROM counts
+"""
+
+
+@register("privacy_dp_counts", DP_COUNTS_ORACLE)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram release through the Laplace mechanism: per-event-type
+    counts plus Laplace(2) noise (count sensitivity 1, eps=0.5), noise
+    derived by inverse CDF from a per-key pseudo-uniform. One map-side-
+    combined count aggregate; the mechanism is a 1-expression map over
+    the tiny histogram. Deterministic seed ⇒ value-hash checked
+    end-to-end; a production release swaps the uniform for a secure RNG
+    and nothing else changes (see module docstring — plumbing, not a
+    privacy guarantee, under a fixed seed)."""
+    key = (
+        F.length("event_type") * 7919
+        + F.ascii(F.substring("event_type", 1, 1))
+    )
+    u = (
+        ((key % _U_MOD) * 31337 + 271) % _U_MOD
+    ).cast("double") / F.lit(float(_U_MOD))
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .withColumn("u", u)
+    )
+    noise = (
+        F.lit(-_EPS_B)
+        * F.signum(F.col("u") - 0.5)
+        * F.log(1 - 2 * F.abs(F.col("u") - 0.5))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(F.col("true_count") + noise, 2).alias("released_count"),
+    )
