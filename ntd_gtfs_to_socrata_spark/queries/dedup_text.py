@@ -1859,3 +1859,111 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed containment (doc-inside-doc duplication)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.6  # min fraction of src's shingles present in dst
+
+CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a
+  JOIN kept k ON a.shingle = k.shingle
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a AS src, doc_b AS dst,
+       round(CAST(n_common AS DOUBLE) / na, 4) AS containment
+FROM sized WHERE CAST(n_common AS DOUBLE) / na >= {_CONTAIN_T}
+UNION ALL
+SELECT doc_b AS src, doc_a AS dst,
+       round(CAST(n_common AS DOUBLE) / nb, 4) AS containment
+FROM sized WHERE CAST(n_common AS DOUBLE) / nb >= {_CONTAIN_T}
+"""
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup: containment C(src→dst) = |sh(src) ∩ sh(dst)| /
+    |sh(src)| ≥ 0.6 — the asymmetric cousin of Jaccard that catches a
+    short doc quoted inside a long one (Jaccard punishes the size gap:
+    a 50-shingle doc fully inside a 1000-shingle doc scores J ≈ 0.05 but
+    C = 1.0). The standard quote/boilerplate-inclusion detector Broder
+    defined alongside resemblance.
+
+    Plan: the SAME one-shuffle inverted index as ``dedup_ngram_jaccard``
+    (posting lists → map-side i<j pairs → per-pair common count), then
+    BOTH directed edges are emitted from each undirected pair. One
+    structural difference, stated honestly: the Jaccard size-compatibility
+    prune does not exist for containment (the smaller side of ANY
+    overlapping pair can reach C = 1.0), so at 100 TB the fan-out bound
+    comes from the document-frequency cap / LSH banding instead — the
+    ``dedup_ngram_jaccard_dfcap`` posture."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    exploded = (
+        docs.select("doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s"))
+        .select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+    )
+    inv = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        inv.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    fwd = pairs.filter(
+        F.col("n_common").cast("double") / F.col("na") >= _CONTAIN_T
+    ).select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.round(F.col("n_common").cast("double") / F.col("na"), 4).alias("containment"),
+    )
+    rev = pairs.filter(
+        F.col("n_common").cast("double") / F.col("nb") >= _CONTAIN_T
+    ).select(
+        F.col("doc_b").alias("src"),
+        F.col("doc_a").alias("dst"),
+        F.round(F.col("n_common").cast("double") / F.col("nb"), 4).alias("containment"),
+    )
+    return fwd.unionAll(rev)

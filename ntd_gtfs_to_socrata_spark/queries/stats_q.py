@@ -26,7 +26,7 @@ resample and the bootstrap is value-hash checked end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.io import load_table
@@ -190,4 +190,96 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m2", 2).alias("mean_purchase"),
         F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 2).alias("t_stat"),
         F.round(df_num / df_den, 1).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC from rank statistics (Mann-Whitney U), distributed prefix-sum
+# ---------------------------------------------------------------------------
+
+_AUC_BLOCK = 1024  # score-bins per prefix-sum block
+
+AUC_ORACLE = """
+WITH labeled AS (
+  SELECT CAST(floor(value * 10) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT bin,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM labeled GROUP BY bin
+),
+cum AS (
+  SELECT bin, pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM bins
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+  FROM bins
+)
+SELECT tot.n_pos, tot.n_neg,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(cum.pos * (cum.neg_below + 0.5 * cum.neg))
+             / (CAST(tot.n_pos AS DOUBLE) * tot.n_neg), 6) AS auc
+FROM cum CROSS JOIN tot
+GROUP BY tot.n_pos, tot.n_neg
+"""
+
+
+@register("eval_auc_rank", AUC_ORACLE)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of ``value`` as a score for ``event_type = 'purchase'``,
+    via the Mann-Whitney rank identity: AUC = P(score+ > score-) +
+    0.5·P(tie) = Σ_b pos_b·(neg_below_b + neg_b/2) / (P·N) over
+    score bins (scores quantized to 0.1 — deterministic, tie-aware).
+
+    Scale posture: the naive formulation ("rank every row") is a global
+    sort; the bin formulation reduces the corpus to one map-side-combined
+    aggregate over bounded-cardinality bins, and the running negative
+    count uses a TWO-LEVEL PREFIX SUM instead of an unpartitioned window:
+    per-block cumulative sums (window partitioned by block = bounded
+    partitions) plus a broadcast join of block offsets (a window over the
+    ~bins/1024-row block table — constant-size control plane). The DuckDB
+    oracle states the same arithmetic with a plain global window, proving
+    the decomposition exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 10).cast("long").alias("bin"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    bins = ev.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    blocked = bins.withColumn("block", F.floor(F.col("bin") / _AUC_BLOCK))
+    block_tot = blocked.groupBy("block").agg(F.sum("neg").alias("blk_neg"))
+    w_blk = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    block_off = block_tot.select(
+        "block", F.coalesce(F.sum("blk_neg").over(w_blk), F.lit(0)).alias("blk_off")
+    )
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = blocked.join(F.broadcast(block_off), "block").select(
+        "bin",
+        "pos",
+        "neg",
+        (
+            F.col("blk_off") + F.coalesce(F.sum("neg").over(w_in), F.lit(0))
+        ).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.sum(F.col("pos") * (F.col("neg_below") + 0.5 * F.col("neg")))
+            / (F.sum("pos").cast("double") * F.sum("neg")),
+            6,
+        ).alias("auc"),
     )

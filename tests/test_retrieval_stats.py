@@ -1,0 +1,80 @@
+"""Semantic checks for BM25 retrieval, rank-AUC, and containment dedup —
+properties the DuckDB oracle's value-hash can't express (monotonicity,
+bounds, asymmetry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+    _ngram_jaccard,
+    dedup_containment,
+)
+from ntd_gtfs_to_socrata_spark.queries.retrieval_q import _TOPK, rag_bm25_topk
+from ntd_gtfs_to_socrata_spark.queries.stats_q import eval_auc_rank
+
+
+def test_bm25_topk_shape_and_rank_order(spark, sf_dir):
+    rows = rag_bm25_topk(spark, sf_dir).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["token"], []).append(r)
+    assert len(by_term) == 5  # df ranks 11-15
+    for term, group in by_term.items():
+        group.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in group] == list(range(1, len(group) + 1))
+        assert len(group) <= _TOPK
+        # rank order must agree with descending score
+        scores = [r["bm25"] for r in group]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["bm25"] > 0 for r in group)
+
+
+def test_bm25_scores_docs_containing_term_only(spark, sf_dir):
+    rows = rag_bm25_topk(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert r["token"] in docs[r["doc_id"]].split()
+
+
+def test_auc_bounds_and_degenerate_invariance(spark, sf_dir):
+    row = eval_auc_rank(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+    ev = load_table(spark, sf_dir, "events")
+    assert row["n_pos"] + row["n_neg"] == ev.count()
+
+
+def test_auc_is_half_when_score_is_constant(spark, sf_dir, tmp_path):
+    # constant score => every pair is a tie => AUC must be exactly 0.5
+    import os
+
+    d = tmp_path / "sf"
+    os.makedirs(d, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").withColumn("value", F.lit(1.0))
+    ev.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    row = eval_auc_rank(spark, str(d)).collect()[0]
+    assert abs(row["auc"] - 0.5) < 1e-12
+    assert row["n_bins"] == 1
+
+
+def test_containment_asymmetric_and_superset_of_jaccard_hits(spark, sf_dir):
+    cont = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    assert cont, "fixture corpus contains near-dup docs"
+    for (src, dst), c in cont.items():
+        assert 0.6 <= c <= 1.0
+        assert src != dst
+    # any pair with Jaccard >= 0.6 must appear in BOTH directions:
+    # J = common/(na+nb-common) <= common/max(na,nb) <= either containment
+    jac = _ngram_jaccard(spark, sf_dir, df_cap=None).collect()
+    for r in jac:
+        if r["jaccard"] >= 0.6:
+            assert (r["doc_a"], r["doc_b"]) in cont
+            assert (r["doc_b"], r["doc_a"]) in cont
