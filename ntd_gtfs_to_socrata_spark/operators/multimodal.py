@@ -115,3 +115,50 @@ def audio_window_stats(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         audio_window_batch, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def phash_band_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB PERCEPTUAL HASH (blockhash shape) + real Arrow plumbing.
+
+    A real pipeline computes pHash/blockhash on the DECODED grayscale
+    image (e.g. ``imagehash.phash(Image.open(...))`` — codec unavailable
+    here); the stub runs the actual blockhash algorithm on the payload
+    BYTES: split the byte stream into 64 equal blocks, bit_i = 1 iff
+    64·sum(block_i) > sum(all bytes) (integer-exact mean comparison).
+    The 64 bits are returned as four 16-bit band values — the banding
+    layout the Hamming-LSH bucket join consumes — so no 2^63 overflow
+    ambiguity across engines. Block sums come from one cumulative sum
+    (correct for empty blocks when n < 64, unlike reduceat)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = len(arr)
+            bands = [0, 0, 0, 0]
+            if n:
+                cs = np.concatenate(([0], np.cumsum(arr)))
+                total = int(cs[-1])
+                lo = (np.arange(64) * n) // 64
+                hi = ((np.arange(64) + 1) * n) // 64
+                bits = (64 * (cs[hi] - cs[lo])) > total
+                for j in range(4):
+                    band = 0
+                    for k in range(16):
+                        band |= int(bits[16 * j + k]) << k
+                    bands[j] = band
+            out["doc_id"].append(doc_id)
+            for j in range(4):
+                out[f"b{j}"].append(bands[j])
+        yield pd.DataFrame(out)
+
+
+def phash_bands(with_payload: DataFrame) -> DataFrame:
+    """Per-blob 64-bit perceptual hash as four 16-bit bands, Arrow-batched."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        phash_band_batch, schema=PHASH_SCHEMA
+    )

@@ -125,3 +125,103 @@ def mm_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py::audio_window_batch)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.audio_window_stats(MM.attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (multimodal × dedup crossover)
+# ---------------------------------------------------------------------------
+
+_PHASH_T = 3  # max Hamming distance over the 64-bit hash
+
+PHASH_NEARDUP_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(range(1, length(text)+1), i -> ord(substr(text,i,1))) AS cs,
+         length(text) AS n
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, cs, n, list_aggregate(cs,'sum') AS total FROM codes
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(range(0,64), i ->
+      CASE WHEN 64 * coalesce(list_aggregate(
+             cs[CAST(floor(i*n/64.0) AS BIGINT)+1 : CAST(floor((i+1)*n/64.0) AS BIGINT)],
+             'sum'), 0) > total THEN 1 ELSE 0 END) AS b
+  FROM tot
+),
+bands AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(range(0,16), j -> b[j+1]  * (1<<j)),'sum') AS b0,
+    list_aggregate(list_transform(range(0,16), j -> b[j+17] * (1<<j)),'sum') AS b1,
+    list_aggregate(list_transform(range(0,16), j -> b[j+33] * (1<<j)),'sum') AS b2,
+    list_aggregate(list_transform(range(0,16), j -> b[j+49] * (1<<j)),'sum') AS b3
+  FROM bits
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         CAST(bit_count(xor(a.b0,x.b0)) + bit_count(xor(a.b1,x.b1))
+            + bit_count(xor(a.b2,x.b2)) + bit_count(xor(a.b3,x.b3)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands x ON a.doc_id < x.doc_id
+) WHERE hamming <= {_PHASH_T}
+"""
+
+
+@register("mm_phash_neardup", PHASH_NEARDUP_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection: blockhash-style 64-bit perceptual
+    hash per blob (STUB codec — the hash runs on payload bytes; a real
+    pipeline feeds it decoded pixels, same 4×16-bit band output), then
+    MULTI-INDEX HAMMING LSH: docs sharing any exact 16-bit band become
+    candidates, verified with bit_count(xor) ≤ 3.
+
+    The pigeonhole guarantee makes the banding EXACT, not approximate:
+    hamming ≤ 3 over 4 bands forces at least one band with zero errors,
+    so the all-pairs DuckDB oracle (no banding) must produce the
+    identical pair set — the oracle proves zero recall loss.
+
+    Scale posture: hashes are Arrow-batched mapInPandas next to the
+    decoder (one pass over blobs); candidate generation is ONE shuffle on
+    (band_id, band_value) with i<j pairs built map-side from posting
+    lists that carry the full 4-band signature — verification is pure
+    map-side bit arithmetic, NO join-back to the hash table and no
+    all-pairs product anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = MM.phash_bands(MM.attach_payload(docs))
+    sig = F.struct("doc_id", "b0", "b1", "b2", "b3")
+    stacked = bands.select(
+        sig.alias("s"),
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("band_id"), F.col(f"b{j}").alias("v")) for j in range(4)])
+        ).alias("k"),
+    ).select("s", F.col("k.band_id").alias("band_id"), F.col("k.v").alias("v"))
+    inv = (
+        stacked.groupBy("band_id", "v")
+        .agg(F.array_sort(F.collect_list("s")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    hamming = (
+        F.bit_count(F.col("p.a.b0").bitwiseXOR(F.col("p.b.b0")))
+        + F.bit_count(F.col("p.a.b1").bitwiseXOR(F.col("p.b.b1")))
+        + F.bit_count(F.col("p.a.b2").bitwiseXOR(F.col("p.b.b2")))
+        + F.bit_count(F.col("p.a.b3").bitwiseXOR(F.col("p.b.b3")))
+    )
+    return (
+        inv.select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_T)
+        .distinct()
+    )

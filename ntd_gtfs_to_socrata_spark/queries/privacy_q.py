@@ -142,3 +142,87 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         F.round(F.col("true_count") + noise, 2).alias("released_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity refinement)
+# ---------------------------------------------------------------------------
+
+_L = 3  # minimum distinct sensitive values per QI group
+
+L_DIV_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS group_size,
+         count(DISTINCT c_mktsegment) AS diversity,
+         round(-sum(p * ln(p)), 4) AS entropy
+  FROM (
+    SELECT c_nationkey, c_acctbal, c_mktsegment,
+           CAST(count(*) OVER (PARTITION BY c_nationkey,
+                                            CAST(floor(c_acctbal / 1000) AS BIGINT),
+                                            c_mktsegment) AS DOUBLE)
+           / count(*) OVER (PARTITION BY c_nationkey,
+                                         CAST(floor(c_acctbal / 1000) AS BIGINT)) AS p
+    FROM customer
+  )
+  GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+)
+SELECT count(*) AS n_groups,
+       CAST(sum(CASE WHEN diversity < {_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(min(diversity) AS BIGINT) AS min_diversity,
+       CAST(sum(CASE WHEN diversity < {_L} THEN group_size ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       round(min(entropy), 4) AS min_entropy
+FROM qi
+"""
+
+
+@register("privacy_l_diversity", L_DIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the refinement k-anonymity misses: a QI group
+    can be large (k-safe) yet expose everyone in it if all members share
+    one sensitive value (homogeneity attack, Machanavajjhala et al.).
+    QI = (nation, balance band), sensitive = market segment; groups with
+    fewer than l=3 distinct segments are flagged, and min ENTROPY
+    diversity (-Σ p·ln p) is reported alongside distinct-l since entropy
+    is the variant that resists skewed-but-technically-diverse groups.
+
+    Scale posture: one two-level aggregation — (QI, sensitive) counts,
+    then QI rollup carrying count_distinct + entropy from the per-value
+    counts. Both levels are map-side-combinable key aggregations on the
+    QI tuple; no window over the corpus (the oracle SQL states the window
+    formulation only because it reads clearer in DuckDB)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    per_value = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    # entropy without a window: -Σ (nv/S)·ln(nv/S) = ln(S) - Σ(nv·ln nv)/S,
+    # so one more key aggregation over (QI) carrying Σnv and Σ nv·ln nv
+    groups = per_value.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("nv").alias("group_size"),
+        F.count(F.lit(1)).alias("diversity"),
+        F.sum(F.col("nv") * F.log(F.col("nv"))).alias("sum_nlogn"),
+    )
+    with_entropy = groups.withColumn(
+        "entropy",
+        F.round(
+            F.log(F.col("group_size").cast("double"))
+            - F.col("sum_nlogn") / F.col("group_size"),
+            4,
+        ),
+    )
+    return with_entropy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("diversity") < _L).cast("int")).cast("long").alias("n_low_diversity"),
+        F.min("diversity").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("diversity") < _L, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+    )
