@@ -1952,18 +1952,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    fwd = pairs.filter(
-        F.col("n_common").cast("double") / F.col("na") >= _CONTAIN_T
-    ).select(
-        F.col("doc_a").alias("src"),
-        F.col("doc_b").alias("dst"),
-        F.round(F.col("n_common").cast("double") / F.col("na"), 4).alias("containment"),
+    # both directed edges from ONE pass over the pair aggregate (an
+    # explode of the 2-element direction array, not a union of two
+    # branches — a union re-lists the whole inverted-index subtree per
+    # branch in the static plan)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    (F.col("n_common").cast("double") / F.col("na")).alias("c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    (F.col("n_common").cast("double") / F.col("nb")).alias("c"),
+                ),
+            )
+        ).alias("e")
     )
-    rev = pairs.filter(
-        F.col("n_common").cast("double") / F.col("nb") >= _CONTAIN_T
-    ).select(
-        F.col("doc_b").alias("src"),
-        F.col("doc_a").alias("dst"),
-        F.round(F.col("n_common").cast("double") / F.col("nb"), 4).alias("containment"),
+    return directed.filter(F.col("e.c") >= _CONTAIN_T).select(
+        F.col("e.src").alias("src"),
+        F.col("e.dst").alias("dst"),
+        F.round(F.col("e.c"), 4).alias("containment"),
     )
-    return fwd.unionAll(rev)

@@ -55,6 +55,8 @@ BNLJ_OK = {
     "tp_dsir_importance",  # 1-row corpus-constants scalar, broadcast cross join
     "dedup_lsh_recall",  # three 1-row metric aggregates cross-joined (control plane)
     "dq_anomaly_daily_counts",  # 1-row median/MAD scalars over the tiny daily series
+    "er_blocking_quality",  # 1-row candidate-stats × 1-row true-pair-count crossJoin
+    "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -69,6 +71,10 @@ GLOBAL_WINDOW_OK = {
     "trend_monthly_growth",
     # global row_number AFTER limit(20) — a 20-row frame by construction
     "tp_shuffle_order",
+    # block-offset prefix sum: the window input is the ~bins/1024-row
+    # BLOCK table (control plane), not the bin table — the whole point of
+    # the two-level decomposition (see eval_auc_rank docstring)
+    "eval_auc_rank",
     # per-source rate table (one row per corpus source, a handful) — the
     # window input is the metadata frame, not the corpus
     "tp_weighted_sample",
@@ -158,6 +164,13 @@ EXCHANGES_OK = {
     # is re-listed under the median and MAD scalar branches in the static
     # plan (AQE reuses the identical exchange at runtime)
     "dq_anomaly_daily_counts",
+    # tf subtree feeds dfr/dl/scalars/top-hi/top-lo — the static plan
+    # re-lists the tokenize+tf exchange per branch; AQE reuses the
+    # identical exchanges at runtime. One logical tokenize pass.
+    "rag_bm25_topk",
+    # bin agg + block agg + block-offset sort + in-block window + final
+    # fold: each is one bounded-cardinality exchange (bins, blocks)
+    "eval_auc_rank",
 }
 
 
