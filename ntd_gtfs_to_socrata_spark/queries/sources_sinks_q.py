@@ -245,3 +245,51 @@ def s13b_schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_discount_total").alias("n_evolved"),
         F.coalesce(F.sum("o_discount_total"), F.lit(0.0)).alias("discount_total"),
     )
+
+
+@register("s2_socrata_pushdown_scan")
+def s2_socrata_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a PLANNER-VISIBLE source (publish_to_catalog.py:525 pushes the
+    consent predicate server-side via a hand-built $where; here the same
+    predicate is a plain DataFrame .filter that the Python DataSource's
+    pushFilters compiles to SoQL): scan the fake catalog, filter on
+    consent, and assert INSIDE the query that the filter really was
+    absorbed by the scan — the returned frame is the surviving rows only
+    if no Filter operator remains in the physical plan.
+
+    Rows-only under the driver gate (the source is an HTTP protocol
+    surface, not a parquet table); the pushdown-vs-post-filter row
+    equivalence is pytest-checked in test_socrata_datasource.py."""
+    import io as _io
+    import json as _json
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from ntd_gtfs_to_socrata_spark.sources.socrata_datasource import (
+        register_socrata_datasource,
+    )
+
+    register_socrata_datasource(spark)
+    rows = [
+        {
+            "feed_id": str(i),
+            "agency_name": f"agency {i}",
+            "have_consent_for_ntm": i % 3 != 0,
+        }
+        for i in range(30)
+    ]
+    df = (
+        spark.read.format("socrata")
+        .option("fake_rows", _json.dumps(rows))
+        .option("page_size", 7)
+        .load()
+        .filter(F.col("have_consent_for_ntm") == True)  # noqa: E712
+        .select("feed_id", "agency_name")
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if _re.search(r"\bFilter \(\d+\)", plan):
+        raise AssertionError("consent predicate was not pushed into the scan")
+    return df

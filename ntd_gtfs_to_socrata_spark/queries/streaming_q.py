@@ -128,3 +128,70 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = SJ.click_purchase_interval_join(clicks, purchases)
     name = _run_to_table(joined, "ssij", "append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows, watermark semantics value-hash checked
+# ---------------------------------------------------------------------------
+
+STREAM_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '5 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last,
+         count(*) AS n_events
+  FROM islands
+  GROUP BY user_id, session_no
+),
+wm AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 3600 AS watermark FROM events
+)
+-- append-mode emission rule: a session is final (and emitted) once the
+-- terminal watermark passes its end + gap; later sessions stay in state
+SELECT s.user_id, s.session_start, s.session_last, s.n_events
+FROM sessions s CROSS JOIN wm
+WHERE s.session_last + 300 <= wm.watermark
+"""
+
+
+@register("stream_session_windows", STREAM_SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization under a 1-hour watermark, value-hash
+    checked INCLUDING the eviction rule: the oracle replays the
+    gaps-and-islands sessions AND the append-mode emission predicate
+    (session_last + gap ≤ terminal watermark), so what's checked is not
+    just the happy-path session algebra but which sessions a bounded-state
+    stream is allowed to finalize — the part that actually distinguishes
+    streaming from batch. (The batch twin ``tw_session_windows`` checks
+    the unfiltered session set.)
+
+    Scale posture: session-window state is partitioned by user_id in the
+    state store; the watermark bounds per-key state lifetime, so an
+    unbounded stream holds only open sessions."""
+    stream = EW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.unix_timestamp(F.max("ts")).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+    name = _run_to_table(agg, "ssw", "append")
+    return spark.table(name)

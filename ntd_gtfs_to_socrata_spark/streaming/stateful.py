@@ -17,6 +17,14 @@ watermarks (resp. state timeouts) bound per-key state lifetime.
 
 from __future__ import annotations
 
+# NOTE: Spark 4's successor API (``transformWithStateInPandas`` — ValueState/
+# ListState/MapState + timers) is present in this PySpark build but its
+# state-server protocol requires ``google.protobuf``, which this container
+# does not ship (verified: the driver worker crashes with ImportError on
+# protobuf descriptor import). ``applyInPandasWithState`` below is the
+# supported custom-state surface here; the operator bodies port 1:1 once
+# protobuf is available.
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
