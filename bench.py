@@ -92,6 +92,11 @@ HEADLINE = [
     # stream-stream join (batch twin) + variant extraction
     "ss_interval_join_batch",
     "f12b_variant_extract",
+    # r6 additions: retrieval, rank stats, directed containment, phash LSH
+    "rag_bm25_topk",
+    "eval_auc_rank",
+    "dedup_containment",
+    "mm_phash_neardup",
 ]
 
 

@@ -1977,3 +1977,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.dst").alias("dst"),
         F.round(F.col("e.c"), 4).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (memorization / diversity monitor)
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+dfreq AS (
+  SELECT shingle, count(*) AS df FROM exploded GROUP BY shingle
+)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novelty
+FROM exploded e JOIN dfreq d ON e.shingle = d.shingle
+GROUP BY e.doc_id
+"""
+
+
+@register("text_ngram_novelty", NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct 3-gram
+    shingles that appear NOWHERE else in the corpus (document frequency
+    exactly 1). Low novelty = templated/duplicated content; the cheap
+    corpus-diversity monitor that complements pairwise dedup (a doc can
+    evade every pairwise threshold yet be 95% boilerplate).
+
+    Scale posture: one shuffle builds the shingle document-frequency
+    table, one joins it back, one aggregates per doc — all keyed on the
+    xxhash64'd shingle / doc_id with map-side combine. Same note as
+    ``dedup_incremental_lsh``: 8-byte hashed keys in every shuffle, the
+    string shingles never leave the scan stage."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("shingle_s"),
+    ).select("doc_id", F.xxhash64("shingle_s").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("long").alias("n_unique"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -283,3 +283,55 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins (reliability diagram + ECE terms)
+# ---------------------------------------------------------------------------
+
+_CAL_SCALE = 500.0  # score -> pseudo-probability divisor
+
+CALIBRATION_ORACLE = f"""
+WITH scored AS (
+  SELECT least(value / {_CAL_SCALE}, 1.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y FROM scored
+)
+SELECT bin,
+       count(*) AS n,
+       round(avg(p), 4) AS mean_pred,
+       round(avg(CAST(y AS DOUBLE)), 4) AS frac_pos,
+       round(abs(avg(p) - avg(CAST(y AS DOUBLE))), 4) AS abs_gap
+FROM binned GROUP BY bin
+"""
+
+
+@register("eval_calibration_bins", CALIBRATION_ORACLE)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for ``value/500`` as a pseudo-probability
+    of ``purchase``: per decile bin, the mean predicted probability, the
+    empirical positive rate, and their absolute gap — the per-bin terms of
+    Expected Calibration Error (ECE = Σ n_b/N · abs_gap_b, one more
+    1-row fold the caller owns).
+
+    Scale posture: one map-side bin assignment + one 10-key aggregation
+    with partial combine — the ``eval_auc_rank`` family shape, nothing
+    rank- or sort-based anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.least(F.col("value") / _CAL_SCALE, F.lit(1.0)).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    binned = ev.select(
+        F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "p",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 4).alias("mean_pred"),
+        F.round(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
+        F.round(F.abs(F.avg("p") - F.avg(F.col("y").cast("double"))), 4).alias("abs_gap"),
+    )

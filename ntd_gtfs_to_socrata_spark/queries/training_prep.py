@@ -837,3 +837,79 @@ def tp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("llr") > 0).alias("target_like"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching (padding-waste accounting)
+# ---------------------------------------------------------------------------
+
+_LB_BUDGET = 4096  # token budget per batch
+_LB_POWS = [2**k for k in range(4, 14)]  # bucket lengths 16..8192
+
+_LB_CASE_SQL = "CASE " + " ".join(
+    f"WHEN n_tok <= {p} THEN {p}" for p in _LB_POWS
+) + f" ELSE {_LB_POWS[-1]} END"
+
+LENGTH_BUCKET_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tok, {_LB_CASE_SQL} AS bucket_len FROM lens
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       count(*) AS n_seqs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(sum(n_tok) AS DOUBLE) / (count(*) * bucket_len), 4)
+         AS pad_ratio,
+       CAST(ceil(CAST(count(*) AS DOUBLE)
+                 / greatest({_LB_BUDGET} // bucket_len, 1)) AS BIGINT)
+         AS n_batches
+FROM bucketed GROUP BY bucket_len
+"""
+
+
+@register("tp_length_bucketed_batching", LENGTH_BUCKET_ORACLE)
+def tp_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the padding-waste killer in LLM
+    training: sequences grouped into power-of-2 length buckets (16..8192),
+    each bucket batched to a 4096-token budget; reports per-bucket
+    sequence count, real vs padded token totals, padding ratio, and batch
+    count. Bucket assignment is a chain of INTEGER comparisons (never
+    ``2^ceil(log2 n)`` — FP log at exact powers of two flips the bucket),
+    so Spark and DuckDB agree bit-exactly.
+
+    Scale posture: one map-side bucket assignment + one key aggregation —
+    the whole plan is a single shuffle on ≤ 10 bucket keys with partial
+    aggregation; the corpus never moves."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(TX.tokens(F.col("text")))
+    bucket = F.lit(_LB_POWS[-1])
+    for p in reversed(_LB_POWS):
+        bucket = F.when(n_tok <= p, F.lit(p)).otherwise(bucket)
+    lens = docs.select(n_tok.alias("n_tok"), bucket.cast("long").alias("bucket_len"))
+    batch_size = F.greatest(
+        F.floor(F.lit(_LB_BUDGET) / F.col("bucket_len")), F.lit(1)
+    )
+    return (
+        lens.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket_len")).cast("long").alias("padded_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_seqs",
+            "total_tokens",
+            "padded_tokens",
+            F.round(
+                1.0 - F.col("total_tokens").cast("double") / F.col("padded_tokens"), 4
+            ).alias("pad_ratio"),
+            F.ceil(F.col("n_seqs").cast("double") / batch_size)
+            .cast("long")
+            .alias("n_batches"),
+        )
+    )

@@ -78,3 +78,53 @@ def test_containment_asymmetric_and_superset_of_jaccard_hits(spark, sf_dir):
         if r["jaccard"] >= 0.6:
             assert (r["doc_a"], r["doc_b"]) in cont
             assert (r["doc_b"], r["doc_a"]) in cont
+
+
+def test_length_buckets_are_powers_of_two_and_cover_corpus(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.training_prep import (
+        tp_length_bucketed_batching,
+    )
+
+    rows = tp_length_bucketed_batching(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_seqs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_len"] & (r["bucket_len"] - 1) == 0  # power of 2
+        assert r["total_tokens"] <= r["padded_tokens"]
+        assert 0.0 <= r["pad_ratio"] < 1.0
+        assert r["n_batches"] >= 1
+
+
+def test_novelty_bounds_and_duplicate_docs_score_zero(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        dedup_exact,
+        text_ngram_novelty,
+    )
+
+    nov = {r["doc_id"]: r["novelty"] for r in text_ngram_novelty(spark, sf_dir).collect()}
+    assert all(0.0 <= v <= 1.0 for v in nov.values())
+    # exact-duplicate docs share every shingle => df >= 2 => novelty 0
+    dups = [r for r in dedup_exact(spark, sf_dir).collect() if r["n_copies"] > 1]
+    if dups:
+        docs = load_table(spark, sf_dir, "documents")
+        texts = {}
+        for r in docs.collect():
+            texts.setdefault(r["text"], []).append(r["doc_id"])
+        for group in texts.values():
+            if len(group) > 1:
+                for d in group:
+                    if d in nov:
+                        assert nov[d] == 0.0
+
+
+def test_calibration_weighted_gaps_form_valid_ece(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.stats_q import eval_calibration_bins
+
+    rows = eval_calibration_bins(spark, sf_dir).collect()
+    n = sum(r["n"] for r in rows)
+    ece = sum(r["n"] / n * r["abs_gap"] for r in rows)
+    assert 0.0 <= ece <= 1.0
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
