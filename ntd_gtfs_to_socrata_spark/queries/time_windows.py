@@ -491,3 +491,75 @@ def dq_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rz, 4).alias("robust_z"),
         (rz > 3.0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill + LOCF (sparse-metric densification)
+# ---------------------------------------------------------------------------
+
+GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n, round(sum(value), 2) AS day_value
+  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+       coalesce(d.n, 0) AS n_events,
+       (d.n IS NULL) AS is_gap,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+@register("tw_gap_fill_locf", GAP_FILL_ORACLE)
+def tw_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per-user daily grid from first to last
+    active day (``sequence`` + explode — no calendar dim needed), missing
+    days joined in as explicit zero/gap rows, and the day value carried
+    forward with LOCF (``last(..., ignorenulls)`` over the per-user
+    frame). The sparse-metrics staple for dashboards and feature
+    engineering; user subset (1 in 50) keeps the checked output readable.
+
+    Scale posture: the grid explode is bounded by span-days per user (31
+    here), the join is keyed on (user, day), and the LOCF window is
+    partitioned BY USER — bounded partitions, never a global order. The
+    daily aggregate is map-side combined before anything fans out."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
