@@ -1430,3 +1430,64 @@ def a6_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 a6_count_min_heavy_hitters.__doc__ = a6_count_min_heavy_hitters.__doc__.format(
     d=len(_CMS_PRIMES), w=_CMS_W
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality pre-flight (the other half of dq_join_key_skew)
+# ---------------------------------------------------------------------------
+
+JOIN_CARD_ORACLE = """
+WITH a AS (
+  SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT c_custkey AS k, count(*) AS nb FROM customer GROUP BY c_custkey
+),
+m AS (SELECT a.k, a.na, b.nb FROM a JOIN b ON a.k = b.k)
+SELECT CAST(sum(na * nb) AS BIGINT) AS est_output_rows,
+       CAST(count(*) AS BIGINT) AS n_matching_keys,
+       CAST(max(na * nb) AS BIGINT) AS max_key_fanout,
+       round(CAST(sum(na * nb) AS DOUBLE) / count(*), 2) AS avg_key_fanout,
+       CAST((SELECT count(*) FROM a) AS BIGINT) AS n_keys_left,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_keys_right
+FROM m
+"""
+
+
+@register("dq_join_cardinality_estimate", JOIN_CARD_ORACLE)
+def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: the EXACT output cardinality of
+    orders⋈customer on custkey computed WITHOUT materializing the join —
+    Σ over matching keys of na·nb, plus the max single-key fan-out (the
+    row a skew split would target). With `dq_join_key_skew` this is the
+    planner's pre-flight pair: skew says HOW the shuffle hurts, this says
+    HOW BIG the output is — run both before committing a fact⋈fact join
+    at 100 TB.
+
+    Scale posture: two map-side-combined key aggregations (each shuffles
+    one row per distinct key, not per input row) + one key-sized join +
+    a 1-row fold. The estimate is exact for equi-joins because join
+    output per key IS na·nb — no sampling, no sketch, no join executed."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    m = a.join(b, "k").select("k", "na", "nb", (F.col("na") * F.col("nb")).alias("f"))
+    counts_a = a.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    counts_b = b.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    return (
+        m.agg(
+            F.sum("f").cast("long").alias("est_output_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+            F.max("f").cast("long").alias("max_key_fanout"),
+            F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_key_fanout"
+            ),
+        )
+        .crossJoin(F.broadcast(counts_a))
+        .crossJoin(F.broadcast(counts_b))
+    )
