@@ -315,3 +315,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose degree in the SURVIVING subgraph is < k until a fixpoint; return
+    the surviving nodes with their within-core degree.
+
+    Input is an UNDIRECTED pair list (one row per pair); it is symmetrized
+    here so degree = count of incident edges. Each round is one node-keyed
+    degree aggregation + two semi-join filters on the low-degree key set —
+    the same bounded-state loop contract as ``connected_components``
+    (``localCheckpoint`` truncates lineage; the low-degree set is a
+    control-plane count per round). Peeling removes at least one node per
+    non-terminal round, and in practice the dedup graph converges in 2-3
+    rounds (chains peel in one pass). Exhaustion RAISES — a partial peel
+    is a wrong k-core, never returned.
+
+    Scale posture: every shuffle is keyed on a node id over the current
+    survivor edge set, which only SHRINKS; no window, no collect of
+    anything but the per-round empty-check scalar.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("s")
+        if low.isEmpty():
+            return deg.select(
+                F.col("s").alias("node"), F.col("deg").cast("long").alias("core_degree")
+            )
+        e = (
+            e.join(low, "s", "left_anti")
+            .join(low.select(F.col("s").alias("d")), "d", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within {max_iterations} peeling rounds — "
+        "unexpected for any graph (each round removes a node or terminates); "
+        "raise max_iterations"
+    )

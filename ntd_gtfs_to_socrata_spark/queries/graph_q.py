@@ -323,3 +323,53 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("min_doc_id"),
     )
+
+
+_KCORE_K = 2
+_KCORE_LEVELS = 12  # oracle unroll depth; peeling converges in 2-3 rounds
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling as chained CTEs (the _pagerank_oracle pattern):
+    lvl{i+1} keeps edges whose BOTH endpoints have degree >= k within
+    lvl{i}. With more levels than the graph needs, the last level IS the
+    fixpoint the distributed loop converges to."""
+    steps = []
+    for i in range(_KCORE_LEVELS):
+        steps.append(
+            f"lvl{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT e.src, e.dst FROM lvl{i} e\n"
+            f"  JOIN (SELECT src, count(*) AS c FROM lvl{i} GROUP BY src) da\n"
+            f"    ON da.src = e.src AND da.c >= {_KCORE_K}\n"
+            f"  JOIN (SELECT src, count(*) AS c FROM lvl{i} GROUP BY src) db\n"
+            f"    ON db.src = e.dst AND db.c >= {_KCORE_K}\n)"
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED ({_ngram_oracle()}),
+lvl0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+{chained}
+SELECT src AS doc_id, count(*) AS core_degree
+FROM lvl{_KCORE_LEVELS} GROUP BY src
+"""
+
+
+@register("graph_k_core", _kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph: iteratively peel degree-<2 nodes so
+    only DENSE duplicate clumps survive — chains and isolated pairs (the
+    borderline-Jaccard noise) drop out, leaving the transcription-farm
+    cores worth human review. The third iterative-algorithm entry beside
+    min-label CC and large-star/small-star, value-hash checked against a
+    fixed-unroll declarative replay of the peeling (the PageRank oracle
+    pattern)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    return k_core(pairs, k=_KCORE_K, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "core_degree"
+    )

@@ -184,3 +184,23 @@ def test_label_propagation_splits_bridged_cliques(spark):
     assert len({got[n] for n in range(4)}) == 1
     assert len({got[n] for n in range(10, 14)}) == 1
     assert got[0] != got[10]
+
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + a tail 3-4-5: the 2-core is exactly the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["core_degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_of_pure_path_is_empty(spark):
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert k_core(edges, k=2).count() == 0
