@@ -2039,3 +2039,78 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style cleaning rule bundle (decision artifact, not just features)
+# ---------------------------------------------------------------------------
+
+GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) >= 50 AND len(toks) <= 100000 AS r_word_count,
+  (CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)) >= 3
+    AND (CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)) <= 10
+    AS r_mean_word_len,
+  len(list_distinct(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x)))) >= 2
+    AS r_stopwords,
+  (CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+    / greatest(len(toks), 1)) <= 0.2 AS r_numeric,
+  (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) >= 0.3
+    AS r_distinct,
+  len(toks) >= 50 AND len(toks) <= 100000
+    AND (CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)) >= 3
+    AND (CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)) <= 10
+    AND len(list_distinct(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x)))) >= 2
+    AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+         / greatest(len(toks), 1)) <= 0.2
+    AND (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) >= 0.3
+    AS keep
+FROM t
+"""
+
+
+@register("text_gopher_rules", GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style cleaning RULE BUNDLE — the decision artifact on top
+    of ``text_quality_scores``'s features: per-doc pass/fail for word
+    count [50, 100k], mean word length [3, 10], ≥2 distinct stopwords,
+    numeric-token ratio ≤ 0.2, distinct-token ratio ≥ 0.3 (the in-doc
+    repetition cut), and the conjunctive ``keep``. Publishing the flags
+    (not just ``keep``) is deliberate: rule ablation reports need the
+    per-rule failure counts.
+
+    Scale posture: pure map stage — every rule is a higher-order-function
+    Column expression; zero shuffles, scores 100 TB at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = F.length("text").cast("double") / F.greatest(n, F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    )
+    numeric_ratio = (
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n, F.lit(1)
+    )
+    r_wc = (n >= 50) & (n <= 100000)
+    r_ml = (mean_len >= 3) & (mean_len <= 10)
+    r_st = n_stop >= 2
+    r_nu = numeric_ratio <= 0.2
+    r_di = distinct_ratio >= 0.3
+    return docs.select(
+        "doc_id",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_word_len"),
+        r_st.alias("r_stopwords"),
+        r_nu.alias("r_numeric"),
+        r_di.alias("r_distinct"),
+        (r_wc & r_ml & r_st & r_nu & r_di).alias("keep"),
+    )

@@ -195,3 +195,50 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(agg, "ssw", "append")
     return spark.table(name)
+
+
+STREAM_TUMBLING_ORACLE = """
+WITH agg AS (
+  SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
+           AS window_start,
+         event_type,
+         count(*) AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events
+  GROUP BY window_start, event_type
+),
+wm AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 3600 AS watermark FROM events
+)
+-- append-mode emission: a window finalizes once the terminal watermark
+-- passes its END (start + 600s)
+SELECT a.window_start, a.event_type, a.n, a.sum_value
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + 600 <= wm.watermark
+"""
+
+
+@register("stream_tumbling_counts", STREAM_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tumbling windows under a 1-hour watermark — like
+    ``stream_session_windows``, the oracle replays the aggregation AND
+    the append-mode finalization rule (window_end ≤ terminal watermark),
+    so the value-hash certifies exactly which windows a bounded-state
+    stream emits. Batch twin: ``tw_tumbling_counts`` (unfiltered)."""
+    stream = EW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = _run_to_table(agg, "stc", "append")
+    return spark.table(name)

@@ -913,3 +913,65 @@ def tp_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_batches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing boundaries (attention-mask input)
+# ---------------------------------------------------------------------------
+
+PACK_BOUNDARIES_ORACLE = """
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS off
+  FROM t
+)
+SELECT lang, CAST(floor(off / 512.0) AS BIGINT) AS seq_bin,
+       count(*) AS n_docs,
+       array_to_string(list(CAST(off - CAST(floor(off / 512.0) AS BIGINT) * 512
+                             AS BIGINT) ORDER BY off), ',') AS boundaries
+FROM c GROUP BY lang, seq_bin
+"""
+
+
+@register("tp_pack_boundaries", PACK_BOUNDARIES_ORACLE)
+def tp_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attention-mask companion to ``tp_pack_sequences``: per packed
+    512-token bin, the SORTED in-bin start offsets of every document it
+    holds — exactly the boundary list a packed-attention kernel (or
+    position-id reset) consumes. Same lang-partitioned running-sum
+    window; the boundary array is bin-local so downstream masking never
+    recomputes global offsets.
+
+    Scale posture: identical to tp_pack_sequences — one hash shuffle on
+    the shard key, the window and the boundary collect_list both ride the
+    per-shard partitioning (collect_list output is bounded by docs per
+    512-token bin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    c = toks.select("lang", "n_tokens", off)
+    bin_col = F.floor(F.col("off") / 512.0).cast("long")
+    return (
+        c.select("lang", bin_col.alias("seq_bin"), (F.col("off") - bin_col * 512).alias("b"))
+        .groupBy("lang", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # emitted as a comma-joined string: the driver value-hash
+            # factorizes cells, and array cells are unhashable there
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("b").cast("long"))), ","
+            ).alias("boundaries"),
+        )
+    )
