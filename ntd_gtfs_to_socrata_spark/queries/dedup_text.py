@@ -2114,3 +2114,81 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_di.alias("r_distinct"),
         (r_wc & r_ml & r_st & r_nu & r_di).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster quality report (the reviewable output of the dedup pipeline)
+# ---------------------------------------------------------------------------
+
+CLUSTER_REPORT_ORACLE = f"""
+WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (
+  SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component_id, count(*) AS n_docs FROM cc GROUP BY component_id
+),
+edge_stats AS (
+  SELECT c.component_id,
+         count(*) AS n_edges,
+         round(avg(p.jaccard), 4) AS avg_jaccard,
+         round(min(p.jaccard), 4) AS min_jaccard
+  FROM pairs_j p JOIN cc c ON c.doc_id = p.doc_a
+  GROUP BY c.component_id
+)
+SELECT s.component_id, s.n_docs, e.n_edges, e.avg_jaccard, e.min_jaccard,
+       round(2.0 * e.n_edges / (s.n_docs * (s.n_docs - 1)), 4) AS density
+FROM sizes s JOIN edge_stats e ON s.component_id = e.component_id
+"""
+
+
+@register("dedup_cluster_report", CLUSTER_REPORT_ORACLE)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality report — the artifact a human reviews before a
+    destructive dedup ships: for every duplicate component, its size,
+    edge count, mean/min pairwise Jaccard, and edge density (1.0 = a
+    clique of mutual near-dups, low density = a chain stitched through
+    borderline pairs — exactly the clusters worth a second look before
+    keep-one deletion fires). Composes the pair generator and the CC
+    operator; the min-Jaccard column is the cluster's weakest link.
+
+    Scale posture: CC labels (node, component) join the pair list on
+    doc_a — one key shuffle each side — then two key aggregations;
+    everything downstream of pair generation is label-sized, not
+    corpus-sized."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    edge_stats = (
+        pairs.join(cc, pairs.doc_a == cc.doc_id)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.round(F.min("jaccard"), 4).alias("min_jaccard"),
+        )
+    )
+    return sizes.join(edge_stats, "component_id").select(
+        "component_id",
+        "n_docs",
+        "n_edges",
+        "avg_jaccard",
+        "min_jaccard",
+        F.round(
+            2.0 * F.col("n_edges") / (F.col("n_docs") * (F.col("n_docs") - 1)), 4
+        ).alias("density"),
+    )

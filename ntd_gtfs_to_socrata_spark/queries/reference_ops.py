@@ -852,3 +852,53 @@ def j8b_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
     )
     return maintained
+
+
+# ---------------------------------------------------------------------------
+# J8c: incremental JOIN maintenance (the IVM delta decomposition)
+# ---------------------------------------------------------------------------
+
+IVM_JOIN_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, o.o_orderpriority,
+       CAST(l.l_quantity AS DOUBLE) AS l_quantity
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 11 = 0 OR l.l_orderkey % 13 = 0
+"""
+
+
+@register("j8c_incremental_join_delta", IVM_JOIN_ORACLE)
+def j8c_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view: with inserts ΔA to
+    orders and ΔB to lineitem, the view delta is the classic three-term
+    decomposition  Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB  — three joins
+    whose LEFT inputs are delta-sized, instead of re-joining two full
+    tables (the j8b aggregation-maintenance story, now for joins). The
+    oracle states the declarative truth (full join where either side is
+    new), so the value-hash PROVES the decomposition's three disjoint
+    terms tile the delta exactly.
+
+    Scale posture: ΔA and ΔB broadcast (delta-sized by definition of an
+    incremental batch), so maintaining the view costs two broadcast
+    probes of the big tables' NEW data only + one delta×delta join — the
+    full A_old⋈B_old result is never recomputed. At 100 TB the old
+    sides' probes prune further by join-key partition/bucket layout
+    (io.write_bucketed)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", (F.col("o_orderkey") % 11 == 0).alias("is_new")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_orderkey") % 13 == 0).alias("is_new_l"),
+    )
+    a_old = orders.filter(~F.col("is_new")).drop("is_new")
+    d_a = orders.filter(F.col("is_new")).drop("is_new")
+    b_old = li.filter(~F.col("is_new_l")).drop("is_new_l")
+    d_b = li.filter(F.col("is_new_l")).drop("is_new_l")
+    on = F.col("o_orderkey") == F.col("l_orderkey")
+    cols = ["o_orderkey", "l_linenumber", "o_orderpriority", "l_quantity"]
+    t1 = F.broadcast(d_a).join(b_old, on).select(*cols)
+    t2 = a_old.join(F.broadcast(d_b), on).select(*cols)
+    t3 = F.broadcast(d_a).join(d_b, on).select(*cols)
+    return t1.unionAll(t2).unionAll(t3)
