@@ -440,3 +440,120 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reduction_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic match scoring
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# (m, u) per comparison field: P(agree | match), P(agree | non-match).
+_FS_FIELDS = {
+    "name": (0.90, 0.001),  # levenshtein <= 1 on the corrupted name
+    "bal": (0.98, 0.05),  # exact balance equality within the block
+    "seg": (0.95, 0.2),  # market segment equality (5 segments -> u = 1/5)
+}
+# log2 agreement / disagreement weights precomputed as Python literals so
+# Spark and DuckDB sum IDENTICAL constants (no engine log() in the plan)
+_FS_W = {
+    f: (
+        round(_math.log2(m / u), 6),
+        round(_math.log2((1 - m) / (1 - u)), 6),
+    )
+    for f, (m, u) in _FS_FIELDS.items()
+}
+_FS_MATCH_T = 10.0  # score >= -> match
+_FS_POSSIBLE_T = 0.0  # score >= -> possible (clerical review)
+
+_FS_SCORE_SQL = " + ".join(
+    f"(CASE WHEN {cond} THEN {w_a} ELSE {w_d} END)"
+    for cond, (w_a, w_d) in [
+        ("levenshtein(a.c_name, b.name_dirty) <= 1", _FS_W["name"]),
+        ("a.c_acctbal = b.c_acctbal", _FS_W["bal"]),
+        ("a.c_mktsegment = b.mktsegment", _FS_W["seg"]),
+    ]
+)
+
+FS_ORACLE = f"""
+WITH dirty AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment AS mktsegment,
+         concat(substr(c_name, 1, (c_custkey % 8) + 9),
+                substr(c_name, (c_custkey % 8) + 11)) AS name_dirty
+  FROM customer
+),
+scored AS (
+  SELECT a.c_custkey AS custkey_clean,
+         b.c_custkey AS custkey_dirty,
+         levenshtein(a.c_name, b.name_dirty) <= 1 AS agree_name,
+         a.c_acctbal = b.c_acctbal AS agree_bal,
+         a.c_mktsegment = b.mktsegment AS agree_seg,
+         round({_FS_SCORE_SQL}, 4) AS score
+  FROM customer a
+  JOIN dirty b
+    ON a.c_nationkey = b.c_nationkey
+   AND CAST(floor(a.c_acctbal / 100) AS BIGINT)
+       = CAST(floor(b.c_acctbal / 100) AS BIGINT)
+)
+SELECT custkey_clean, custkey_dirty, agree_name, agree_bal, agree_seg, score,
+       CASE WHEN score >= {_FS_MATCH_T} THEN 'match'
+            WHEN score >= {_FS_POSSIBLE_T} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM scored
+WHERE score >= {_FS_POSSIBLE_T}
+"""
+
+
+@register("er_fellegi_sunter", FS_ORACLE)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the blocked
+    candidates: per comparison field (name-within-edit-1, exact balance,
+    segment) an agreement adds log2(m/u) and a disagreement adds
+    log2((1−m)/(1−u)); the summed score classifies match / possible /
+    non-match. The log-weights are PRECOMPUTED Python literals, so both
+    engines sum identical constants — determinism by construction, the
+    minhash-permutation trick applied to linkage theory.
+
+    Scale posture: identical plan to ``er_blocked_matches`` — one blocked
+    equi-join, all field comparators and the score map-side; the m/u
+    parameters are the only thing EM training would change, not the
+    plan."""
+    clean = load_table(spark, sf_dir, "customer")
+    dirty = _dirty_customers(spark, sf_dir).join(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        ),
+        F.col("c_custkey") == F.col("ck"),
+    ).drop("ck")
+    block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    cand = clean.alias("a").join(
+        dirty.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
+    )
+    agree = {
+        "name": F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty")) <= 1,
+        "bal": F.col("a.c_acctbal") == F.col("b.c_acctbal"),
+        "seg": F.col("a.c_mktsegment") == F.col("b.mktsegment"),
+    }
+    score = None
+    for f_key, cond in agree.items():
+        w_a, w_d = _FS_W[f_key]
+        term = F.when(cond, F.lit(w_a)).otherwise(F.lit(w_d))
+        score = term if score is None else score + term
+    scored = cand.select(
+        F.col("a.c_custkey").alias("custkey_clean"),
+        F.col("b.c_custkey").alias("custkey_dirty"),
+        agree["name"].alias("agree_name"),
+        agree["bal"].alias("agree_bal"),
+        agree["seg"].alias("agree_seg"),
+        F.round(score, 4).alias("score"),
+    )
+    return scored.filter(F.col("score") >= _FS_POSSIBLE_T).select(
+        "*",
+        F.when(F.col("score") >= _FS_MATCH_T, "match")
+        .when(F.col("score") >= _FS_POSSIBLE_T, "possible")
+        .otherwise("non_match")
+        .alias("decision"),
+    )
