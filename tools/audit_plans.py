@@ -57,6 +57,7 @@ BNLJ_OK = {
     "dq_anomaly_daily_counts",  # 1-row median/MAD scalars over the tiny daily series
     "er_blocking_quality",  # 1-row candidate-stats × 1-row true-pair-count crossJoin
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
+    "dq_join_cardinality_estimate",  # two 1-row key-count scalars crossJoined onto the 1-row estimate
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -171,6 +172,10 @@ EXCHANGES_OK = {
     # bin agg + block agg + block-offset sort + in-block window + final
     # fold: each is one bounded-cardinality exchange (bins, blocks)
     "eval_auc_rank",
+    # per-side key aggregates + key join + 1-row fold; the key-count
+    # scalars re-list the key-agg subtrees in the static plan (AQE
+    # reuses the identical exchanges at runtime)
+    "dq_join_cardinality_estimate",
 }
 
 
