@@ -162,3 +162,33 @@ def phash_bands(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         phash_band_batch, schema=PHASH_SCHEMA
     )
+
+
+FRAME_INTENSITY_SCHEMA = "doc_id long, frame_no int, intensity long"
+
+_FRAME_BYTES = 100  # bytes per (stub) frame
+
+
+def frame_intensity_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME DECODER + real per-frame reduction: a real pipeline
+    decodes frames and takes mean luma; the stub reads each 100-byte
+    payload slice as the frame and sums its bytes (integer => bit-exact
+    across engines). Same cumulative-sum slicing as ``phash_band_batch``."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_no", "intensity")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for i in range(0, max(len(arr), 1), _FRAME_BYTES):
+                out["doc_id"].append(doc_id)
+                out["frame_no"].append(i // _FRAME_BYTES)
+                out["intensity"].append(int(arr[i : i + _FRAME_BYTES].sum()))
+        yield pd.DataFrame(out)
+
+
+def frame_intensities(with_payload: DataFrame) -> DataFrame:
+    """Per-frame intensity rows, Arrow-batched."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        frame_intensity_batch, schema=FRAME_INTENSITY_SCHEMA
+    )

@@ -6,7 +6,7 @@ operators/multimodal.py for the stub contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.io import load_table
@@ -224,4 +224,60 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_T)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection (video preprocessing shape)
+# ---------------------------------------------------------------------------
+
+_SCENE_T = 500  # |intensity delta| above which a frame starts a new scene
+
+SCENE_CUT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1)))
+           AS samples
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(wins, 1) - 1 AS INT) AS frame_no,
+         CAST(list_aggregate(unnest(wins), 'sum') AS BIGINT) AS intensity
+  FROM (
+    SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(samples) / 100.0) AS BIGINT)),
+                          g -> samples[g * 100 + 1 : g * 100 + 100]) AS wins
+    FROM b
+  )
+)
+SELECT doc_id, frame_no, intensity,
+       coalesce(abs(intensity - lag(intensity) OVER (
+         PARTITION BY doc_id ORDER BY frame_no)) > {_SCENE_T}, FALSE) AS is_cut
+FROM frames
+"""
+
+
+@register("mm_scene_cut", SCENE_CUT_ORACLE)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection — the video-preprocessing fan-out: per-frame
+    intensity (STUB decoder: 100-byte payload slices summed; a real
+    pipeline plugs mean-luma of decoded frames into the same schema),
+    then a PER-VIDEO lag window marks frames whose intensity jumps more
+    than the threshold — the boundary list a frame-sampler keys on.
+
+    Scale posture: intensities come from the Arrow-batched UDF beside
+    the other codecs (one pass over blobs); the delta window partitions
+    BY VIDEO (bounded by frames-per-video), so scene detection
+    distributes with the corpus. Integer arithmetic end to end —
+    bit-exact value-hash across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.frame_intensities(MM.attach_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    delta = F.abs(F.col("intensity") - F.lag("intensity").over(w))
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        "intensity",
+        F.coalesce(delta > _SCENE_T, F.lit(False)).alias("is_cut"),
     )

@@ -1491,3 +1491,65 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(counts_a))
         .crossJoin(F.broadcast(counts_b))
     )
+
+
+# ---------------------------------------------------------------------------
+# Column null/blank profile (the first DQ scan on any new table)
+# ---------------------------------------------------------------------------
+
+NULL_PROFILE_ORACLE = """
+SELECT 'event_type' AS col,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN trim(coalesce(event_type, '')) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'props', count(*),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN trim(coalesce(props, '')) = '' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT)
+FROM events
+"""
+
+
+@register("dq_null_profile", NULL_PROFILE_ORACLE)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column null/blank/distinct profile — the first scan run on any
+    newly-landed table. ONE pass computes every column's counters as
+    parallel aggregate expressions (never one scan per column); the
+    per-column rows are unpivoted from the single aggregate row with
+    ``stack``, so adding a column adds an expression, not a scan.
+
+    Scale posture: one map-side-combined aggregation; exact
+    count_distinct swaps for approx_count_distinct at 100 TB
+    (a6_approx_distinct is the template)."""
+    ev = load_table(spark, sf_dir, "events")
+    one = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_type").isNull().cast("int")).cast("long").alias("et_null"),
+        F.sum(
+            (F.trim(F.coalesce(F.col("event_type"), F.lit(""))) == "").cast("int")
+        ).cast("long").alias("et_blank"),
+        F.count_distinct("event_type").cast("long").alias("et_distinct"),
+        F.sum(F.col("props").isNull().cast("int")).cast("long").alias("pr_null"),
+        F.sum(
+            (F.trim(F.coalesce(F.col("props"), F.lit(""))) == "").cast("int")
+        ).cast("long").alias("pr_blank"),
+        F.count_distinct("props").cast("long").alias("pr_distinct"),
+        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("va_null"),
+        F.count_distinct("value").cast("long").alias("va_distinct"),
+    )
+    return one.selectExpr(
+        """stack(3,
+             'event_type', n_rows, et_null, et_blank, et_distinct,
+             'props',      n_rows, pr_null, pr_blank, pr_distinct,
+             'value',      n_rows, va_null, CAST(0 AS BIGINT), va_distinct
+           ) AS (col, n_rows, n_null, n_blank, n_distinct)"""
+    )

@@ -242,3 +242,50 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(agg, "stc", "append")
     return spark.table(name)
+
+
+STREAM_SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS s, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS s, value
+  FROM events
+),
+agg AS (
+  SELECT CAST(floor(epoch(s)) AS BIGINT) AS window_start,
+         count(*) AS n,
+         round(sum(value), 2) AS sum_value
+  FROM assigned GROUP BY window_start
+),
+wm AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 3600 AS watermark FROM events
+)
+SELECT a.window_start, a.n, a.sum_value
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + 600 <= wm.watermark
+"""
+
+
+@register("stream_sliding_counts", STREAM_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding windows (10 min / 5 min slide) under a 1-hour
+    watermark — completes the eviction-checked trio with
+    ``stream_tumbling_counts`` and ``stream_session_windows``: the oracle
+    replays the 2-way window expansion AND the append-mode finalization
+    rule (window_end ≤ terminal watermark)."""
+    stream = EW.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = _run_to_table(agg, "ssc", "append")
+    return spark.table(name)

@@ -975,3 +975,60 @@ def tp_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boundaries"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-interleaved dataset scheduling (tf.data interleave analog)
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS BIGINT) AS src_rank,
+         CASE WHEN source = 'src0' THEN 2 ELSE 1 END AS weight
+  FROM documents
+),
+sched AS (
+  SELECT doc_id, source, src_rank,
+         CAST(src_rank AS DOUBLE) / weight AS sched_pos
+  FROM ranked
+)
+SELECT doc_id, source, src_rank, round(sched_pos, 2) AS sched_pos
+FROM sched
+ORDER BY sched_pos, source, doc_id
+LIMIT 50
+"""
+
+
+@register("tp_interleave_datasets", INTERLEAVE_ORACLE)
+def tp_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based corpus interleaving (the tf.data
+    ``sample_from_datasets`` analog, made deterministic): source src0 is
+    consumed at weight 2, every other source at weight 1; each doc's
+    schedule position is src_rank/weight, and merging all sources by
+    schedule position yields the exact 2:1:...:1 interleave an epoch
+    reader consumes. First 50 schedule slots returned.
+
+    Scale posture: per-source ranks are windows PARTITIONED BY SOURCE
+    (bounded by per-source cardinality; at 100 TB the key widens to
+    (source, shard) like tp_pack_sequences); the merge is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject, never a global
+    sort materialization — an epoch-sized consumer swaps the limit for a
+    range-partitioned write."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.when(F.col("source") == "src0", F.lit(2)).otherwise(F.lit(1)).alias("weight"),
+    )
+    sched = ranked.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        F.round(F.col("src_rank").cast("double") / F.col("weight"), 2).alias("sched_pos"),
+    )
+    return sched.orderBy("sched_pos", "source", "doc_id").limit(50)
