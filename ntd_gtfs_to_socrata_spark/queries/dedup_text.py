@@ -2192,3 +2192,114 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("n_edges") / (F.col("n_docs") * (F.col("n_docs") - 1)), 4
         ).alias("density"),
     )
+
+
+CONTAIN_CLOSURE_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a
+  JOIN kept k ON a.shingle = k.shingle
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE sa.n_sh < sb.n_sh
+    AND CAST(p.n_common AS DOUBLE) / sa.n_sh >= {_CONTAIN_T}
+),
+reach(start_doc, end_doc, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT r.start_doc, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.end_doc
+)
+SELECT start_doc, end_doc, CAST(min(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY start_doc, end_doc
+"""
+
+
+@register("dedup_containment_closure", CONTAIN_CLOSURE_ORACLE)
+def dedup_containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive quote-inclusion chains via Spark 4's ``WITH RECURSIVE``
+    (recursive CTEs landed in Spark 4.0; only UNION ALL recursion is
+    supported, so the recursion must be over a DAG): strict containment
+    edges (smaller doc ⊂ strictly larger doc, C ≥ 0.6) are acyclic by
+    the size ordering, and the closure reports every (start, end) pair a
+    chain A⊂B⊂C implies, with the minimum chain depth. The DuckDB oracle
+    runs the IDENTICAL recursion — the one operator family where Spark
+    and the oracle share even the algorithm text.
+
+    Scale posture: each recursive step is one keyed join on the frontier
+    (rows added last step) against the edge set; the size-strict DAG
+    bounds depth by the longest inclusion chain (2-3 in practice), and
+    the UNION ALL working set is bounded by paths in a near-dup DAG —
+    tiny. The final GROUP BY dedupes path multiplicity."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    exploded = (
+        docs.select("doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s"))
+        .select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+    )
+    inv = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        inv.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    small_first = pairs.select(
+        F.when(F.col("na") < F.col("nb"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(F.col("na") < F.col("nb"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.least("na", "nb").alias("ns"),
+        F.greatest("na", "nb").alias("nd"),
+        "n_common",
+    )
+    edges = small_first.filter(
+        (F.col("ns") < F.col("nd"))
+        & (F.col("n_common").cast("double") / F.col("ns") >= _CONTAIN_T)
+    ).select("src", "dst")
+    edges.createOrReplaceTempView("contain_edges_rsql")
+    return spark.sql("""
+    WITH RECURSIVE reach(start_doc, end_doc, depth) AS (
+      SELECT src, dst, 1 FROM contain_edges_rsql
+      UNION ALL
+      SELECT r.start_doc, e.dst, r.depth + 1
+      FROM reach r JOIN contain_edges_rsql e ON e.src = r.end_doc
+    )
+    SELECT start_doc, end_doc, CAST(min(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY start_doc, end_doc
+    """)

@@ -1032,3 +1032,63 @@ def tp_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("src_rank").cast("double") / F.col("weight"), 2).alias("sched_pos"),
     )
     return sched.orderBy("sched_pos", "source", "doc_id").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_MOD = 999_983  # prime modulus for the md5-derived uniform
+_AES_K = 20
+
+AES_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_AES_MOD} AS DOUBLE) + 1) / ({_AES_MOD} + 1) AS uni
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_chars, round(ln(uni) / n_chars, 10) AS es_key FROM u
+)
+SELECT doc_id, n_chars, round(es_key * 1000000, 4) AS es_key_ppm
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {_AES_K}
+"""
+
+
+@register("tp_weighted_sample_aes", AES_ORACLE)
+def tp_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, the Efraimidis–Spirakis
+    exponential-keys algorithm: each row gets key u^(1/w) (here ranked by
+    the monotone-equivalent ln(u)/w — no pow), the k largest keys ARE a
+    weighted WOR sample. The distributed-native WOR method: one map-side
+    key expression + a top-k, no sequential draw-and-remove loop, and it
+    composes with per-partition pre-selection (each partition's top-k
+    contains the global top-k). Weight = n_chars; u is the md5-derived
+    uniform shared with every other sampler here, so DuckDB replays the
+    draw exactly.
+
+    Scale posture: ``orderBy(key).limit(k)`` = TakeOrderedAndProject
+    (per-partition partial top-k, one k·partitions merge) — never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") % _AES_MOD).cast("double") + 1
+    ) / (_AES_MOD + 1)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(uni) / F.col("n_chars"), 10).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(_AES_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("es_key") * 1_000_000, 4).alias("es_key_ppm"),
+        )
+    )
