@@ -50,6 +50,7 @@ def load_all_query_modules() -> None:
         privacy_q,
         reference_ops,
         relational,
+        release_q,
         retrieval_q,
         similarity_q,
         sources_sinks_q,
