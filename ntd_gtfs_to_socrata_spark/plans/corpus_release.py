@@ -84,6 +84,14 @@ def build_release(
     exact = (
         ruled.join(canon.select("doc_id"), "doc_id", "left_semi")
         .observe(obs["exact"], F.count(F.lit(1)).alias("n"))
+        # stage boundary: exact survivors feed the shingle index, the
+        # keep-one anti-join AND the decontamination tagging — without a
+        # materialization each branch re-runs rules+dedup (the SCALE.md
+        # "subtree recompute" class). At 100 TB this is a checkpoint to
+        # the lake between stages; locally persist() — unlike
+        # localCheckpoint, the lineage stays a SQL plan, so the stage
+        # observe counters still fire in the write action.
+        .persist()
     )
 
     # near-dup keep-one over the survivors: shared-shingle pairs (hashed
@@ -134,6 +142,9 @@ def build_release(
     neardup = (
         exact.join(drop, "doc_id", "left_anti")
         .observe(obs["neardup"], F.count(F.lit(1)).alias("n"))
+        # second stage boundary: survivors feed eval-shingle extraction,
+        # train-shingle extraction, and the release base (3 branches)
+        .persist()
     )
 
     # decontamination: eval slice = md5 bucket >= 98 (tp_hash_split's
