@@ -1553,3 +1553,64 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              'value',      n_rows, va_null, CAST(0 AS BIGINT), va_distinct
            ) AS (col, n_rows, n_null, n_blank, n_distinct)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (fraud/synthetic-data detector)
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS first_digit
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT first_digit, count(*) AS n FROM digits GROUP BY first_digit
+),
+tot AS (SELECT sum(n) AS total FROM counts)
+SELECT c.first_digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 4) AS observed_p,
+       round(log10(1.0 + 1.0 / c.first_digit), 4) AS benford_p,
+       CAST(floor(abs(CAST(c.n AS DOUBLE) / t.total
+                 - log10(1.0 + 1.0 / c.first_digit)) * 10000) AS BIGINT) AS abs_dev_bp
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register("dq_benford_first_digit", BENFORD_ORACLE)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    tamper/synthetic-data detector: natural multi-magnitude amounts
+    follow P(d) = log10(1 + 1/d); a flat or spiked observed distribution
+    flags generated or manipulated values. Reports per-digit observed vs
+    expected probability and the absolute deviation (the χ²/MAD fold is
+    one more 1-row aggregate the caller owns).
+
+    The first digit comes from the INTEGER rendering (explicit floor,
+    then BIGINT, then string) — a bare double→BIGINT cast TRUNCATES in
+    Spark but ROUNDS in DuckDB, and float-to-string formatting differs
+    across engines; floor-then-int-to-string does neither.
+
+    Scale posture: one 9-key map-side-combined aggregation + a 1-row
+    total broadcast — the eval_calibration_bins shape."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).cast("long").alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    benford_p = F.log10(1.0 + 1.0 / F.col("first_digit"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("observed_p"),
+        F.round(benford_p, 4).alias("benford_p"),
+        # floor-to-basis-points, not round: the deviation lands on round()'s
+        # half boundary and Spark/DuckDB disagree there (repo convention)
+        F.floor(F.abs(F.col("n") / F.col("total") - benford_p) * 10000)
+        .cast("long")
+        .alias("abs_dev_bp"),
+    )

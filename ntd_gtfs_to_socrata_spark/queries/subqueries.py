@@ -215,3 +215,33 @@ def j6_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("total_weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (top-k per row without a window)
+# ---------------------------------------------------------------------------
+
+SQ_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_nationkey = 3
+"""
+
+
+@register("sq_lateral_topk", SQ_LATERAL_ORACLE)
+def sq_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer through a LATERAL correlated subquery —
+    the SQL spelling of per-row top-k. Catalyst decorrelates the lateral
+    into a join + per-key limit (DomainJoin rewrite), so what executes is
+    the same partitioned-top-k shape as ``w3_topk_per_group``, never a
+    per-customer re-scan of orders; the query exists to pin that the
+    LATERAL surface (Spark 3.2+) is first-class and planner-rewritten.
+    Same SQL text runs on DuckDB as the oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQ_LATERAL_ORACLE)

@@ -563,3 +563,56 @@ def tw_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNull().alias("is_gap"),
         F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (min_by/max_by time-series aggregation)
+# ---------------------------------------------------------------------------
+
+OHLC_ORACLE = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS bar_start,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS close,
+       count(*) AS n_events,
+       round(sum(value), 2) AS volume
+FROM events WHERE event_type = 'purchase'
+GROUP BY bar_start
+"""
+
+
+@register("tw_ohlc_bars", OHLC_ORACLE)
+def tw_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over purchase values — the canonical time-series
+    downsample, expressed with ``min_by``/``max_by`` (open = value at the
+    earliest (ts, event_id), close = at the latest; the zero-padded
+    micros+id string key is identically ordered on both engines, making
+    ties deterministic) instead of the
+    window-rank-then-filter detour. One map-side-combinable aggregation:
+    min_by/max_by carry (key, value) partials, so bars reduce like any
+    other agg — no per-bar sort anywhere.
+
+    Scale posture: one shuffle keyed on the bar; at 100 TB add the
+    symbol/series id to the group key and nothing else changes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # engine-portable deterministic order key: zero-padded micros + id
+    tskey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bar_start")
+        )
+        .agg(
+            F.round(F.min_by("value", tskey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", tskey), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
