@@ -128,3 +128,52 @@ def test_calibration_weighted_gaps_form_valid_ece(spark, sf_dir):
         assert 0 <= r["bin"] <= 9
         assert 0.0 <= r["mean_pred"] <= 1.0
         assert 0.0 <= r["frac_pos"] <= 1.0
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_ohlc_bars
+
+    rows = tw_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+        assert r["volume"] >= r["high"]  # sum over >=1 positive values
+
+
+def test_benford_probabilities_partition_unity(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.relational import dq_benford_first_digit
+
+    rows = dq_benford_first_digit(spark, sf_dir).collect()
+    digits = {r["first_digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 0.01
+    # Benford expectation itself partitions unity over digits 1..9
+    import math
+
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_lateral_topk_matches_window_formulation(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.subqueries import sq_lateral_topk
+    from pyspark.sql import Window
+
+    got = {
+        (r["c_custkey"], r["o_orderkey"]) for r in sq_lateral_topk(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want

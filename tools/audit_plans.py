@@ -58,6 +58,7 @@ BNLJ_OK = {
     "er_blocking_quality",  # 1-row candidate-stats × 1-row true-pair-count crossJoin
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
     "dq_join_cardinality_estimate",  # two 1-row key-count scalars crossJoined onto the 1-row estimate
+    "dq_benford_first_digit",  # 1-row digit-count total, broadcast cross join
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -176,6 +177,12 @@ EXCHANGES_OK = {
     # scalars re-list the key-agg subtrees in the static plan (AQE
     # reuses the identical exchanges at runtime)
     "dq_join_cardinality_estimate",
+    # the END-TO-END release composition: rules + exact dedup + shingle
+    # inverted index + CC(+persisted stage boundaries) + decontamination
+    # + split — every stage's exchanges audited individually; the static
+    # plan re-lists persisted-stage subtrees per consuming branch (block
+    # reuse at runtime)
+    "release_pipeline_counts",
 }
 
 
