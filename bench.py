@@ -92,11 +92,16 @@ HEADLINE = [
     # stream-stream join (batch twin) + variant extraction
     "ss_interval_join_batch",
     "f12b_variant_extract",
-    # r6 additions: retrieval, rank stats, directed containment, phash LSH
+    # r6 additions: retrieval, rank stats, directed containment, phash LSH,
+    # probabilistic linkage, OHLC downsampling, novelty, batch planning
     "rag_bm25_topk",
     "eval_auc_rank",
     "dedup_containment",
     "mm_phash_neardup",
+    "er_fellegi_sunter",
+    "tw_ohlc_bars",
+    "text_ngram_novelty",
+    "tp_length_bucketed_batching",
 ]
 
 
