@@ -438,3 +438,76 @@ def test_incremental_agg_maintenance_law(spark, existing, incoming):
         s, c = want.get(g, (0, 0))
         want[g] = (s + v, c + 1)
     assert maintained == want
+
+
+# ---------------------------------------------------------------------------
+# r6 primitives: phash blockhash and k-core vs independent Python models
+# ---------------------------------------------------------------------------
+
+PAYLOAD_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=200
+)
+
+
+def _py_blockhash_bands(data: bytes) -> tuple[int, int, int, int]:
+    n = len(data)
+    if n == 0:
+        return (0, 0, 0, 0)
+    total = sum(data)
+    bits = []
+    for i in range(64):
+        lo, hi = (i * n) // 64, ((i + 1) * n) // 64
+        bits.append(1 if 64 * sum(data[lo:hi]) > total else 0)
+    return tuple(
+        sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)
+    )
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(PAYLOAD_TEXT, min_size=1, max_size=5))
+def test_phash_bands_match_python_model(spark, texts):
+    from ntd_gtfs_to_socrata_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(i, t.encode("utf-8")) for i, t in enumerate(texts)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in MM.phash_bands(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_blockhash_bands(t.encode("utf-8"))
+
+
+def _py_k_core(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < k:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    return {n: len(nbrs) for n, nbrs in adj.items()}
+
+
+SMALL_EDGES = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=SMALL_EDGES)
+def test_k_core_matches_python_peeling(spark, edges):
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert got == _py_k_core(edges, 2)
