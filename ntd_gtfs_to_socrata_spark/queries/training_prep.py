@@ -1092,3 +1092,103 @@ def tp_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("es_key") * 1_000_000, 4).alias("es_key_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing packing (the optimizing twin of tp_pack_sequences)
+# ---------------------------------------------------------------------------
+
+_FFD_CAP = 512
+
+_FFD_POS = (
+    "list_position(list_transform(acc, b -> b + x[1] <= {cap}), true)"
+).format(cap=_FFD_CAP)
+
+FFD_ORACLE = f"""
+WITH t AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+),
+arrs AS (
+  SELECT lang, list_sort(list(CAST(n AS BIGINT)), 'DESC') AS items
+  FROM t GROUP BY lang
+),
+folded AS (
+  SELECT lang, items,
+    reduce(
+      list_prepend([]::BIGINT[], list_transform(items, x -> [x])),
+      (acc, x) -> CASE
+        WHEN {_FFD_POS} IS NULL OR {_FFD_POS} = 0
+        THEN list_append(acc, x[1])
+        ELSE acc[1 : {_FFD_POS} - 1]
+             || [acc[{_FFD_POS}] + x[1]]
+             || acc[{_FFD_POS} + 1 : len(acc)]
+      END
+    ) AS bins
+  FROM arrs
+)
+SELECT lang,
+       CAST(len(items) AS BIGINT) AS n_seqs,
+       CAST(list_aggregate(items, 'sum') AS BIGINT) AS total_tokens,
+       CAST(len(bins) AS BIGINT) AS n_bins,
+       CAST(len(bins) * {_FFD_CAP} - list_aggregate(items, 'sum') AS BIGINT)
+         AS waste_tokens,
+       array_to_string(list_sort(bins, 'DESC'), ',') AS bin_loads
+FROM folded
+"""
+
+
+@register("tp_pack_ffd", FFD_ORACLE)
+def tp_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-DECREASING sequence packing — the optimizing twin of
+    ``tp_pack_sequences``'s contiguous packing (FFD ≤ 11/9·OPT + 1 bins;
+    contiguous packing has no such bound): items sorted longest-first,
+    each placed in the first 512-token bin that fits, expressed as a PURE
+    ``aggregate`` HOF fold over the per-shard item array — no driver
+    loop, no UDF. The DuckDB oracle runs the IDENTICAL fold via
+    ``reduce`` (accumulator = bin-loads list), so both engines replay
+    byte-equal packings including the final per-bin loads.
+
+    Determinism: ties are equal values, and first-fit is insensitive to
+    the order of equal items, so the sorted-desc fold is unique.
+
+    Scale posture: one shuffle groups items per shard key (lang; widen
+    to (lang, shard) at 100 TB exactly like tp_pack_sequences) and the
+    fold runs inside codegen per shard — state is the bin-load array,
+    bounded by bins-per-shard. A shard's items must fit an executor
+    (same grouped-array contract as every collect_list here, documented
+    per SCALE.md's Python-boundary note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(TX.tokens(F.col("text"))).cast("long").alias("n"))
+    arrs = t.groupBy("lang").agg(
+        F.reverse(F.array_sort(F.collect_list("n"))).alias("items")
+    )
+
+    def step(acc, x):
+        fits = F.transform(acc, lambda b: b + x <= _FFD_CAP)
+        pos = F.coalesce(F.array_position(fits, F.lit(True)), F.lit(0))
+        appended = F.concat(acc, F.array(x))
+        placed = F.concat(
+            F.slice(acc, 1, (pos - 1).cast("int")),
+            F.array(F.element_at(acc, pos.cast("int")) + x),
+            F.when(
+                pos < F.size(acc),
+                F.slice(acc, (pos + 1).cast("int"), F.size(acc)),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        return F.when(pos == 0, appended).otherwise(placed)
+
+    bins = F.aggregate(F.col("items"), F.array().cast("array<bigint>"), step)
+    return arrs.select(
+        "lang",
+        F.size("items").cast("long").alias("n_seqs"),
+        F.aggregate("items", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_tokens"
+        ),
+        F.size(bins).cast("long").alias("n_bins"),
+        (
+            F.size(bins).cast("long") * _FFD_CAP
+            - F.aggregate("items", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).alias("waste_tokens"),
+        F.array_join(F.reverse(F.array_sort(bins)), ",").alias("bin_loads"),
+    )

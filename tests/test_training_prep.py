@@ -69,3 +69,21 @@ def test_pack_sequences_shuffles_once_on_shard_key(spark, sf_dir):
     aggregation — partitioning is reused, not re-shuffled."""
     plan = plan_text(tp_pack_sequences(spark, sf_dir), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ffd_never_uses_more_bins_than_contiguous_packing(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.training_prep import (
+        tp_pack_ffd,
+        tp_pack_sequences,
+    )
+
+    ffd = {r["lang"]: r for r in tp_pack_ffd(spark, sf_dir).collect()}
+    contiguous: dict[str, int] = {}
+    for r in tp_pack_sequences(spark, sf_dir).collect():
+        contiguous[r["lang"]] = contiguous.get(r["lang"], 0) + 1
+    for lang, row in ffd.items():
+        # every bin load respects the cap unless a single item overflows it
+        loads = [int(x) for x in row["bin_loads"].split(",")]
+        assert sum(loads) == row["total_tokens"]
+        assert row["n_bins"] <= contiguous[lang]
+        assert row["waste_tokens"] == row["n_bins"] * 512 - row["total_tokens"]
