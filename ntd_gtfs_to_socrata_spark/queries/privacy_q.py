@@ -151,22 +151,24 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L = 3  # minimum distinct sensitive values per QI group
 
 L_DIV_ORACLE = f"""
-WITH qi AS (
+WITH pv AS (
   SELECT c_nationkey,
          CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
-         count(*) AS group_size,
-         count(DISTINCT c_mktsegment) AS diversity,
-         round(-sum(p * ln(p)), 4) AS entropy
-  FROM (
-    SELECT c_nationkey, c_acctbal, c_mktsegment,
-           CAST(count(*) OVER (PARTITION BY c_nationkey,
-                                            CAST(floor(c_acctbal / 1000) AS BIGINT),
-                                            c_mktsegment) AS DOUBLE)
-           / count(*) OVER (PARTITION BY c_nationkey,
-                                         CAST(floor(c_acctbal / 1000) AS BIGINT)) AS p
-    FROM customer
-  )
-  GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+         c_mktsegment,
+         count(*) AS nv
+  FROM customer
+  GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT), c_mktsegment
+),
+qi AS (
+  -- entropy from the per-value counts via ln(S) - sum(nv*ln nv)/S: the
+  -- SAME identity the Spark side folds (a window over raw rows counts
+  -- each value's term nv times and inflates entropy when values repeat)
+  SELECT c_nationkey, bal_band,
+         sum(nv) AS group_size,
+         count(*) AS diversity,
+         round(ln(CAST(sum(nv) AS DOUBLE)) - sum(nv * ln(nv)) / sum(nv), 4)
+           AS entropy
+  FROM pv GROUP BY c_nationkey, bal_band
 )
 SELECT count(*) AS n_groups,
        CAST(sum(CASE WHEN diversity < {_L} THEN 1 ELSE 0 END) AS BIGINT)
@@ -192,8 +194,10 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one two-level aggregation — (QI, sensitive) counts,
     then QI rollup carrying count_distinct + entropy from the per-value
     counts. Both levels are map-side-combinable key aggregations on the
-    QI tuple; no window over the corpus (the oracle SQL states the window
-    formulation only because it reads clearer in DuckDB)."""
+    QI tuple; no window over the corpus — and the oracle uses the SAME
+    per-value-count identity (a row-level window formulation counts each
+    value's entropy term nv times: wrong whenever values repeat, caught
+    at the 10x spot-check)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_nationkey",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
