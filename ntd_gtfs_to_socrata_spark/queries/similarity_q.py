@@ -900,3 +900,115 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neg_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 4)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.4  # cosine threshold, tuned to the synthetic embedding space
+
+SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_inner_product(v.embedding::DOUBLE[], c.ce)
+                                           / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn), 6) DESC,
+                                     c.centroid_id ASC) AS rnk
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT a.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS ve,
+         sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS vn
+  FROM assign_scored a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.rnk = 1
+),
+dups AS (
+  SELECT hi.vec_id, count(*) AS n_dups_lower
+  FROM assigned hi JOIN assigned lo
+    ON hi.centroid_id = lo.centroid_id AND lo.vec_id < hi.vec_id
+  WHERE round(list_inner_product(hi.ve, lo.ve) / (hi.vn * lo.vn), 6)
+        >= {_SEMDEDUP_T}
+  GROUP BY hi.vec_id
+)
+SELECT a.vec_id, a.centroid_id,
+       coalesce(d.n_dups_lower, 0) AS n_dups_lower,
+       d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+@register("sim_semdedup_cells", SEMDEDUP_ORACLE)
+def sim_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup SCOPED TO QUANTIZER
+    CELLS — assign every vector to its nearest coarse centroid (the
+    sim_ivf_assign map-only stage), then compare pairs ONLY within a
+    cell and drop any vector with cosine ≥ t to a lower-id cell-mate
+    (deterministic min-id survivorship). The cell scoping is the entire
+    scale story: pairwise work is Σ cell_size² instead of corpus², and
+    cells are the unit of distribution — the paper's observation that
+    semantic duplicates share a cluster makes the recall loss acceptable.
+    Threshold 0.4 is tuned to the synthetic embedding space (max in-cell
+    cosine ≈ 0.49; real text embeddings use ~0.95+).
+
+    Scale posture: centroid broadcast + map-only assignment, then ONE
+    shuffle on centroid_id for the in-cell self-join; at 100 TB the
+    corpus is written bucketed by cell so even that shuffle disappears
+    (io.write_bucketed). No cross-cell pair is ever generated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        l2_norm(F.col("embedding")).alias("vn"),
+    )
+    scored = v.join(F.broadcast(_centroids(spark, sf_dir))).select(
+        "vec_id",
+        "ve",
+        "vn",
+        "centroid_id",
+        F.round(
+            dot(F.col("ve"), F.col("centroid")) / (F.col("vn") * F.col("centroid_norm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", "ve", "vn")
+    )
+    # DataFrame aliases (not column renames off the same lineage): the
+    # rename form makes Catalyst miss the centroid_id equi-key and plan a
+    # BroadcastNestedLoopJoin; aliased self-join extracts it and shuffles
+    # once on the cell id with the < and cosine predicates as residuals
+    hi, lo = assigned.alias("hi"), assigned.alias("lo")
+    dups = (
+        hi.join(
+            lo,
+            (F.col("hi.centroid_id") == F.col("lo.centroid_id"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("hi.ve"), F.col("lo.ve")) / (F.col("hi.vn") * F.col("lo.vn")),
+                6,
+            )
+            >= _SEMDEDUP_T
+        )
+        .groupBy(F.col("hi.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dups_lower"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("n_dups_lower"), F.lit(0)).cast("long").alias("n_dups_lower"),
+            F.col("n_dups_lower").isNull().alias("kept"),
+        )
+    )

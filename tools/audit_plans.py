@@ -59,6 +59,7 @@ BNLJ_OK = {
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
     "dq_join_cardinality_estimate",  # two 1-row key-count scalars crossJoined onto the 1-row estimate
     "dq_benford_first_digit",  # 1-row digit-count total, broadcast cross join
+    "sim_semdedup_cells",  # centroid-table broadcast cross join (sim_ivf_assign pattern)
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -183,6 +184,10 @@ EXCHANGES_OK = {
     # plan re-lists persisted-stage subtrees per consuming branch (block
     # reuse at runtime)
     "release_pipeline_counts",
+    # assignment window + one cell-keyed SMJ + dup-count agg + the final
+    # left join back; the assigned subtree re-lists per static branch
+    # (hi/lo self-join + outer join), AQE reuses identical exchanges
+    "sim_semdedup_cells",
 }
 
 
