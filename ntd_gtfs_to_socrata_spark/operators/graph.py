@@ -322,7 +322,7 @@ def k_core(
     k: int = 2,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 30,
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
     whose degree in the SURVIVING subgraph is < k until a fixpoint; return
@@ -334,9 +334,15 @@ def k_core(
     the same bounded-state loop contract as ``connected_components``
     (``localCheckpoint`` truncates lineage; the low-degree set is a
     control-plane count per round). Peeling removes at least one node per
-    non-terminal round, and in practice the dedup graph converges in 2-3
-    rounds (chains peel in one pass). Exhaustion RAISES — a partial peel
-    is a wrong k-core, never returned.
+    non-terminal round, so ``node_count`` rounds always suffice — the
+    DEFAULT bound (``max_iterations=None``) is derived from the node
+    count (one control-plane scalar), making exhaustion unreachable. A
+    long simple path is the worst case: k=2 peels only the two endpoints
+    per round, so an n-node chain needs ~n/2 rounds — the r6 ADVICE case
+    that overran the old fixed default of 30. Pass an explicit
+    ``max_iterations`` only to enforce an external round budget (e.g. the
+    oracle's unroll depth); exhaustion then RAISES — a partial peel is a
+    wrong k-core, never returned.
 
     Scale posture: every shuffle is keyed on a node id over the current
     survivor edge set, which only SHRINKS; no window, no collect of
@@ -350,6 +356,10 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_iterations is None:
+        # one round per node is a hard upper bound (each non-terminal
+        # round removes >= 1 node); +1 for the terminal fixpoint check
+        max_iterations = e.select("s").distinct().count() + 1
     for _ in range(max_iterations):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         low = deg.filter(F.col("deg") < k).select("s")
@@ -363,7 +373,9 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(
-        f"k_core did not converge within {max_iterations} peeling rounds — "
-        "unexpected for any graph (each round removes a node or terminates); "
-        "raise max_iterations"
+        f"k_core did not reach a fixpoint within the caller-imposed bound of "
+        f"{max_iterations} peeling rounds (peeling needs at most one round "
+        "per node — long chains peel only from the ends, so a ~2*bound-node "
+        "path legitimately exceeds it); raise max_iterations or pass None "
+        "to derive the bound from the node count"
     )

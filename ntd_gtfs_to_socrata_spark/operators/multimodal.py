@@ -180,7 +180,9 @@ def frame_intensity_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         out = {k: [] for k in ("doc_id", "frame_no", "intensity")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-            for i in range(0, max(len(arr), 1), _FRAME_BYTES):
+            # empty payload => zero frames, matching the oracle's
+            # ceil(len/100) frame count (0 when len = 0) — see ADVICE r6
+            for i in range(0, len(arr), _FRAME_BYTES):
                 out["doc_id"].append(doc_id)
                 out["frame_no"].append(i // _FRAME_BYTES)
                 out["intensity"].append(int(arr[i : i + _FRAME_BYTES].sum()))

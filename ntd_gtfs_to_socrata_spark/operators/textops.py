@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 HASH_MOD = 1_000_000_007
 POW31 = [pow(31, i, HASH_MOD) for i in range(32)]
 
+# Shared stopword list for quality rules (text_quality_scores,
+# text_gopher_rules, corpus_release's keep filter) — ONE definition so the
+# Spark rules and every DuckDB oracle interpolating {STOPWORDS!r} agree.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (split on runs of whitespace, trimmed)."""

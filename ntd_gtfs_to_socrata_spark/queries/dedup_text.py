@@ -554,7 +554,7 @@ def dedup_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text quality scoring
 # ---------------------------------------------------------------------------
 
-_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_STOPWORDS = TX.STOPWORDS  # single shared definition (operators/textops.py)
 
 QUALITY_ORACLE = f"""
 WITH t AS (

@@ -110,9 +110,9 @@ def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 ER_CLUSTER_ORACLE = f"""
 WITH RECURSIVE m AS ({_MATCH_SQL}),
 edges AS (
-  SELECT custkey_clean AS src, custkey_dirty + 10000000 AS dst FROM m
+  SELECT custkey_clean AS src, -custkey_dirty AS dst FROM m
   UNION
-  SELECT custkey_dirty + 10000000 AS src, custkey_clean AS dst FROM m
+  SELECT -custkey_dirty AS src, custkey_clean AS dst FROM m
 ),
 reach(node, root) AS (
   SELECT DISTINCT src AS node, src AS root FROM edges
@@ -126,7 +126,10 @@ SELECT node, min(root) AS component_id FROM reach GROUP BY node
 @register("er_entity_clusters", ER_CLUSTER_ORACLE)
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise matches → ENTITIES: connected components over the bipartite
-    match graph (clean ids vs offset dirty ids), so transitive matches
+    match graph (clean ids kept positive, dirty ids NEGATED — sign encodes
+    the side, so the node space is collision-free at ANY customer
+    cardinality; the former +10M offset collided with clean keys at TPC-H
+    SF ≈ 67), so transitive matches
     (clean A ↔ dirty B ↔ clean C) land in one entity cluster — the step
     that turns link scores into a deduplicated golden-record table, same
     shape as dedup_connected_components for documents. Value-hash checked
@@ -135,7 +138,7 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _blocked_matches(spark, sf_dir).select(
         F.col("custkey_clean").alias("src"),
-        (F.col("custkey_dirty") + 10000000).alias("dst"),
+        (-F.col("custkey_dirty")).alias("dst"),
     )
     cc = connected_components(pairs, src="src", dst="dst")
     return cc.select("node", "component_id")
@@ -276,9 +279,9 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ER_GOLDEN_ORACLE = f"""
 WITH RECURSIVE m AS ({_MATCH_SQL}),
 edges AS (
-  SELECT custkey_clean AS src, custkey_dirty + 10000000 AS dst FROM m
+  SELECT custkey_clean AS src, -custkey_dirty AS dst FROM m
   UNION
-  SELECT custkey_dirty + 10000000 AS src, custkey_clean AS dst FROM m
+  SELECT -custkey_dirty AS src, custkey_clean AS dst FROM m
 ),
 reach(node, root) AS (
   SELECT DISTINCT src AS node, src AS root FROM edges
@@ -287,8 +290,8 @@ reach(node, root) AS (
 ),
 comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node),
 members AS (
-  SELECT CASE WHEN node >= 10000000 THEN node - 10000000 ELSE node END AS custkey,
-         node < 10000000 AS is_clean,
+  SELECT CASE WHEN node < 0 THEN -node ELSE node END AS custkey,
+         node > 0 AS is_clean,
          component_id
   FROM comp
 )
@@ -315,14 +318,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _blocked_matches(spark, sf_dir).select(
         F.col("custkey_clean").alias("src"),
-        (F.col("custkey_dirty") + 10000000).alias("dst"),
+        (-F.col("custkey_dirty")).alias("dst"),
     )
     cc = connected_components(pairs, src="src", dst="dst")
     members = cc.select(
-        F.when(F.col("node") >= 10000000, F.col("node") - 10000000)
+        F.when(F.col("node") < 0, -F.col("node"))
         .otherwise(F.col("node"))
         .alias("custkey"),
-        (F.col("node") < 10000000).alias("is_clean"),
+        (F.col("node") > 0).alias("is_clean"),
         "component_id",
     )
     cust = load_table(spark, sf_dir, "customer").select(

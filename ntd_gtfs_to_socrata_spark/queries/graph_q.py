@@ -326,7 +326,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 2
-_KCORE_LEVELS = 12  # oracle unroll depth; peeling converges in 2-3 rounds
+# Oracle unroll depth AND the operator's round bound at this call site
+# (passed as max_iterations below, so operator and oracle agree whenever
+# the operator returns); the fixture graph peels in 2-3 rounds.
+_KCORE_LEVELS = 12
 
 
 def _kcore_oracle() -> str:
@@ -366,10 +369,20 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores worth human review. The third iterative-algorithm entry beside
     min-label CC and large-star/small-star, value-hash checked against a
     fixed-unroll declarative replay of the peeling (the PageRank oracle
-    pattern)."""
+    pattern).
+
+    The operator is bounded to the oracle's unroll depth
+    (``max_iterations=_KCORE_LEVELS``) so the two sides agree WHENEVER
+    the operator returns: a graph needing more rounds makes the operator
+    RAISE (loudly failing the gate) instead of returning a correct
+    k-core the fixed-depth oracle can't replay (r6 ADVICE). Standalone
+    callers get the node-count-derived bound (``max_iterations=None``),
+    which always converges."""
     from ntd_gtfs_to_socrata_spark.operators.graph import k_core
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
-    return k_core(pairs, k=_KCORE_K, src="doc_a", dst="doc_b").select(
+    return k_core(
+        pairs, k=_KCORE_K, src="doc_a", dst="doc_b", max_iterations=_KCORE_LEVELS
+    ).select(
         F.col("node").alias("doc_id"), "core_degree"
     )

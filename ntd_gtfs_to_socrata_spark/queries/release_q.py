@@ -1,11 +1,13 @@
 """The corpus release pipeline AS an oracle-checked query: per-split
 counts of ``plans/corpus_release.build_release``'s output, with the WHOLE
-chain — cleaning rules → exact dedup keep-one → near-dup keep-one
-(shingle pairs → Jaccard ≥ 0.5 → connected components) → decontamination
-against the held-out eval slice → md5 split — replayed declaratively in
-DuckDB (recursive CTE for the CC step). One value hash certifies the
-composition, not just each stage: the strongest end-to-end check in the
-registry.
+chain — cleaning rules (all five Gopher cuts) → exact dedup keep-one →
+near-dup keep-one (df-capped shared-shingle pairs → Jaccard ≥ 0.5 →
+connected components) → decontamination against the held-out eval slice →
+md5 split — replayed declaratively in DuckDB (recursive CTE for the CC
+step). One value hash certifies the composition, not just each stage: the
+strongest end-to-end check in the registry. The rule thresholds, stopword
+list and df cap are interpolated from the SAME constants the plan uses,
+so the two sides cannot drift (r6 ADVICE).
 """
 
 from __future__ import annotations
@@ -13,22 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ntd_gtfs_to_socrata_spark.plans.corpus_release import build_release
+from ntd_gtfs_to_socrata_spark.operators.textops import STOPWORDS
+from ntd_gtfs_to_socrata_spark.plans.corpus_release import (
+    _NEARDUP_DF_CAP,
+    build_release,
+)
 from ntd_gtfs_to_socrata_spark.queries import register
 
 _BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100"
 
 RELEASE_ORACLE = f"""
 WITH RECURSIVE ruled AS (
-  SELECT doc_id, text, n_chars,
-         regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents
-  WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 50 AND 100000
-    AND (CAST(length(text) AS DOUBLE)
-         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
-        BETWEEN 3 AND 10
-    AND (CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)) >= 0.3
+  SELECT doc_id, text, n_chars, toks FROM (
+    SELECT doc_id, text, n_chars,
+           regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+  )
+  WHERE len(toks) BETWEEN 50 AND 100000
+    AND (CAST(length(text) AS DOUBLE) / greatest(len(toks), 1)) BETWEEN 3 AND 10
+    AND len(list_distinct(list_filter(toks, x -> list_contains({STOPWORDS!r}, x)))) >= 2
+    AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+         / greatest(len(toks), 1)) <= 0.2
+    AND (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) >= 0.3
 ),
 canon AS (
   SELECT min(doc_id) AS doc_id FROM ruled GROUP BY text
@@ -44,7 +52,10 @@ shingled AS (
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-kept AS (SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1),
+kept AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING count(*) > 1 AND count(*) <= {_NEARDUP_DF_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
   FROM exploded a

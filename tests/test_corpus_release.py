@@ -43,6 +43,37 @@ def test_release_idempotent(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_release_identical_under_star_cc(spark, sf_dir):
+    """r6 verdict item: the diameter-safe large-star/small-star CC must be
+    a drop-in for min-label propagation AT THE COMPOSITION LEVEL — the
+    released corpus (doc ids and splits) is identical under either."""
+    base = build_release(spark, sf_dir).released.select("doc_id", "split")
+    star = build_release(spark, sf_dir, cc_algorithm="star").released.select(
+        "doc_id", "split"
+    )
+    assert base.exceptAll(star).count() == 0
+    assert star.exceptAll(base).count() == 0
+
+
+def test_release_cache_lifecycle(spark, sf_dir, tmp_path):
+    """r6 ADVICE: stage persists must not leak across invocations —
+    write_release unpersists its build's stages, and a new build retires
+    any still-live predecessor's."""
+    from ntd_gtfs_to_socrata_spark.plans import corpus_release as cr
+
+    res = build_release(spark, sf_dir)
+    assert len(res.cached) == 2 and len(cr._LIVE_STAGES) == 2
+    write_release(res, str(tmp_path / "rel"))
+    assert res.cached == [] and cr._LIVE_STAGES == []
+    # lazy query path (no close() possible before the caller's action):
+    # repeated builds hold at most ONE build's stages
+    build_release(spark, sf_dir)
+    build_release(spark, sf_dir)
+    assert len(cr._LIVE_STAGES) == 2
+    cr._retire_predecessor_stages()
+    assert cr._LIVE_STAGES == []
+
+
 def test_release_contains_no_exact_duplicates_or_eval_overlap(spark, sf_dir, tmp_path):
     rel = build_release(spark, sf_dir).released.cache()
     n = rel.count()

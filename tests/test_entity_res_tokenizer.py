@@ -38,7 +38,7 @@ def test_er_clusters_cover_all_matched_nodes(spark):
     comp = {r["node"]: r["component_id"] for r in clusters}
     # every matched pair landed in the same component
     for r in matches.collect():
-        assert comp[r["custkey_clean"]] == comp[r["custkey_dirty"] + 10000000]
+        assert comp[r["custkey_clean"]] == comp[-r["custkey_dirty"]]
 
 
 def test_geo_candidates_respect_distance_threshold(spark):

@@ -204,3 +204,32 @@ def test_k_core_of_pure_path_is_empty(spark):
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
     assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_long_chain_converges_with_derived_bound(spark):
+    """r6 ADVICE: k=2 peeling on a simple path removes only the two
+    endpoints per round, so an 80-node chain needs ~40 rounds — beyond
+    the old fixed default of 30. The node-count-derived default bound
+    must peel it to the (empty) fixpoint without raising."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "src long, dst long"
+    ).coalesce(2)
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_explicit_bound_raises_on_exhaustion(spark):
+    """An explicit round budget smaller than the chain needs must RAISE
+    (partial peel is a wrong k-core, never returned) — the contract
+    graph_k_core leans on to stay in lockstep with its fixed-unroll
+    oracle."""
+    import pytest
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "src long, dst long"
+    ).coalesce(2)
+    with pytest.raises(RuntimeError, match="caller-imposed bound"):
+        k_core(edges, k=2, max_iterations=3).collect()
