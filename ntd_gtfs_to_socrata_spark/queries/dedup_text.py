@@ -1905,24 +1905,18 @@ FROM sized WHERE CAST(n_common AS DOUBLE) / nb >= {_CONTAIN_T}
 """
 
 
-@register("dedup_containment", CONTAINMENT_ORACLE)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIRECTED near-dup: containment C(src→dst) = |sh(src) ∩ sh(dst)| /
-    |sh(src)| ≥ 0.6 — the asymmetric cousin of Jaccard that catches a
-    short doc quoted inside a long one (Jaccard punishes the size gap:
-    a 50-shingle doc fully inside a 1000-shingle doc scores J ≈ 0.05 but
-    C = 1.0). The standard quote/boilerplate-inclusion detector Broder
-    defined alongside resemblance.
-
-    Plan: the SAME one-shuffle inverted index as ``dedup_ngram_jaccard``
-    (posting lists → map-side i<j pairs → per-pair common count), then
-    BOTH directed edges are emitted from each undirected pair. One
-    structural difference, stated honestly: the Jaccard size-compatibility
-    prune does not exist for containment (the smaller side of ANY
-    overlapping pair can reach C = 1.0), so at 100 TB the fan-out bound
-    comes from the document-frequency cap / LSH banding instead — the
-    ``dedup_ngram_jaccard_dfcap`` posture."""
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+def _containment(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Implementation of ``dedup_containment`` with the same optional
+    document-frequency cap as ``_ngram_jaccard`` (the 100 TB posting-list
+    bound; exercised by the adversarial-skew test) and an injectable docs
+    frame for synthetic-corpus tests."""
+    if docs is None:
+        docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     exploded = (
         docs.select("doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s"))
@@ -1933,6 +1927,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if df_cap is not None:
+        inv = inv.filter(F.size("ds") <= df_cap)
     combos = F.flatten(
         F.transform(
             F.col("ds"),
@@ -1977,6 +1973,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.dst").alias("dst"),
         F.round(F.col("e.c"), 4).alias("containment"),
     )
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup: containment C(src→dst) = |sh(src) ∩ sh(dst)| /
+    |sh(src)| ≥ 0.6 — the asymmetric cousin of Jaccard that catches a
+    short doc quoted inside a long one (Jaccard punishes the size gap:
+    a 50-shingle doc fully inside a 1000-shingle doc scores J ≈ 0.05 but
+    C = 1.0). The standard quote/boilerplate-inclusion detector Broder
+    defined alongside resemblance.
+
+    Plan: the SAME one-shuffle inverted index as ``dedup_ngram_jaccard``
+    (posting lists → map-side i<j pairs → per-pair common count), then
+    BOTH directed edges are emitted from each undirected pair. One
+    structural difference, stated honestly: the Jaccard size-compatibility
+    prune does not exist for containment (the smaller side of ANY
+    overlapping pair can reach C = 1.0), so at 100 TB the fan-out bound
+    comes from the document-frequency cap / LSH banding instead — the
+    ``dedup_ngram_jaccard_dfcap`` posture (``_containment(df_cap=...)``,
+    skew-tested in tests/test_dedup_skew.py)."""
+    return _containment(spark, sf_dir, df_cap=None)
 
 
 # ---------------------------------------------------------------------------

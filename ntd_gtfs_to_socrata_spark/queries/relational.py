@@ -1465,9 +1465,17 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB.
 
     Scale posture: two map-side-combined key aggregations (each shuffles
-    one row per distinct key, not per input row) + one key-sized join +
-    a 1-row fold. The estimate is exact for equi-joins because join
-    output per key IS na·nb — no sampling, no sketch, no join executed."""
+    one row per distinct key, not per input row) + one key-sized FULL
+    OUTER join + a 1-row fold that reads every output column from that
+    single joined frame (matching keys where both sides present, per-side
+    key counts as count(na)/count(nb)). The estimate is exact for
+    equi-joins because join output per key IS na·nb — no sampling, no
+    sketch, no join executed. r7 note: the earlier form computed the
+    per-side key-count scalars from SEPARATE re-listings of the key aggs,
+    and the claimed AQE exchange reuse was measured NOT to materialize
+    (7 executed shuffles, tools/measure_exchanges.py) — the one-pass
+    full-outer form executes each key agg exactly once (4) by
+    construction."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
@@ -1476,20 +1484,18 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
         F.count(F.lit(1)).alias("nb")
     )
-    m = a.join(b, "k").select("k", "na", "nb", (F.col("na") * F.col("nb")).alias("f"))
-    counts_a = a.agg(F.count(F.lit(1)).alias("n_keys_left"))
-    counts_b = b.agg(F.count(F.lit(1)).alias("n_keys_right"))
-    return (
-        m.agg(
-            F.sum("f").cast("long").alias("est_output_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
-            F.max("f").cast("long").alias("max_key_fanout"),
-            F.round(F.sum("f").cast("double") / F.count(F.lit(1)), 2).alias(
-                "avg_key_fanout"
-            ),
-        )
-        .crossJoin(F.broadcast(counts_a))
-        .crossJoin(F.broadcast(counts_b))
+    m = a.join(b, "k", "full_outer").select(
+        "na", "nb", (F.col("na") * F.col("nb")).alias("f")
+    )
+    return m.agg(
+        F.sum("f").cast("long").alias("est_output_rows"),
+        F.count("f").cast("long").alias("n_matching_keys"),
+        F.max("f").cast("long").alias("max_key_fanout"),
+        F.round(F.sum("f").cast("double") / F.count("f"), 2).alias(
+            "avg_key_fanout"
+        ),
+        F.count("na").cast("long").alias("n_keys_left"),
+        F.count("nb").cast("long").alias("n_keys_right"),
     )
 
 

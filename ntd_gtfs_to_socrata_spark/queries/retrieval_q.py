@@ -101,11 +101,31 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both derive from the tf aggregate, so Spark and oracle agree by
     construction). Scores are ranked AFTER rounding to 6 decimals with a
     doc_id tie-break so the top-k cut is FP-noise-proof."""
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
+
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # Stage boundary: tf feeds dfr, dl AND the score join. Measured in r7
+    # (tools/measure_exchanges.py): WITHOUT this persist the tf aggregate
+    # executed 3x (per-consumer column pruning defeats AQE exchange
+    # reuse — 10 executed / 3 reused shuffle stages); WITH it the
+    # tokenize+tf subtree materializes once and the final plan carries 5
+    # executed stages, all distinct. This makes the docstring's "tokenized
+    # exactly once" claim structural, not hoped-for.
+    tf = stage_boundary(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        "rag_bm25_tf",
+    )
+    # dfr feeds top_hi, top_lo AND the score join; dl feeds the score join
+    # AND the corpus scalars — same measured-non-reuse story as tf (their
+    # keyed aggregates executed twice each without the boundary), and both
+    # are the natural BM25 index artifacts (vocab-sized / doc-sized).
+    dfr = stage_boundary(
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")), "rag_bm25_dfr"
+    )
+    dl = stage_boundary(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "rag_bm25_dl"
+    )
     scalars = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

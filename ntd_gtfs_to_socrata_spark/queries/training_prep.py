@@ -679,9 +679,18 @@ def tp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` — same plan shape, sketch-mergeable); the
     corpus-sized frame is touched by one map-side CASE after that
     broadcast. No global sort, no window."""
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
     from ntd_gtfs_to_socrata_spark.queries.dedup_text import text_unigram_logprob
 
-    scores = text_unigram_logprob(spark, sf_dir)
+    # Stage boundary: the score frame feeds BOTH the tercile aggregate and
+    # the bucketing pass. Measured in r7 (tools/measure_exchanges.py):
+    # without this persist the whole unigram-LM pipeline re-executed for
+    # the threshold branch (8 executed / 1 reused shuffle stages); with it
+    # the pipeline runs once and the frame cached is doc-count-sized
+    # (doc_id, n_tokens, avg_logprob) — the cheapest possible boundary.
+    scores = stage_boundary(
+        text_unigram_logprob(spark, sf_dir), "tp_perplexity_scores"
+    )
     thr = scores.agg(
         F.percentile("avg_logprob", [1.0 / 3, 2.0 / 3]).alias("t")
     )

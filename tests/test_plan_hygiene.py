@@ -64,3 +64,81 @@ def test_full_registry_plan_audit():
     )
     flagged = [line for line in proc.stdout.splitlines() if "!!" in line]
     assert proc.returncode == 0, "plan audit flagged:\n" + "\n".join(flagged)
+
+
+# ---------------------------------------------------------------------------
+# Executed-exchange measurement (r6 verdict item 1): the EXCHANGES_OK
+# allowlist used to justify high static-plan exchange counts with "AQE
+# reuses the identical exchanges at runtime". These tests replace that
+# comment-claim with runtime evidence: run the query, walk the FINAL
+# adaptive plan (descending into query stages, ReusedExchange targets and
+# cached-plan builds), and assert the number of DISTINCT materialized
+# shuffle writes — the logical count, not the static re-listing.
+# ---------------------------------------------------------------------------
+
+from measure_exchanges import executed_exchange_counts  # noqa: E402
+
+
+def _measure(spark, name: str, sf: str) -> dict[str, int]:
+    from ntd_gtfs_to_socrata_spark.operators import stagecache
+    from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    # cross-query cache state (a prior query's stage boundary covering a
+    # subtree of this one) would mis-attribute builds — measure clean
+    stagecache.release_all()
+    spark.catalog.clearCache()
+    df = REGISTRY[name](spark, sf)
+    df.collect()
+    return executed_exchange_counts(df)
+
+
+def test_executed_exchanges_rag_bm25(spark, sf_dir):
+    """tf/dfr/dl stage boundaries: without them the tf aggregate executed
+    3x and dfr/dl 2x each (per-consumer pruning defeats AQE reuse;
+    measured r7: 10 executed / 3 reused stages). With the boundaries the
+    plan materializes exactly: fixture RR rebalance, tf, dfr, dl, the
+    corpus-scalar fold, and the final per-term window exchange — and the
+    cached frames are scanned 7x instead of recomputed."""
+    m = _measure(spark, "rag_bm25_topk", sf_dir)
+    assert m["executed"] <= 6, m
+    assert m["cachescan"] >= 6, m
+
+
+def test_executed_exchanges_perplexity_filter(spark, sf_dir):
+    """Score-frame boundary: without it the whole unigram-LM pipeline
+    re-executed for the tercile branch (8 executed / 1 reused). With it:
+    the unigram build's 5 (RR x2 — the only duplicate, the fixture
+    rebalance — vocab agg, corpus scalar, per-doc agg) + tercile fold +
+    final bucket agg."""
+    m = _measure(spark, "tp_perplexity_filter", sf_dir)
+    assert m["executed"] <= 7, m
+    assert m["cachescan"] == 2, m  # tercile branch + bucketing branch
+
+
+def test_executed_exchanges_dsir_importance(spark, sf_dir):
+    """No boundary needed: the dual-count vocab exchange is reused at
+    runtime (measured reused >= 1); the only duplicated executed exchange
+    is the fixture RoundRobin rebalance of the raw docs scan (absent at
+    scale, where ensure_min_parallelism is a no-op)."""
+    m = _measure(spark, "tp_dsir_importance", sf_dir)
+    assert m["executed"] <= 5, m
+    assert m["reused"] >= 1, m
+
+
+def test_executed_exchanges_join_cardinality(spark, sf_dir):
+    """One-pass full-outer rewrite: each per-side key aggregate executes
+    exactly once and the key join is exchange-free on their output
+    partitioning — 3 materialized shuffles total (was 7 with the
+    re-listed scalar branches whose claimed reuse never materialized)."""
+    m = _measure(spark, "dq_join_cardinality_estimate", sf_dir)
+    assert m["executed"] <= 3, m
+
+
+def test_executed_exchanges_release_pipeline(spark, sf_dir):
+    """The release composition's stage boundaries are persisted by
+    design; the outer plan therefore materializes only the post-boundary
+    shuffles and every branch reads the caches (cachescan >= 3: exact
+    feeds the keep-one anti-join, neardup feeds eval/train/base)."""
+    m = _measure(spark, "release_pipeline_counts", sf_dir)
+    assert m["cachescan"] >= 3, m
