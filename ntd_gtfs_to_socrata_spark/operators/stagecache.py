@@ -22,6 +22,13 @@ accumulate cached stages, and each bench pass pays the honest cold cost.
 At 100 TB the same boundary becomes a checkpoint to the lake (write the
 stage frame to parquet, read it back) — the plan shape downstream is
 identical; only the materialization medium changes.
+
+One visible side effect: Spark's cache manager substitutes a cached plan
+into ANY later query whose logical plan embeds the identical subtree (e.g.
+``text_unigram_logprob`` run after ``tp_perplexity_filter`` reads the
+scores cache). Values are unchanged — the cache holds exactly what the
+subtree computes — but a timing-sensitive caller (the exchange-measure
+test) should ``release_all()`` + ``spark.catalog.clearCache()`` first.
 """
 
 from __future__ import annotations

@@ -749,7 +749,7 @@ best AS (
   SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
 )
 SELECT p_partkey, p_brand, s_name,
-       round(c.unit_cost, 4) AS unit_cost
+       floor(c.unit_cost * 10000 + 0.5) / 10000 AS unit_cost
 FROM part
 JOIN costs c ON p_partkey = c.l_partkey
 JOIN best b  ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
@@ -801,8 +801,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        # floor-based half-up rounding, NOT round(): the two engines
+        # disagree on round() when the quotient double sits on the
+        # .xxxx5 boundary (caught by the r7 sf0.1 cross-scale gate:
+        # 2410.85/40 = 60.27125 rounded down by Spark, up by DuckDB);
+        # x*1e4+0.5 then floor is bit-identical double arithmetic in both
         .select(
-            "p_partkey", "p_brand", "s_name", F.round("unit_cost", 4).alias("unit_cost")
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            (F.floor(F.col("unit_cost") * 10000 + F.lit(0.5)) / 10000).alias(
+                "unit_cost"
+            ),
         )
         .orderBy(F.col("unit_cost").asc(), F.col("p_partkey").asc(), F.col("s_name").asc())
         .limit(100)

@@ -642,7 +642,9 @@ scores AS (
   FROM scored GROUP BY doc_id
 ),
 thr AS (
-  SELECT quantile_cont(avg_logprob, [1.0/3, 2.0/3]) AS t FROM scores
+  SELECT list_transform(quantile_cont(avg_logprob, [1.0/3, 2.0/3]),
+                        x -> floor(x * 10000 + 0.5) / 10000) AS t
+  FROM scores
 ),
 bucketed AS (
   SELECT s.doc_id, s.n_tokens, s.avg_logprob,
@@ -654,7 +656,8 @@ bucketed AS (
 SELECT bucket,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       round(avg(avg_logprob), 4) AS mean_logprob
+       floor(sum(CAST(floor(avg_logprob * 10000 + 0.5) AS BIGINT))
+             / count(*) + 0.5) / 10000 AS mean_logprob
 FROM bucketed GROUP BY bucket
 """
 
@@ -691,8 +694,20 @@ def tp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = stage_boundary(
         text_unigram_logprob(spark, sf_dir), "tp_perplexity_scores"
     )
+    # Tercile thresholds QUANTIZED to the score grid (caught by the r7
+    # sf0.1 gate): the engines' linear-interpolation formulas differ by an
+    # ulp — DuckDB returned -3.4014999999999995 where Spark returned
+    # exactly -3.4015, flipping every doc sitting ON the cut into a
+    # different bucket. Scores are 1e-4-quantized and the interpolation
+    # fraction is always in {0, 1/3, 2/3} (it comes from (n-1)/3), so the
+    # interpolated value is never closer than ~1.7e-5 to a half-up
+    # rounding boundary: floor(x*1e4+0.5)/1e4 lands both engines on the
+    # identical grid value.
     thr = scores.agg(
-        F.percentile("avg_logprob", [1.0 / 3, 2.0 / 3]).alias("t")
+        F.transform(
+            F.percentile("avg_logprob", [1.0 / 3, 2.0 / 3]),
+            lambda x: F.floor(x * 10000 + 0.5) / 10000,
+        ).alias("t")
     )
     bucket = (
         F.when(F.col("avg_logprob") >= F.element_at("t", 2), "head")
@@ -706,7 +721,26 @@ def tp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            # order-free bucket mean (caught by the r7 sf0.1 gate): the
+            # per-doc scores are 4-decimal-quantized and bit-identical
+            # across engines, but summing ~thousands of doubles in
+            # different orders drifts the last ulp and avg() then rounds
+            # across the .xxxx5 boundary differently. Integerize each
+            # score (x1e4, exact by construction), sum as BIGINT (exact,
+            # order-free), divide once, floor-based half-up — every step
+            # bit-identical in Spark and DuckDB.
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("avg_logprob") * 10000 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 10000
+            ).alias("mean_logprob"),
         )
     )
 

@@ -30,3 +30,19 @@ def test_full_registry_matches_oracles():
     )
     tail = "\n".join(proc.stdout.splitlines()[-40:])
     assert proc.returncode == 0, f"full-registry oracle gate failed:\n{tail}"
+
+
+def test_full_registry_matches_oracles_sf01():
+    """r6 verdict item 3: the SAME gate at 10x the driver's compare scale
+    (sf0.1) — catches scale-sensitive divergence (quantile interpolation,
+    FP accumulation order, fan-out assumptions that only bind with more
+    data) that sf0.01 can't. Run once per round before the snapshot."""
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=7200,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-40:])
+    assert proc.returncode == 0, f"sf0.1 full-registry oracle gate failed:\n{tail}"
