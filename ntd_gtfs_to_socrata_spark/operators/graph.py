@@ -51,9 +51,22 @@ def connected_components(
     dedup-shaped graph — raise the budget or switch to a diameter-halving
     scheme (large-star/small-star, Kiveris et al.).
     """
+    # both directions from ONE pass over the edge input (explode of a
+    # 2-element array, not a union of two branches): a union re-lists —
+    # and re-EXECUTES — the upstream edge-producing subtree per branch,
+    # which is ruinous when edges come from an expensive pair generator
+    # (dedup verify joins, shingle inverted indexes)
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("u", "v"),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -125,17 +138,21 @@ def pagerank(
     skew-join case; the contribution aggregation itself partial-combines
     map-side.
     """
+    # materialize the distinct edge set ONCE before deriving out-degrees
+    # and the node universe — e_deg and nodes otherwise each re-execute
+    # the full upstream edge-producing subtree (expensive when edges come
+    # from a pair generator)
     e = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-degree joined ONCE and carried on the edge row — each iteration
     # then needs only the rank join, not a rank join plus a degree join
     e_deg = e.join(outdeg, "e_src").localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
+        e.select(F.explode(F.array("e_src", "e_dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -214,16 +231,21 @@ def connected_components_star(
     Returns (node, component_id), component_id = min node id, identical
     contract to ``connected_components``.
     """
+    # one upstream execution total: the raw projection is checkpointed,
+    # then BOTH the working edge set and the node universe derive from it
+    # (previously e and all_nodes each re-executed the upstream edge
+    # producer, the union inside all_nodes twice over)
+    base = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        base.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     # every node that appears anywhere, including isolated self-loop nodes
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        base.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -350,9 +372,19 @@ def k_core(
     """
     from pyspark.sql import functions as F
 
+    # symmetrize via explode, not union — one execution of the upstream
+    # pair generator instead of one per union branch
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("s", "d"),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
 from ntd_gtfs_to_socrata_spark.operators import textops as TX
+from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
 from ntd_gtfs_to_socrata_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -520,10 +521,24 @@ def dedup_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs LSH missed — each is checked against its own oracle."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
-    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cands = stage_boundary(
+        dedup_minhash_lsh_pairs(spark, sf_dir), "dedup_lsh_pipeline.cands"
+    )
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+    # shingle ONLY the docs that appear in a candidate pair, ONCE: the
+    # candidate id set (tiny — LSH survivors) semi-joins the corpus before
+    # the shingle arrays are ever built, and the persisted boundary keeps
+    # the a/b join sides from re-running the shingling per side. At 100 TB
+    # this is the difference between shingling the corpus twice and
+    # shingling the candidate subset once.
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    shingled = stage_boundary(
+        docs.join(cand_ids, "doc_id").select(
+            "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+        ),
+        "dedup_lsh_pipeline.shingled",
     )
     a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -2185,7 +2200,11 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    # pairs feed BOTH the CC operator and the edge_stats aggregate below —
+    # persist the boundary so the inverted-index pair generation runs once
+    pairs = stage_boundary(
+        _ngram_jaccard(spark, sf_dir, df_cap=None), "dedup_cluster_report.pairs"
+    )
     cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component_id"
     )
@@ -2309,6 +2328,13 @@ def dedup_containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ns") < F.col("nd"))
         & (F.col("n_common").cast("double") / F.col("ns") >= _CONTAIN_T)
     ).select("src", "dst")
+    # The recursion below references this view once for the seed and once
+    # per iteration — WITHOUT a stage boundary each reference re-executes
+    # the whole inverted-index pipeline (measured: 12.2 s at sf0.1 vs
+    # 2.0 s for the single-pass dedup_containment). Persisting the edge
+    # set makes every recursive step a join against the tiny cached edge
+    # list instead.
+    edges = stage_boundary(edges, "dedup_containment_closure.edges")
     edges.createOrReplaceTempView("contain_edges_rsql")
     return spark.sql("""
     WITH RECURSIVE reach(start_doc, end_doc, depth) AS (

@@ -69,11 +69,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntd_gtfs_to_socrata_spark.operators.graph import pagerank
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    # symmetric edges from ONE pass over the pair generator (explode, not
+    # union — a union re-executes the inverted-index subtree per branch)
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 4).alias("pr")
@@ -313,11 +322,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntd_gtfs_to_socrata_spark.operators.graph import label_propagation
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    # symmetric edges via explode, not union — one pair-generator execution
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     labels = label_propagation(edges, iterations=_LPA_ITERS)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -14,6 +14,7 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
+from ntd_gtfs_to_socrata_spark.operators.stagecache import release_all
 from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
 from ntd_gtfs_to_socrata_spark.session import get_spark
 
@@ -193,6 +194,19 @@ EXCHANGES_OK = {
     # left join back; the assigned subtree re-lists per static branch
     # (hi/lo self-join + outer join), AQE reuses identical exchanges
     "sim_semdedup_cells",
+    # pairs behind a persisted stage boundary (stagecache) feeding BOTH
+    # the CC operator and the edge_stats agg — the static explain
+    # re-lists the cached pair plan's exchanges under InMemoryRelation.
+    # MEASURED r7: 5 executed shuffles, cachescan=1; the pair inverted
+    # index builds once (was twice before the boundary)
+    "dedup_cluster_report",
+    # the recursion references the persisted edge set once per step; the
+    # static explain re-lists the cached edge plan under InMemoryRelation
+    # per reference. MEASURED r7: 1 executed shuffle in the final frame
+    # (the closure GROUP BY) + the one-time edge-cache build — was a full
+    # inverted-index re-execution PER recursive step (12.2s -> 3.9s at
+    # sf0.1)
+    "dedup_containment_closure",
 }
 
 
@@ -203,6 +217,12 @@ def main() -> None:
     flags = 0
     for name in sorted(REGISTRY):
         try:
+            # a prior query's live stage-boundary cache would be
+            # substituted into any later plan embedding the same subtree
+            # (explain then re-lists the cached plan's exchanges, inflating
+            # this query's count) — audit each plan cache-free
+            release_all()
+            spark.catalog.clearCache()
             df = REGISTRY[name](spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
