@@ -142,3 +142,41 @@ def test_executed_exchanges_release_pipeline(spark, sf_dir):
     feeds the keep-one anti-join, neardup feeds eval/train/base)."""
     m = _measure(spark, "release_pipeline_counts", sf_dir)
     assert m["cachescan"] >= 3, m
+
+
+def test_executed_exchanges_containment_closure(spark, sf_dir):
+    """Edge-set boundary under the recursion: each recursive step joins
+    the PERSISTED edge list (cachescan >= 2: seed + >=1 step) instead of
+    re-running the inverted-index build per step — the r7 fix that took
+    the query from 12.2s to 3.9s at sf0.1. The final frame materializes
+    only the closure's own GROUP BY exchange(s) — the cached edge scans
+    live inside the recursive-loop execution, which the plan walk cannot
+    descend into, so the evidence here is the executed bound: 1 shuffle
+    instead of the inverted-index build's 3+ per recursion step."""
+    m = _measure(spark, "dedup_containment_closure", sf_dir)
+    assert m["executed"] <= 2, m
+
+
+def test_executed_exchanges_cluster_report(spark, sf_dir):
+    """Pair boundary shared by the CC loop and the edge_stats aggregate:
+    the pair inverted index builds once (was twice — the CC bidir
+    checkpoint and edge_stats each re-derived it). The outer plan reads
+    the cache for edge_stats (cachescan >= 1; the CC side consumes it via
+    its checkpointed edge RDD, invisible to this walk) and executes only
+    the label-sized joins/aggs."""
+    m = _measure(spark, "dedup_cluster_report", sf_dir)
+    assert m["executed"] <= 5, m
+    assert m["cachescan"] >= 1, m
+
+
+def test_executed_exchanges_lsh_pipeline(spark, sf_dir):
+    """Candidate + shingled boundaries: candidate pairs persist (consumed
+    by the verify join AND the candidate-id semi-join that scopes
+    shingling), and the shingle arrays are built once over candidate docs
+    only (was: full-corpus shingling once per join side). The cached
+    stages are consumed by the CC loop's checkpoint jobs, which run
+    before the final frame exists — so the walkable evidence is the
+    outer plan's executed bound: the final keep-one join materializes at
+    most the doc-id join exchanges, none of the candidate/shingle work."""
+    m = _measure(spark, "dedup_lsh_pipeline", sf_dir)
+    assert m["executed"] <= 3, m
