@@ -205,6 +205,62 @@ def test_connected_components_law(spark, edges):
 
 
 @slow
+@given(edges=EDGES)
+def test_cc_star_equals_propagation_law(spark, edges):
+    """The diameter-halving star variant is a DROP-IN for min-label
+    propagation on arbitrary random graphs — identical (node,
+    component_id) maps, including self-loop-only singleton nodes (which
+    the star variant must keep via its node-universe left join)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges or [(None, None)], "src long, dst long").filter(
+        F.col("src").isNotNull()
+    )
+    prop = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    star = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+
+
+@slow
+@given(edges=EDGES, k=st.integers(min_value=2, max_value=3))
+def test_k_core_matches_serial_peeling(spark, edges, k):
+    """k-core on random graphs ≡ a serial Python peel: same surviving
+    node set AND same within-core degrees (the operator's symmetrized
+    distinct edge set maps to an undirected simple graph without
+    self-loops contributing degree 2)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges or [(None, None)], "src long, dst long").filter(
+        F.col("src").isNotNull()
+    )
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()}
+
+    # serial peel over the symmetrized adjacency (self-loops count once
+    # per direction after distinct — i.e. (u,u) contributes 1 to deg(u),
+    # matching the operator's explode+distinct edge model)
+    adj: dict[int, set[tuple[int, int]]] = {}
+    for a, b in edges:
+        for u, v in ((a, b), (b, a)):
+            adj.setdefault(u, set()).add((u, v))
+    while True:
+        low = [u for u, inc in adj.items() if len(inc) < k]
+        if not low:
+            break
+        for u in low:
+            for (_, v) in adj.pop(u, set()):
+                if v in adj:
+                    adj[v].discard((v, u))
+    want = {u: len(inc) for u, inc in adj.items()}
+    assert got == want
+
+
+@slow
 @given(
     events=st.lists(
         st.tuples(
