@@ -144,6 +144,50 @@ def test_executed_exchanges_release_pipeline(spark, sf_dir):
     assert m["cachescan"] >= 3, m
 
 
+# Every EXCHANGES_OK allowlist entry, pinned to its r7-measured executed
+# shuffle count (tools/measure_exchanges.py at sf0.001, the audit scale).
+# The allowlist admits high STATIC counts; this sweep is the standing
+# evidence that the runtime counts stay at the measured logical numbers —
+# a regression that starts re-executing a shared subtree trips the bound.
+_EXCHANGES_OK_MEASURED = {
+    "w4_set_ops": 6,
+    "sim_ivf_recall": 8,
+    "text_unigram_logprob": 5,
+    "text_boilerplate_ngrams": 6,
+    "tp_contamination_check": 6,
+    "tp_temperature_resample": 3,
+    "tp_perplexity_filter": 7,
+    "dedup_lsh_recall": 11,
+    "dedup_span_rolling_hash": 6,
+    "tp_dsir_importance": 5,
+    "dq_anomaly_daily_counts": 3,
+    "rag_bm25_topk": 6,
+    "eval_auc_rank": 6,
+    "release_pipeline_counts": 5,
+    "sim_semdedup_cells": 2,
+    "dedup_cluster_report": 5,
+    "dedup_containment_closure": 2,
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_EXCHANGES_OK_MEASURED))
+def test_executed_exchanges_allowlist_sweep(spark, sf_dir, name):
+    m = _measure(spark, name, sf_dir)
+    assert m["executed"] <= _EXCHANGES_OK_MEASURED[name], (name, m)
+
+
+def test_allowlist_sweep_covers_exchanges_ok():
+    """The sweep table and the auditor's allowlist must stay in sync —
+    adding an EXCHANGES_OK entry without measuring it reverts to the
+    comment-claim regime the r6 verdict flagged."""
+    from audit_plans import EXCHANGES_OK
+
+    assert set(_EXCHANGES_OK_MEASURED) == set(EXCHANGES_OK), (
+        set(_EXCHANGES_OK_MEASURED) ^ set(EXCHANGES_OK)
+    )
+
+
 def test_executed_exchanges_containment_closure(spark, sf_dir):
     """Edge-set boundary under the recursion: each recursive step joins
     the PERSISTED edge list (cachescan >= 2: seed + >=1 step) instead of

@@ -128,11 +128,12 @@ def global_window_lines(physical: str) -> list[str]:
 # deliberately-expensive composition queries: each embeds whole pipelines
 # whose exchange counts are already audited individually
 EXCHANGES_OK = {
-    # w4_set_ops exercises the native set operators (9 shuffles); its
-    # single-pass rewrite is the 2-shuffle production form
+    # w4_set_ops exercises the native set operators; its single-pass
+    # rewrite is the production form. MEASURED r7: 6 executed / 3 reused
     "w4_set_ops",
     # offline quality monitor joining the FULL exact and approximate
-    # top-k pipelines — exchange count is the sum of its parts
+    # top-k pipelines — exchange count is the sum of its parts.
+    # MEASURED r7: 8 executed / 1 reused
     "sim_ivf_recall",
     # unigram-LM score = vocab agg + token⋈vocab join + per-doc agg.
     # MEASURED r7 (tools/measure_exchanges.py): 5 executed shuffles — the
@@ -141,13 +142,18 @@ EXCHANGES_OK = {
     # each materialize exactly once
     "text_unigram_logprob",
     # DF-count agg + frequent-set broadcast join + per-doc agg over two
-    # recomputed ngram branches — judged sound in r5 (plan audit)
+    # recomputed ngram branches. MEASURED r7: 6 executed / 1 reused —
+    # the duplicated work is map-side ngram generation, not shuffles
     "text_boilerplate_ngrams",
     # train/eval split + shingle inverted index + overlap join: three
-    # pipelines composed; ONE logical shuffle each — judged sound in r5
+    # pipelines composed; ONE logical shuffle each. MEASURED r7:
+    # 6 executed, each a distinct subtree (train/eval branches are
+    # different filters of the scan — no duplicated aggregation)
     "tp_contamination_check",
     # per-source temperature rates (tiny agg branches) + map-side sampled
-    # union; exchanges are the per-branch aggs, all narrow metadata
+    # union; exchanges are the per-branch aggs, all narrow metadata.
+    # MEASURED r7: 3 executed / 3 reused — the re-listed branches DO
+    # collapse at runtime
     "tp_temperature_resample",
     # embeds text_unigram_logprob once behind a persisted stage boundary
     # (stagecache) feeding both the tercile agg and the bucket pass.
@@ -156,7 +162,9 @@ EXCHANGES_OK = {
     # asserted in tests/test_plan_hygiene.py
     "tp_perplexity_filter",
     # quality monitor joining the FULL exact-Jaccard and LSH pipelines —
-    # exchange count is the sum of its parts, each audited individually
+    # exchange count is the sum of its parts, each audited individually.
+    # MEASURED r7: 11 executed / 2 reused (bounded: both parts' audited
+    # counts summed)
     "dedup_lsh_recall",
     # span-key agg + dup-filter join + per-doc agg + join back to the
     # per-doc span counts: ONE logical shuffle per step. MEASURED r7:
@@ -181,7 +189,8 @@ EXCHANGES_OK = {
     # reused). Asserted in tests/test_plan_hygiene.py
     "rag_bm25_topk",
     # bin agg + block agg + block-offset sort + in-block window + final
-    # fold: each is one bounded-cardinality exchange (bins, blocks)
+    # fold: each is one bounded-cardinality exchange (bins, blocks).
+    # MEASURED r7: 6 executed, zero duplicates
     "eval_auc_rank",
     # the END-TO-END release composition: rules + exact dedup + df-capped
     # shingle inverted index + CC(+persisted stage boundaries) +
@@ -192,7 +201,8 @@ EXCHANGES_OK = {
     "release_pipeline_counts",
     # assignment window + one cell-keyed SMJ + dup-count agg + the final
     # left join back; the assigned subtree re-lists per static branch
-    # (hi/lo self-join + outer join), AQE reuses identical exchanges
+    # (hi/lo self-join + outer join). MEASURED r7: 2 executed / 2 REUSED
+    # — AQE reuse of the assignment exchange does materialize
     "sim_semdedup_cells",
     # pairs behind a persisted stage boundary (stagecache) feeding BOTH
     # the CC operator and the edge_stats agg — the static explain
