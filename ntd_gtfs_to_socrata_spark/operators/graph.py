@@ -22,11 +22,15 @@ Scale posture per round:
 - ``localCheckpoint`` truncates lineage each round; without it the plan
   doubles every iteration and the driver OOMs planning round ~15.
 - convergence is detected from ``sum(label)``: labels only ever decrease,
-  so an unchanged sum IS the fixpoint — one cheap scalar agg per round
-  instead of a join-and-compare of consecutive label sets.
+  so an unchanged sum IS the fixpoint — and the sum rides the checkpoint
+  job as an ``observe()`` metric (fires on eager materialization), so a
+  round is ONE job, with no separate scalar-agg scan and no
+  join-and-compare of consecutive label sets.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,20 +74,29 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # convergence scalars ride the checkpoint job via observe() — metrics
+    # fire when the eager localCheckpoint materializes, so each round is
+    # ONE job (join+agg+checkpoint+probe), not a checkpoint job plus a
+    # separate sum(label) scan
+    from pyspark.sql import Observation
+
+    obs0 = Observation(f"cc_seed_{uuid.uuid4().hex[:8]}")
     labels = (
         bidir.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs0.get["s"]
     converged = False
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         nbr_min = (
             bidir.join(labels, bidir.v == labels.node)
             .groupBy(F.col("u").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        obs = Observation(f"cc_round_{i}_{uuid.uuid4().hex[:8]}")
         labels = (
             labels.join(nbr_min, labels.node == F.col("node2"), "left")
             .select(
@@ -92,9 +105,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             converged = True
             break
@@ -249,17 +263,29 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     converged = False
     prev_sig = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    for i in range(max_iterations):
         # fixpoint when the (count, sum(u), sum(v)) signature stops moving:
         # star rounds only rewire edges downward, so an unchanged signature
-        # means an unchanged edge set — one cheap scalar agg per round
-        sig = e.agg(
-            F.count(F.lit(1)), F.sum("u"), F.sum("v")
-        ).collect()[0]
-        sig = tuple(sig)
+        # means an unchanged edge set. The signature rides the checkpoint
+        # job via observe() (metrics fire on eager materialization) — one
+        # job per round, no separate scalar-agg scan
+        obs = Observation(f"ccstar_round_{i}_{uuid.uuid4().hex[:8]}")
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("u").alias("su"),
+                F.sum("v").alias("sv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        sig = (got["n"], got["su"], got["sv"])
         if sig == prev_sig:
             converged = True
             break
