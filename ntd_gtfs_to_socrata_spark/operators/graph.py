@@ -380,8 +380,10 @@ def k_core(
     here so degree = count of incident edges. Each round is one node-keyed
     degree aggregation + two semi-join filters on the low-degree key set —
     the same bounded-state loop contract as ``connected_components``
-    (``localCheckpoint`` truncates lineage; the low-degree set is a
-    control-plane count per round). Peeling removes at least one node per
+    (``localCheckpoint`` truncates lineage; the fixpoint probe — edge
+    count unchanged, equivalent to "low set empty" since every low node
+    carries an edge — rides the checkpoint job as an ``observe()``
+    metric, one job per round). Peeling removes at least one node per
     non-terminal round, so ``node_count`` rounds always suffice — the
     DEFAULT bound (``max_iterations=None``) is derived from the node
     count (one control-plane scalar), making exhaustion unreachable. A
@@ -414,22 +416,39 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     if max_iterations is None:
         # one round per node is a hard upper bound (each non-terminal
         # round removes >= 1 node); +1 for the terminal fixpoint check
         max_iterations = e.select("s").distinct().count() + 1
-    for _ in range(max_iterations):
+    # fixpoint = edge count unchanged across a peel round: every node in
+    # the low set has >= 1 incident edge (it came from the degree table),
+    # so "no edges removed" <=> "low was empty". The count rides the
+    # checkpoint job as an observe() metric — one job per round instead
+    # of a degree/isEmpty probe job plus the peel/checkpoint job.
+    prev_n = e.count()
+    for i in range(max_iterations):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         low = deg.filter(F.col("deg") < k).select("s")
-        if low.isEmpty():
-            return deg.select(
-                F.col("s").alias("node"), F.col("deg").cast("long").alias("core_degree")
-            )
-        e = (
+        obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
+        e2 = (
             e.join(low, "s", "left_anti")
             .join(low.select(F.col("s").alias("d")), "d", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n = obs.get["n"]
+        if n == prev_n:
+            return (
+                e.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .select(
+                    F.col("s").alias("node"),
+                    F.col("deg").cast("long").alias("core_degree"),
+                )
+            )
+        e, prev_n = e2, n
     raise RuntimeError(
         f"k_core did not reach a fixpoint within the caller-imposed bound of "
         f"{max_iterations} peeling rounds (peeling needs at most one round "
