@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_k_core",
     "privacy_l_diversity",
     "tw_gap_fill_locf",
+    "stream_incremental_lsh_dedup",
 ]
 
 

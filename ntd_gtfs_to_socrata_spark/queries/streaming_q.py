@@ -289,3 +289,29 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(agg, "ssc", "append")
     return spark.table(name)
+
+
+def _lsh_pipeline_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import LSH_PIPELINE_ORACLE
+
+    return LSH_PIPELINE_ORACLE
+
+
+@register("stream_incremental_lsh_dedup", _lsh_pipeline_oracle())
+def stream_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental MinHash-LSH dedup
+    (streaming/dedup_stream.py): the corpus arrives as 4 micro-batches;
+    each foreachBatch dedups the batch against the accumulated band/
+    shingle state (epoch-partitioned idempotent parquet), and the
+    post-drain CC + keep-one verdict equals the batch
+    ``dedup_lsh_pipeline`` EXACTLY — so this entry shares that query's
+    DuckDB value-hash oracle: a streaming composition checked to the
+    value level, not rows-only. Equality argument: the union over batches
+    of (batch-internal ∪ batch×history) band collisions is the full band
+    collision set; Jaccard verification is per-pair; CC and min-id
+    keep-one are batch-order-independent."""
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import (
+        incremental_lsh_dedup,
+    )
+
+    return incremental_lsh_dedup(spark, sf_dir, n_batches=4)

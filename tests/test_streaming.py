@@ -159,3 +159,48 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     closed = [r for r in result if r["window_start"].minute == 0 and r["window_start"].hour == 10]
     assert len(closed) == 1, f"closed window must emit exactly once: {result}"
     assert closed[0]["n"] == 2, f"late event leaked into closed window: {result}"
+
+
+def test_stream_incremental_lsh_equals_batch_pipeline(spark, sf_dir):
+    """The streaming incremental dedup's post-drain verdict must equal the
+    batch dedup_lsh_pipeline row-for-row — the equality the shared DuckDB
+    oracle rests on (union of per-batch band collisions = full collision
+    set; CC/keep-one are order-independent)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import dedup_lsh_pipeline
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import (
+        incremental_lsh_dedup,
+    )
+
+    got = {
+        (r["doc_id"], r["component_id"], r["kept"])
+        for r in incremental_lsh_dedup(spark, sf_dir, n_batches=3).collect()
+    }
+    want = {
+        (r["doc_id"], r["component_id"], r["kept"])
+        for r in dedup_lsh_pipeline(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_epoch_write_idempotent(spark, tmp_path):
+    """Replaying an epoch (task retry / foreachBatch re-execution) must
+    rewrite its own partition, not duplicate state rows — the
+    effectively-once contract of the epoch-partitioned dynamic
+    overwrite."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import _write_epoch
+
+    path = str(tmp_path / "state")
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    _write_epoch(df, path, 0)
+    _write_epoch(df, path, 1)
+    _write_epoch(df, path, 1)  # replay epoch 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10
+    assert out.groupBy("epoch").count().count() == 2
+    # the dynamic-overwrite conf must not leak into the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
