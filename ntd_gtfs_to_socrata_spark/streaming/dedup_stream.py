@@ -157,12 +157,13 @@ def incremental_lsh_dedup(
     edges_path = os.path.join(work, "edges")
 
     docs = load_table(spark, sf_dir, "documents")
-    for i in range(n_batches):
-        # one file per batch, written sequentially (monotone mtimes give
-        # the natural arrival order; correctness does not depend on it)
-        docs.filter(F.pmod(F.col("doc_id"), n_batches) == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(staging)
+    # ONE corpus pass stages all batches: repartition on the deterministic
+    # doc_id bucket writes n_batches files (hash assignment may fold two
+    # buckets into one file — irrelevant: the verdict is provably
+    # batch-partition-independent, any deterministic split works)
+    docs.repartition(n_batches, F.pmod(F.col("doc_id"), n_batches)).write.parquet(
+        staging
+    )
 
     stream = (
         spark.readStream.schema(docs.schema)
