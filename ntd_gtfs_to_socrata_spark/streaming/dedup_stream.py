@@ -115,8 +115,17 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read accumulated state, tolerating absent state AND the
+    schema-less directory an all-empty epoch write leaves behind (a
+    dynamic-overwrite of an empty frame lands only _SUCCESS, no part
+    files — spark.read.parquet cannot infer a schema from that)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     if os.path.isdir(path):
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            pass
     return spark.createDataFrame([], schema)
 
 
