@@ -262,8 +262,10 @@ def dedup_keep_one_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline filters on.
 
     Scale posture: the corpus-sized side is touched by one LEFT join
-    against the component map, which is tiny (only docs that appeared in a
-    near-dup pair) and broadcastable even at 100 TB corpus scale."""
+    against the component map.  No forced broadcast: on real web corpora
+    30-50 % of documents land in near-dup clusters, so the component map
+    can itself be billions of rows -- AQE sizes the join at runtime and
+    broadcasts only when the map is actually under the threshold."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
@@ -272,7 +274,7 @@ def dedup_keep_one_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = F.coalesce(F.col("comp"), F.col("doc_id"))
-    return docs.join(F.broadcast(cc), docs.doc_id == cc.node, "left").select(
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
         "doc_id",
         comp.alias("component_id"),
         (comp == F.col("doc_id")).alias("kept"),
@@ -557,7 +559,7 @@ def dedup_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = F.coalesce(F.col("comp"), F.col("doc_id"))
     return docs.select("doc_id").join(
-        F.broadcast(cc), F.col("doc_id") == F.col("node"), "left"
+        cc, F.col("doc_id") == F.col("node"), "left"
     ).select(
         "doc_id",
         comp.alias("component_id"),

@@ -608,7 +608,7 @@ def sim_embedding_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     comp = F.coalesce(F.col("comp"), F.col("vec_id"))
-    return vecs.join(F.broadcast(cc), vecs.vec_id == cc.node, "left").select(
+    return vecs.join(cc, vecs.vec_id == cc.node, "left").select(
         "vec_id",
         comp.alias("component_id"),
         (comp == F.col("vec_id")).alias("kept"),

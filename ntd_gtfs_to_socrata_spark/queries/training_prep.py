@@ -417,8 +417,9 @@ def tp_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole thing is still one value-hash-checked DataFrame.
 
     Scale posture: the quality gate is a pushed-down scan filter that
-    shrinks every downstream stage; the component map is tiny and
-    broadcasts; split accounting is a map-side bucket + one aggregation."""
+    shrinks every downstream stage; the component-map join is left to AQE
+    (the map can be corpus-scale on dup-heavy web data, so no forced
+    broadcast); split accounting is a map-side bucket + one aggregation."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
     from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard
 
@@ -432,7 +433,7 @@ def tp_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node"), F.col("component_id").alias("comp")
     )
     kept = (
-        docs.join(F.broadcast(cc), docs.doc_id == cc.node, "left")
+        docs.join(cc, docs.doc_id == cc.node, "left")
         .filter(F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id"))
         .select(
             "doc_id",

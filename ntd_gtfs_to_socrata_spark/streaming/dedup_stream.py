@@ -266,7 +266,7 @@ def incremental_lsh_dedup(
     comp = F.coalesce(F.col("comp"), F.col("doc_id"))
     return (
         docs.select("doc_id")
-        .join(F.broadcast(cc), F.col("doc_id") == F.col("node"), "left")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
         .select(
             "doc_id",
             comp.alias("component_id"),

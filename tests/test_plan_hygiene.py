@@ -224,3 +224,63 @@ def test_executed_exchanges_lsh_pipeline(spark, sf_dir):
     most the doc-id join exchanges, none of the candidate/shingle work."""
     m = _measure(spark, "dedup_lsh_pipeline", sf_dir)
     assert m["executed"] <= 3, m
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast detector (r7 verdict item 1): an explicit F.broadcast()
+# hint never degrades — it OOMs when the frame outgrows memory — so every
+# hint must broadcast a frame bounded by construction (FORCED_BC_OK).
+# ---------------------------------------------------------------------------
+
+def _logical(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("extended")
+    plan = buf.getvalue()
+    return plan[: plan.index("== Physical Plan ==")]
+
+
+def test_detector_catches_forced_broadcast(spark):
+    from audit_plans import has_broadcast_hint
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    hinted = a.join(F.broadcast(b), "k")
+    assert has_broadcast_hint(_logical(hinted))
+    assert not has_broadcast_hint(_logical(a.join(b, "k")))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the five r7-verdict sites: the component map scales with the
+        # corpus (30-50% of web docs land in near-dup clusters), so the
+        # verdict join must stay unhinted — AQE sizes it at runtime
+        "dedup_keep_one_per_cluster",
+        "dedup_lsh_pipeline",
+        "sim_embedding_dedup_keep_one",
+        "tp_full_pipeline",
+    ],
+)
+def test_dedup_verdict_joins_unhinted(spark, sf_dir, name):
+    from audit_plans import has_broadcast_hint
+
+    from ntd_gtfs_to_socrata_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    # tp_full_pipeline keeps its bounded eval-shingle/rate broadcasts; the
+    # others must be hint-free end to end
+    logical = _logical(REGISTRY[name](spark, sf_dir))
+    if name == "tp_full_pipeline":
+        # the pipeline keeps its bounded eval-shingle / rate-table hints;
+        # the cc verdict join specifically must be unhinted (source-pinned
+        # because the plan text can't attribute a hint to one join)
+        import pathlib
+
+        src = pathlib.Path(
+            "ntd_gtfs_to_socrata_spark/queries/training_prep.py"
+        ).read_text()
+        assert "F.broadcast(cc)" not in src
+        assert "node" in logical
+    else:
+        assert not has_broadcast_hint(logical), f"{name} carries a forced broadcast hint"

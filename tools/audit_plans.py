@@ -62,6 +62,85 @@ BNLJ_OK = {
     "sim_semdedup_cells",  # centroid-table broadcast cross join (sim_ivf_assign pattern)
 }
 
+# Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
+# hint in their plan. A FORCED hint does not degrade when the frame grows —
+# it OOMs — so every entry here must broadcast a frame whose size is bounded
+# by CONSTRUCTION (a dimension table, a K-row centroid/codebook table, a
+# 1-row aggregate scalar, a LIMIT-bounded query set), never a frame that
+# scales with the corpus. Data-sized frames (e.g. near-dup component maps)
+# must NOT be hinted: AQE broadcasts them at runtime iff actually small.
+FORCED_BC_OK = {
+    # --- 1-row aggregate scalars / bounded stats frames ---
+    "text_tfidf_top_terms",      # 1-row doc-count scalar
+    "text_unigram_logprob",      # 1-row corpus-token total
+    "text_unigram_logprob_topk", # 1-row total + constant top-K vocab
+    "text_boilerplate_ngrams",   # 1-row doc count + df-capped frequent set
+    "tp_mixture_weights",        # 1-row corpus totals
+    "tp_weighted_sample",        # 1-row totals + per-source rate table
+    "tp_weighted_sample_aes",    # same rate-table shape
+    "tp_temperature_resample",   # 1-row totals + per-source rates
+    "tp_perplexity_filter",      # 1-row tercile threshold
+    "tp_dsir_importance",        # 1-row corpus constants
+    "tp_contamination_check",    # eval-set shingles: eval suites are fixed-size
+    "tp_full_pipeline",          # embeds the eval-shingle + rate-table broadcasts
+    "eval_auc_rank",             # ~bins/1024-row block-offset table
+    "eval_welch_ttest",          # per-group 1-row moment scalars
+    "dedup_lsh_recall",          # three 1-row metric aggregates
+    "dq_anomaly_daily_counts",   # 1-row median/MAD scalars
+    "dq_benford_first_digit",    # 1-row digit-count total
+    "er_blocking_quality",       # two 1-row count frames
+    "rag_bm25_topk",             # 1-row (N, avgdl) corpus scalars
+    "a6_width_bucket_bins",      # 1-row quantile-bounds array
+    "a6_winsorized_stats",       # 1-row p05/p95 thresholds
+    "q11_important_values",      # 1-row fraction-of-total scalar
+    "q22_sales_opportunity",     # 1-row global-avg scalar
+    "release_pipeline_counts",   # embeds the eval-shingle decontamination broadcast
+    # --- K-row centroid / codebook / query / anchor tables ---
+    "sim_bruteforce_topk",       # LIMIT-bounded query set
+    "sim_ann_bucketed_topk",     # bounded query set vs bucketed corpus
+    "sim_cosine_neardup_pairs",  # bounded (vec_id<200) comparison set
+    "sim_embedding_dedup_keep_one",  # embeds the bounded pair stage (cc join unhinted)
+    "sim_ivf_assign",            # K-row centroid table
+    "sim_ivf_topk",              # K centroids + bounded query set
+    "sim_ivf_recall",            # embeds both pipelines above
+    "sim_kmeans_train",          # K-row centroid table per iteration
+    "sim_semdedup_cells",        # K-row centroid table
+    "sim_matryoshka_topk",       # bounded query set, two-stage screen
+    "sim_hard_negatives",        # bounded anchor set
+    "sim_lsh_hyperplane_buckets",  # bounded (vec_id<200) probe set
+    "a6_count_min_heavy_hitters",  # d*w-row CMS counter table (constant by construction)
+    "bpe_token_counts",          # trained-vocab segmentation table (fixed artifact)
+    "sq_correlated_scalar",      # per-key avg threshold frame (decorrelated scalar agg)
+    "j8c_incremental_join_delta",  # batch-bounded delta frames (CDC batch size)
+    # --- K-row centroid / codebook tables (cont.) ---
+    "sim_pq_topk",               # N_SUB*N_CODES codebook + ADC lookup table
+    # --- dimension / date / band / threshold tables ---
+    # nation (25) / region (5) are constant; part/supplier/customer are
+    # warehouse-style bounded dims — on SF-proportional data the unhinted
+    # AQE form is the scale path (see SCALE.md "Joins")
+    "q5_region_revenue",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",          # dims + 1-row max-revenue scalar
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",  # part dim + per-part avg-qty threshold
+    "q18_large_volume_customers",  # per-order qty threshold (group-bounded)
+    "q19_disjunctive_join",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    "range_join_quantity_bands", # 5-row band table
+    "layout_dpp_partition_prune",  # date dim broadcast drives dynamic pruning
+    "j1_j2_feed_resolution_routing",  # catalog dimension (reference J1 semantics)
+    "j6_salted_skew_join",       # replicated dimension (salting pattern)
+    "geo_grid_neighbor_join",    # 9x-replicated supplier dim (grid LSH)
+    "geo_knn_per_customer",      # supplier dim
+    "text_ngram_novelty",        # reference-corpus ngram set: fixed reference slice
+}
+
 # global (un-partitioned) window whitelist: each is a documented exact
 # variant whose input is tiny or whose scale-safe twin ships alongside
 GLOBAL_WINDOW_OK = {
@@ -82,6 +161,19 @@ GLOBAL_WINDOW_OK = {
     # window input is the metadata frame, not the corpus
     "tp_weighted_sample",
 }
+
+
+def has_broadcast_hint(logical: str) -> bool:
+    """True iff the analyzed/optimized logical plan carries an explicit
+    broadcast hint (``F.broadcast`` / ``/*+ BROADCAST */``).  A hint
+    FORCES the strategy regardless of runtime size — the OOM-class risk
+    the FORCED_BC_OK allowlist guards — unlike an AQE-chosen
+    BroadcastHashJoin, which degrades to a shuffle join when the frame
+    outgrows the threshold."""
+    return bool(
+        re.search(r"(?i)(?:Un)?ResolvedHint.*broadcast", logical)
+        or re.search(r"(?i)hint=\((?:[^)]*\b)?strategy=broadcast", logical)
+    )
 
 
 def _top_level_groups(s: str) -> list[str]:
@@ -263,6 +355,11 @@ def main() -> None:
             issues.append(f"EXCHANGES={n_exchange}")
         if name not in GLOBAL_WINDOW_OK and global_window_lines(physical):
             issues.append("GLOBAL_WINDOW")
+        # forced broadcast hints: visible in the analyzed/optimized logical
+        # plan as ResolvedHint/UnresolvedHint or an inlined join hint.
+        logical = plan[: plan.index("== Physical Plan ==")]
+        if has_broadcast_hint(logical) and name not in FORCED_BC_OK:
+            issues.append("FORCED_BROADCAST")
         tag = " !! " + ",".join(issues) if issues else ""
         print(f"{name}: exch={n_exchange} bc={n_bc}{tag}")
         flags += bool(issues)
