@@ -302,8 +302,10 @@ def stream_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup
     (streaming/dedup_stream.py): the corpus arrives as 4 micro-batches;
     each foreachBatch dedups the batch against the accumulated band/
-    shingle state (epoch-partitioned idempotent parquet), and the
-    post-drain CC + keep-one verdict equals the batch
+    shingle state (epoch-partitioned idempotent parquet, COMPACTED into
+    bucketed band-hash/doc_id tables every 2 epochs so state reads stay
+    bounded and the candidate join never shuffles the state side), and
+    the post-drain CC + keep-one verdict equals the batch
     ``dedup_lsh_pipeline`` EXACTLY — so this entry shares that query's
     DuckDB value-hash oracle: a streaming composition checked to the
     value level, not rows-only. Equality argument: the union over batches

@@ -30,14 +30,21 @@ order-independent. The registry entry therefore shares the batch
 pipeline's DuckDB value-hash oracle — a streaming composition checked to
 the VALUE level, not just rows-only.
 
-Scale posture: band/shingle state is append-only parquet keyed for the
-band join (at 100 TB: bucketed by band hash so the per-batch candidate
-join co-locates); per-batch work is O(batch × collisions), never
-corpus²; the final CC runs on the edge list (O(near-dup pairs) ≪ corpus).
+Scale posture: band/shingle state is epoch-partitioned parquet that a
+COMPACTION pass periodically rewrites as a BUCKETED table (bands by the
+band hash, shingles by doc_id) — readers scan one bucketed snapshot plus
+a bounded epoch tail instead of an ever-growing partition list, and the
+per-batch candidate join sort-merges against the bucketed snapshot with
+NO exchange on the (corpus-sized) state side (asserted in
+tests/test_streaming.py). Per-batch work is O(batch × collisions), never
+corpus²; the final CC runs on the edge list (O(near-dup pairs) ≪ corpus;
+the edge state stays epoch-partitioned — it is read exactly once, after
+the drain, never joined per batch).
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -51,16 +58,31 @@ from ntd_gtfs_to_socrata_spark.operators import textops as TX
 
 _JACCARD_T = 0.2  # dedup_lsh_pipeline's verification threshold
 _N_BANDS = 4
+_STATE_BUCKETS = 8  # compacted-state bucket count (cluster: size to cores)
 
 # at most one live work dir per session: a new run retires the previous
 # run's state so repeated invocations (oracle gate, bench passes) don't
-# accumulate /tmp garbage — the stagecache lifecycle discipline
+# accumulate /tmp garbage — the stagecache lifecycle discipline. The final
+# run's dir is removed by the atexit hook (advisor r7).
 _PREV_WORK: list[str] = []
+_PREV_TABLES: list[str] = []
+
+# diagnostics of the most recent run (tests assert compaction happened and
+# inspect the bucketed state tables before the next run retires them)
+LAST_RUN: dict = {}
 
 
 def _retire_previous() -> None:
+    spark = SparkSession.getActiveSession()
+    while _PREV_TABLES:
+        t = _PREV_TABLES.pop()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     while _PREV_WORK:
         shutil.rmtree(_PREV_WORK.pop(), ignore_errors=True)
+
+
+atexit.register(_retire_previous)
 
 
 def _minhash_perms() -> list[tuple[int, int]]:
@@ -114,19 +136,121 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _has_part_files(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        if any(f.startswith("part-") for f in files):
+            return True
+    return False
+
+
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read accumulated state, tolerating absent state AND the
     schema-less directory an all-empty epoch write leaves behind (a
     dynamic-overwrite of an empty frame lands only _SUCCESS, no part
-    files — spark.read.parquet cannot infer a schema from that)."""
+    files — spark.read.parquet cannot infer a schema from that).
+
+    The fallback is deliberately NARROW (advisor r7): only a directory
+    with no part files maps to empty state; any other read failure
+    (corrupt footer, incompatible schema) re-raises rather than silently
+    dropping historical candidates into a plausible-but-wrong verdict."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     if os.path.isdir(path):
         try:
             return spark.read.parquet(path)
         except AnalysisException:
-            pass
+            if _has_part_files(path):
+                raise
     return spark.createDataFrame([], schema)
+
+
+class _CompactedState:
+    """Epoch-partitioned state with periodic bucketed compaction.
+
+    Writes stay epoch-partitioned dynamic overwrites (idempotent under
+    foreachBatch replay). Every ``compact_every`` epochs the full state is
+    rewritten as a BUCKETED, sorted table on the join key; readers then
+    see (bucketed snapshot) ∪ (epoch tail newer than the snapshot), so
+    the scan width is bounded regardless of stream lifetime and the
+    per-batch candidate join co-locates against the snapshot without
+    shuffling it.
+
+    Crash/replay safety: the folded epoch partitions and the superseded
+    snapshot are NOT deleted at compaction time — they are garbage-
+    collected at the START of a later epoch, i.e. only after the epoch
+    that compacted them has committed to the streaming checkpoint. A
+    replayed compaction overwrites the same table name with identical
+    content (the epoch tail it folds is filtered by the same watermark)."""
+
+    def __init__(
+        self, base: str, schema: str, key: list[str], table: str, compact_every: int
+    ) -> None:
+        self.base = base
+        self.schema = schema  # epoch-partitioned read schema (incl. epoch)
+        self.key = key
+        self.table = table
+        self.compact_every = compact_every
+        self.compacted_upto = -1  # max epoch folded into the snapshot
+        self.last_epoch = -1
+        self._pending_gc: list[str] = []
+        self.n_compactions = 0
+
+    def gc(self) -> None:
+        """Remove state superseded by a compaction that has since
+        committed (call at epoch start — see class docstring)."""
+        while self._pending_gc:
+            shutil.rmtree(self._pending_gc.pop(), ignore_errors=True)
+
+    def write_epoch(self, df: DataFrame, epoch_id: int) -> None:
+        self.last_epoch = max(self.last_epoch, epoch_id)
+        _write_epoch(df, self.base, epoch_id)
+
+    def read_snapshot(self, spark: SparkSession) -> DataFrame | None:
+        """The bucketed snapshot (no epoch column), or None before the
+        first compaction. Join THIS side on ``key`` to get the
+        exchange-free sort-merge."""
+        if self.compacted_upto < 0:
+            return None
+        return spark.table(self.table)
+
+    def read_tail(self, spark: SparkSession) -> DataFrame:
+        """Epoch partitions newer than the snapshot (epoch column
+        dropped)."""
+        cols = [c.split()[0] for c in self.schema.split(",")]
+        cols = [c for c in cols if c != "epoch"]
+        return (
+            _read_state(spark, self.base, self.schema)
+            .filter(F.col("epoch") > self.compacted_upto)
+            .select(*cols)
+        )
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        snap = self.read_snapshot(spark)
+        tail = self.read_tail(spark)
+        return tail if snap is None else snap.unionByName(tail)
+
+    def maybe_compact(self, spark: SparkSession, epoch_id: int) -> None:
+        if (epoch_id + 1) % self.compact_every != 0:
+            return
+        from ntd_gtfs_to_socrata_spark.io import write_bucketed
+
+        full = self.read_all(spark)
+        # snapshot tables are per-run (unique suffix) and overwritten in
+        # place on replay; localCheckpoint breaks the read-from/write-to
+        # same-table cycle when a previous snapshot feeds the rewrite
+        full = full.localCheckpoint(eager=True)
+        write_bucketed(full, self.table, self.key, n_buckets=_STATE_BUCKETS)
+        # fold point + GC scheduling (epoch dirs now covered by the table)
+        for entry in sorted(os.listdir(self.base)) if os.path.isdir(self.base) else []:
+            if entry.startswith("epoch="):
+                try:
+                    e = int(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if e <= epoch_id:
+                    self._pending_gc.append(os.path.join(self.base, entry))
+        self.compacted_upto = epoch_id
+        self.n_compactions += 1
 
 
 def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
@@ -147,7 +271,7 @@ def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
 
 
 def incremental_lsh_dedup(
-    spark: SparkSession, sf_dir: str, n_batches: int = 4
+    spark: SparkSession, sf_dir: str, n_batches: int = 4, compact_every: int = 2
 ) -> DataFrame:
     """Run the streaming incremental dedup end-to-end and return the
     (doc_id, component_id, kept) verdict frame for the WHOLE corpus.
@@ -156,14 +280,33 @@ def incremental_lsh_dedup(
     ``pmod(doc_id, n)`` buckets — simulating batch arrival) and consumed
     by a file-source stream with ``maxFilesPerTrigger=1``; the final
     verdict is batch-ORDER-independent (see module docstring), so any
-    file pickup order yields the identical result."""
+    file pickup order yields the identical result. Band/shingle state is
+    compacted into bucketed tables every ``compact_every`` epochs."""
     _retire_previous()
     work = tempfile.mkdtemp(prefix="stream_lsh_dedup_")
     _PREV_WORK.append(work)
+    run_id = uuid.uuid4().hex[:8]
     staging = os.path.join(work, "staging")
-    bands_path = os.path.join(work, "state_bands")
-    shingles_path = os.path.join(work, "state_shingles")
     edges_path = os.path.join(work, "edges")
+    bands_state = _CompactedState(
+        os.path.join(work, "state_bands"),
+        "doc_id long, bucket string, epoch int",
+        ["bucket"],
+        f"stream_lsh_bands_{run_id}",
+        compact_every,
+    )
+    shingles_state = _CompactedState(
+        os.path.join(work, "state_shingles"),
+        "doc_id long, n_sh int, h long, epoch int",
+        ["doc_id"],
+        f"stream_lsh_shingles_{run_id}",
+        compact_every,
+    )
+    _PREV_TABLES.extend([bands_state.table, shingles_state.table])
+    LAST_RUN.clear()
+    LAST_RUN.update(
+        work=work, bands_state=bands_state, shingles_state=shingles_state
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus pass stages all batches: repartition on the deterministic
@@ -182,6 +325,10 @@ def incremental_lsh_dedup(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # GC state superseded by a compaction that has since committed
+        # (safe here: foreachBatch only reaches epoch e after e-1 committed)
+        bands_state.gc()
+        shingles_state.gc()
         bands = _band_signatures(batch_df).localCheckpoint(eager=True)
         shingles = _shingle_hashes(batch_df).localCheckpoint(eager=True)
 
@@ -205,28 +352,33 @@ def incremental_lsh_dedup(
         )
 
         # batch × history: asymmetric band join new-vs-index; canonical
-        # (min, max) orientation matches the batch pipeline's a < b pairs
-        hist_bands = _read_state(
-            sess, bands_path, "doc_id long, bucket string, epoch int"
-        ).select("doc_id", "bucket")
-        cross = (
-            bands.alias("new")
-            .join(hist_bands.alias("old"), "bucket")
-            .select(
-                F.least(F.col("new.doc_id"), F.col("old.doc_id")).alias("doc_a"),
-                F.greatest(F.col("new.doc_id"), F.col("old.doc_id")).alias("doc_b"),
+        # (min, max) orientation matches the batch pipeline's a < b pairs.
+        # The bucketed snapshot and the epoch tail are joined SEPARATELY
+        # (union of the two joins, not a join of the union): unioning
+        # first would discard the snapshot's bucket layout and re-shuffle
+        # the corpus-sized state side every batch.
+        def _cross(hist: DataFrame) -> DataFrame:
+            return (
+                bands.alias("new")
+                .join(hist.select("doc_id", "bucket").alias("old"), "bucket")
+                .select(
+                    F.least(F.col("new.doc_id"), F.col("old.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("new.doc_id"), F.col("old.doc_id")).alias(
+                        "doc_b"
+                    ),
+                )
             )
-        )
+
+        snap = bands_state.read_snapshot(sess)
+        cross = _cross(bands_state.read_tail(sess))
+        if snap is not None:
+            cross = cross.unionByName(_cross(snap))
         cands = internal.unionByName(cross).distinct()
 
         # exact-Jaccard verify on candidates only, over batch ∪ state
         # shingles (every candidate names at least one batch doc; its
         # partner is either in-batch or in state)
-        all_sh = shingles.unionByName(
-            _read_state(
-                sess, shingles_path, "doc_id long, n_sh int, h long, epoch int"
-            ).select("doc_id", "n_sh", "h")
-        )
+        all_sh = shingles.unionByName(shingles_state.read_all(sess))
         a = all_sh.select(
             F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "h"
         )
@@ -245,8 +397,10 @@ def incremental_lsh_dedup(
         ).select("doc_a", "doc_b")
 
         _write_epoch(verified, edges_path, epoch_id)
-        _write_epoch(bands.select("doc_id", "bucket"), bands_path, epoch_id)
-        _write_epoch(shingles, shingles_path, epoch_id)
+        bands_state.write_epoch(bands.select("doc_id", "bucket"), epoch_id)
+        shingles_state.write_epoch(shingles, epoch_id)
+        bands_state.maybe_compact(sess, epoch_id)
+        shingles_state.maybe_compact(sess, epoch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -204,3 +204,134 @@ def test_stream_dedup_epoch_write_idempotent(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == "static"
     )
+
+
+def test_stream_dedup_state_compaction(spark, sf_dir):
+    """r7 verdict item 3: band/shingle state must compact into bucketed
+    tables on the compact_every cadence, the folded epoch partitions must
+    be GC'd after a later epoch commits, and the post-compaction verdict
+    must still equal the batch pipeline."""
+    import os
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import dedup_lsh_pipeline
+    from ntd_gtfs_to_socrata_spark.streaming import dedup_stream as DS
+
+    got = {
+        tuple(r)
+        for r in DS.incremental_lsh_dedup(
+            spark, sf_dir, n_batches=4, compact_every=2
+        ).collect()
+    }
+    want = {tuple(r) for r in dedup_lsh_pipeline(spark, sf_dir).collect()}
+    assert got == want
+
+    bands = DS.LAST_RUN["bands_state"]
+    shingles = DS.LAST_RUN["shingles_state"]
+    # staging may fold pmod buckets into fewer files (hash assignment), so
+    # derive the expected cadence from the epochs that actually ran
+    n_epochs = bands.last_epoch + 1
+    assert n_epochs >= 2
+    want_compactions = n_epochs // 2
+    want_upto = 2 * want_compactions - 1
+    assert bands.n_compactions == want_compactions
+    assert shingles.n_compactions == want_compactions
+    assert bands.compacted_upto == want_upto
+    # the snapshot holds everything up to the watermark; the tail is only
+    # epochs after it
+    assert bands.read_snapshot(spark).count() > 0
+    tail_epochs = set(range(want_upto + 1, n_epochs))
+    if not tail_epochs:
+        assert bands.read_tail(spark).count() == 0
+    # epochs folded by the FIRST compaction were GC'd at a later epoch's
+    # start (the last compaction's folds may still be pending by design)
+    if want_compactions >= 2:
+        folded = [e for e in os.listdir(bands.base) if e.startswith("epoch=")]
+        assert "epoch=0" not in folded and "epoch=1" not in folded
+
+
+def test_stream_dedup_snapshot_join_exchange_free(spark, sf_dir):
+    """The point of the bucketed compaction: a new batch's band join
+    against the snapshot must NOT shuffle the state side — one Exchange
+    (the small new side), bucketed scan on the snapshot."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.streaming import dedup_stream as DS
+
+    DS.incremental_lsh_dedup(spark, sf_dir, n_batches=4, compact_every=2)
+    snap = DS.LAST_RUN["bands_state"].read_snapshot(spark)
+    new = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("0_"), F.col("id")).alias("bucket")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = new.join(snap, "bucket")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+            joined.explain()  # simple mode: Exchange args inline
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"state side must not shuffle:\n{plan}"
+
+
+def test_stream_dedup_compaction_replay_idempotent(spark, tmp_path):
+    """Replaying the epoch that compacted must leave identical state
+    (same snapshot content, same watermark) — the crash-between-compact-
+    and-checkpoint-commit case."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import _CompactedState
+
+    st = _CompactedState(
+        str(tmp_path / "state"),
+        "doc_id long, bucket string, epoch int",
+        ["bucket"],
+        "test_compact_replay",
+        compact_every=2,
+    )
+    try:
+        df0 = spark.range(5).select(
+            F.col("id").alias("doc_id"), F.lit("b0").alias("bucket")
+        )
+        df1 = spark.range(5, 9).select(
+            F.col("id").alias("doc_id"), F.lit("b1").alias("bucket")
+        )
+        st.write_epoch(df0, 0)
+        st.write_epoch(df1, 1)
+        st.maybe_compact(spark, 1)
+        before = {tuple(r) for r in st.read_all(spark).collect()}
+        # replay epoch 1: rewrite + recompact
+        st.write_epoch(df1, 1)
+        st.maybe_compact(spark, 1)
+        after = {tuple(r) for r in st.read_all(spark).collect()}
+        assert before == after and len(after) == 9
+        assert st.compacted_upto == 1
+        st.gc()
+        assert st.read_all(spark).count() == 9
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_compact_replay")
+
+
+def test_read_state_reraises_on_corrupt_part_file(spark, tmp_path):
+    """Advisor r7: only the no-part-files empty-epoch layout may fall back
+    to empty state; an unreadable directory WITH part files must raise,
+    never silently produce a wrong verdict."""
+    import pytest as _pytest
+
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import _read_state
+
+    p = tmp_path / "state"
+    p.mkdir()
+    (p / "_SUCCESS").write_text("")
+    # no part files -> tolerated empty state
+    assert _read_state(spark, str(p), "doc_id long").count() == 0
+    (p / "part-00000-corrupt.parquet").write_bytes(b"not parquet at all")
+    with _pytest.raises(Exception):
+        _read_state(spark, str(p), "doc_id long").collect()
