@@ -430,7 +430,11 @@ def k_core(
     prev_n = e.count()
     for i in range(max_iterations):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        low = deg.filter(F.col("deg") < k).select("s")
+        # low is embedded twice below (two anti-joins); materialize it
+        # once so the degree aggregation runs one job per round instead
+        # of relying on AQE exchange reuse to collapse the copies
+        # (advisor r7 — the re-execution pattern measured elsewhere)
+        low = deg.filter(F.col("deg") < k).select("s").localCheckpoint(eager=True)
         obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
         e2 = (
             e.join(low, "s", "left_anti")

@@ -33,25 +33,38 @@ test) should ``release_all()`` + ``spark.catalog.clearCache()`` first.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+# one live frame per scope; scopes are the closed set of static strings
+# the query modules pass, so the dict is bounded by construction — the
+# lifecycle risk is concurrency, not growth, hence the lock (advisor r7)
 _LIVE: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def stage_boundary(df: DataFrame, scope: str) -> DataFrame:
     """Persist ``df`` as a shared stage boundary, retiring the previous
-    holder of ``scope`` first (unpersist-before-persist also keeps the
-    cache manager from deduping the new frame against a stale entry with
-    the same canonical plan)."""
-    prev = _LIVE.pop(scope, None)
-    if prev is not None:
-        prev.unpersist()
-    df = df.persist()
-    _LIVE[scope] = df
+    holder of ``scope`` first. The unpersist MUST precede the persist:
+    the cache manager dedupes a new entry against any live entry with the
+    same canonical plan, so persist-then-unpersist would silently leave
+    the new frame uncached. The whole swap runs under the lock so
+    concurrent query construction can't interleave two swaps of one
+    scope (advisor r7)."""
+    with _LOCK:
+        prev = _LIVE.pop(scope, None)
+        if prev is not None:
+            prev.unpersist()
+        df = df.persist()
+        _LIVE[scope] = df
     return df
 
 
 def release_all() -> None:
     """Unpersist every live stage boundary (test teardown hook)."""
-    while _LIVE:
-        _LIVE.popitem()[1].unpersist()
+    with _LOCK:
+        frames = list(_LIVE.values())
+        _LIVE.clear()
+    for f in frames:
+        f.unpersist()
