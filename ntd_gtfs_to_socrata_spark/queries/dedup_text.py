@@ -76,6 +76,14 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 
 NGRAM_JACCARD_ORACLE = _ngram_oracle()
 
+# Default document-frequency cap for every query that CONSUMES the pair
+# set (CC / keep-one / cluster report / graph family / full pipeline):
+# tests/test_dedup_skew.py proves the cap bounds posting-list fan-out at
+# zero true-pair recall cost, so the capped pair generator is the
+# production default (r7 verdict item 4). ``dedup_ngram_jaccard`` stays
+# explicitly uncapped as the oracle-exact semantic reference.
+AUDIT_DF_CAP = 50
+
 
 def _ngram_jaccard(
     spark: SparkSession,
@@ -185,7 +193,7 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CC_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
@@ -212,7 +220,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is value-hash checked, not just row-counted."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component_id")
 
@@ -229,13 +237,13 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     result."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components_star
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "component_id")
 
 
 KEEP_ONE_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
@@ -268,7 +276,7 @@ def dedup_keep_one_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts only when the map is actually under the threshold."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node"), F.col("component_id").alias("comp")
     )
@@ -2155,7 +2163,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CLUSTER_REPORT_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle()}),
+WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
@@ -2205,7 +2213,8 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs feed BOTH the CC operator and the edge_stats aggregate below —
     # persist the boundary so the inverted-index pair generation runs once
     pairs = stage_boundary(
-        _ngram_jaccard(spark, sf_dir, df_cap=None), "dedup_cluster_report.pairs"
+        _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP),
+        "dedup_cluster_report.pairs",
     )
     cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component_id"

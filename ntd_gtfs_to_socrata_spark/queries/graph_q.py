@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ntd_gtfs_to_socrata_spark.queries import register
-from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard, _ngram_oracle
+from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+    AUDIT_DF_CAP,
+    _ngram_jaccard,
+    _ngram_oracle,
+)
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -45,7 +49,7 @@ def _pagerank_oracle() -> str:
         )
     chained = ",\n".join(steps)
     return f"""
-WITH pairs AS ({_ngram_oracle()}),
+WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -68,7 +72,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from)."""
     from ntd_gtfs_to_socrata_spark.operators.graph import pagerank
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     # symmetric edges from ONE pass over the pair generator (explode, not
     # union — a union re-executes the inverted-index subtree per branch)
     edges = pairs.select(
@@ -90,7 +94,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_ORACLE = f"""
-WITH pairs AS ({_ngram_oracle()}),
+WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
 SELECT count(*) AS n_triangles
 FROM e e1
@@ -116,7 +120,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per leg — the same share-don't-recompute posture every iterative
     operator here uses."""
     pairs = (
-        _ngram_jaccard(spark, sf_dir, df_cap=None)
+        _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint(eager=True)
     )
@@ -134,7 +138,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEGREE_ORACLE = f"""
-WITH pairs AS ({_ngram_oracle()}),
+WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -157,7 +161,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole upstream pair pipeline in the plan (each branch re-derives
     it), doubling its exchanges; pairs are unique (i<j), so occurrence
     count IS the neighbor count."""
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     nodes = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("node")
     )
@@ -181,7 +185,7 @@ def _canonical_oracle() -> str:
         )
     chained = ",\n".join(pr_steps)
     return f"""
-WITH RECURSIVE pairs AS ({_ngram_oracle()}),
+WITH RECURSIVE pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -235,7 +239,7 @@ def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three aggregation legs (best / members / winners) and is likewise
     # checkpointed (it's a per-node frame of the near-dup subgraph —
     # small by construction)
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None).localCheckpoint(eager=True)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP).localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -295,7 +299,7 @@ lp{i + 1} AS (
         )
     chained = ",\n".join(steps)
     return f"""
-WITH pairs AS ({_ngram_oracle()}),
+WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -321,7 +325,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community profile (label, size, min member)."""
     from ntd_gtfs_to_socrata_spark.operators.graph import label_propagation
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     # symmetric edges via explode, not union — one pair-generator execution
     edges = pairs.select(
         F.explode(
@@ -366,7 +370,7 @@ def _kcore_oracle() -> str:
         )
     chained = ",\n".join(steps)
     return f"""
-WITH pairs AS MATERIALIZED ({_ngram_oracle()}),
+WITH pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 lvl0 AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -397,7 +401,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     which always converges."""
     from ntd_gtfs_to_socrata_spark.operators.graph import k_core
 
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
     return k_core(
         pairs, k=_KCORE_K, src="doc_a", dst="doc_b", max_iterations=_KCORE_LEVELS
     ).select(

@@ -367,7 +367,10 @@ def tp_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _pipeline_oracle() -> str:
-    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_oracle
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        AUDIT_DF_CAP,
+        _ngram_oracle,
+    )
 
     return f"""
 WITH RECURSIVE corpus AS (
@@ -376,7 +379,7 @@ WITH RECURSIVE corpus AS (
     AND lang IN ('en', 'de', 'fr', 'es')
     AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
 ),
-pairs_j AS ({_ngram_oracle(table='corpus')}),
+pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP, table='corpus')}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
@@ -421,14 +424,17 @@ def tp_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the map can be corpus-scale on dup-heavy web data, so no forced
     broadcast); split accounting is a map-side bucket + one aggregation."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
-    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        AUDIT_DF_CAP,
+        _ngram_jaccard,
+    )
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).filter(
         (F.col("n_chars") >= 60)
         & F.col("lang").isin("en", "de", "fr", "es")
         & (F.size(TX.tokens(F.col("text"))) >= 10)
     )
-    pairs = _ngram_jaccard(spark, sf_dir, df_cap=None, docs=docs)
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP, docs=docs)
     cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node"), F.col("component_id").alias("comp")
     )

@@ -149,3 +149,41 @@ def test_uncapped_and_capped_agree_outside_hot_key(spark, skew_dir):
         for r in _ngram_jaccard(spark, skew_dir, df_cap=None, docs=docs).collect()
     }
     assert capped == uncapped
+
+
+def test_graph_family_runs_capped_on_skew_corpus(spark, skew_dir):
+    """r7 verdict item 4: the graph/cluster-audit family now defaults to
+    the df-capped pair generator, so the whole family must run on the
+    boilerplate-skew corpus without posting-list blowup AND recover
+    exactly the true near-dup clusters (cap costs no recall here — true
+    pairs share 11 rare shingles each)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        dedup_cluster_report,
+        dedup_connected_components,
+    )
+    from ntd_gtfs_to_socrata_spark.queries.graph_q import (
+        graph_canonical_by_rank,
+        graph_degree_distribution,
+        graph_k_core,
+        graph_label_propagation,
+        graph_pagerank,
+        graph_triangle_count,
+    )
+
+    comp: dict[int, set[int]] = {}
+    for r in dedup_connected_components(spark, skew_dir).collect():
+        comp.setdefault(r["component_id"], set()).add(r["doc_id"])
+    got = sorted(sorted(v) for v in comp.values())
+    assert got == [[2 * p, 2 * p + 1] for p in range(_N_PAIRS)]
+
+    # every member of the family executes on the skew corpus; the pair
+    # graph is 20 disjoint edges, so node-level outputs cover 40 nodes
+    assert graph_pagerank(spark, skew_dir).count() == 2 * _N_PAIRS
+    assert graph_label_propagation(spark, skew_dir).count() == 2 * _N_PAIRS
+    assert graph_canonical_by_rank(spark, skew_dir).count() == _N_PAIRS
+    assert graph_degree_distribution(spark, skew_dir).count() >= 1
+    assert dedup_cluster_report(spark, skew_dir).count() == _N_PAIRS
+    # no triangles and no k>=2 core in a perfect matching
+    tri = graph_triangle_count(spark, skew_dir).collect()
+    assert sum(r[-1] for r in tri) == 0 or all(r["n_triangles"] == 0 for r in tri)
+    assert graph_k_core(spark, skew_dir).count() == 0
