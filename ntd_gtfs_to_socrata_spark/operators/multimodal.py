@@ -194,3 +194,154 @@ def frame_intensities(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         frame_intensity_batch, schema=FRAME_INTENSITY_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real container headers (r7 verdict item 6): the payloads below carry
+# genuine PNG signatures / IHDR chunks and JPEG JFIF+SOF0 segments, built
+# JVM-side, and the parser reads them with pure-Python struct parsing —
+# no codec dependency. Only PIXEL decode remains stubbed above.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SOI = b"\xff\xd8"
+
+HEADER_SCHEMA = (
+    "doc_id long, format string, width long, height long, bit_depth long, "
+    "channels long, n_bytes long, ok boolean"
+)
+
+
+def _be(col, n_bytes: int):
+    """Integer column → big-endian binary of n_bytes (JVM-side: hex +
+    left-pad + unhex — no UDF)."""
+    return F.unhex(F.lpad(F.hex(col), 2 * n_bytes, "0"))
+
+
+def make_image_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload, media_meta) where payload is a REAL image
+    container header followed by the doc's text bytes as stand-in pixel
+    data: even doc_ids get a PNG signature + IHDR chunk (+ 4-byte CRC
+    slot), odd get JPEG SOI + JFIF APP0 + SOF0. Dimensions and channel
+    counts derive from octet_length(text)/doc_id so a SQL oracle can
+    replay the integers while the Spark side genuinely round-trips
+    through container bytes.
+
+    Construction is all Column expressions (concat of binary literals +
+    hex/unhex big-endian fields) — building a 100 TB media-lake fixture
+    never leaves the JVM."""
+    nb = F.octet_length("text")
+    width = (nb % 640 + 1).cast("int")
+    height = (nb % 480 + 1).cast("int")
+    body = F.encode(F.col("text"), "UTF-8")
+    # PNG: color_type 6 (RGBA) when doc_id%3==0 else 2 (RGB)
+    color_type = F.when(F.col("doc_id") % 3 == 0, F.lit(6)).otherwise(F.lit(2))
+    ihdr_data = F.concat(
+        _be(width, 4),
+        _be(height, 4),
+        F.lit(b"\x08"),  # bit depth
+        _be(color_type, 1),
+        F.lit(b"\x00\x00\x00"),  # compression / filter / interlace
+    )
+    png = F.concat(
+        F.lit(PNG_SIG),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),  # length 13 + chunk type
+        ihdr_data,
+        F.lit(b"\x00\x00\x00\x00"),  # CRC slot (not validated by parser)
+        body,
+    )
+    # JPEG: components 1 (grayscale) when doc_id%3==0 else 3 (YCbCr)
+    n_comp = F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(3))
+    app0 = F.lit(b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    comp_specs = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(b"\x01\x11\x00")
+    ).otherwise(F.lit(b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"))
+    sof0 = F.concat(
+        F.lit(b"\xff\xc0"),
+        _be(F.lit(8) + 3 * n_comp, 2),  # segment length
+        F.lit(b"\x08"),  # precision
+        _be(height, 2),
+        _be(width, 2),
+        _be(n_comp, 1),
+        comp_specs,
+    )
+    jpeg = F.concat(F.lit(JPEG_SOI), app0, sof0, body)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("payload"),
+        F.struct(
+            F.col("source").alias("uri"),
+            F.col("lang").alias("container"),
+            nb.cast("long").alias("declared_size"),
+        ).alias("media_meta"),
+    )
+
+
+def parse_header(b) -> tuple:
+    """Pure-Python PNG/JPEG HEADER parse (format, width, height,
+    bit_depth, channels, ok). Reads the real byte layout: PNG 8-byte
+    signature + IHDR fields; JPEG marker walk (skipping APP/other
+    segments by their length fields) to the first SOF0-SOF3 frame
+    header. Truncated or malformed containers return ok=False — errors
+    as data, the S4 discipline."""
+    import struct
+
+    b = bytes(b or b"")
+    if b[:8] == PNG_SIG:
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            return ("png", None, None, None, None, False)
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color_type = b[24], b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        return ("png", w, h, depth, channels, channels is not None)
+    if b[:2] == JPEG_SOI:
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 10 <= len(b):
+                depth = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, depth, b[i + 9], True)
+            i += 2 + seg_len
+        return ("jpeg", None, None, None, None, False)
+    return ("unknown", None, None, None, None, False)
+
+
+def parse_header_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched header parse — REAL parsing of real container bytes
+    (pure Python, no codec library); contrast with fake_decode_batch,
+    which stubs pixel decode."""
+    for pdf in batches:
+        parsed = [parse_header(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            parsed,
+            columns=["format", "width", "height", "bit_depth", "channels", "ok"],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out["n_bytes"] = pdf["payload"].map(len).values
+        yield out[
+            [
+                "doc_id",
+                "format",
+                "width",
+                "height",
+                "bit_depth",
+                "channels",
+                "n_bytes",
+                "ok",
+            ]
+        ]
+
+
+def parse_image_headers(with_payload: DataFrame) -> DataFrame:
+    """Header metadata for every blob via mapInPandas — the ingest-time
+    scan that catalogs a media lake without decoding a single pixel."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        parse_header_batch, schema=HEADER_SCHEMA
+    )

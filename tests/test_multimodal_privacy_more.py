@@ -61,3 +61,74 @@ def test_l_diversity_bounded_by_k_anonymity_universe(spark, sf_dir):
         .count()
     )
     assert row["n_groups"] == n_groups_direct
+
+
+def test_parse_header_real_byte_layouts():
+    """The header parser reads REAL container layouts: a hand-built PNG
+    IHDR, a JPEG whose SOF0 sits behind extra APPn/comment segments
+    (marker walk must skip by length), truncated/malformed variants, and
+    a foreign format."""
+    import struct
+
+    from ntd_gtfs_to_socrata_spark.operators.multimodal import (
+        JPEG_SOI,
+        PNG_SIG,
+        parse_header,
+    )
+
+    ihdr = struct.pack(">II", 1234, 567) + bytes([16, 4, 0, 0, 0])
+    png = PNG_SIG + b"\x00\x00\x00\x0dIHDR" + ihdr + b"\x00\x00\x00\x00"
+    assert parse_header(png) == ("png", 1234, 567, 16, 2, True)
+
+    # JPEG: SOI + APP1 (Exif-style, must be skipped) + COM + SOF2
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 5) + b"abc"
+    sof2 = (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + bytes([12])
+        + struct.pack(">HH", 600, 800)
+        + bytes([1, 0x11, 0])
+    )
+    assert parse_header(JPEG_SOI + app1 + com + sof2) == (
+        "jpeg", 800, 600, 12, 1, True,
+    )
+
+    # truncated PNG (signature only), bad IHDR tag, truncated JPEG
+    assert parse_header(PNG_SIG) == ("png", None, None, None, None, False)
+    bad = PNG_SIG + b"\x00\x00\x00\x0dIDAT" + ihdr + b"\x00\x00\x00\x00"
+    assert parse_header(bad) == ("png", None, None, None, None, False)
+    assert parse_header(JPEG_SOI + app1) == ("jpeg", None, None, None, None, False)
+    assert parse_header(b"GIF89a....") == (
+        "unknown", None, None, None, None, False,
+    )
+    assert parse_header(b"") == ("unknown", None, None, None, None, False)
+    # invalid PNG color type -> channels unknown, ok False
+    bad_ct = (
+        PNG_SIG
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 1, 1)
+        + bytes([8, 9, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+    assert parse_header(bad_ct) == ("png", 1, 1, 8, None, False)
+
+
+def test_make_image_payload_roundtrip(spark, sf_dir):
+    """JVM-built container bytes parse back to the construction formula
+    for every doc — the end-to-end build→parse loop at fixture scale."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.operators.multimodal import (
+        make_image_payload,
+        parse_image_headers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    parsed = parse_image_headers(make_image_payload(docs))
+    rows = {r["doc_id"]: r for r in parsed.collect()}
+    for r in docs.select("doc_id", F.octet_length("text").alias("nb")).collect():
+        p = rows[r["doc_id"]]
+        assert p["ok"], p
+        assert p["width"] == r["nb"] % 640 + 1
+        assert p["height"] == r["nb"] % 480 + 1
+        assert p["format"] == ("png" if r["doc_id"] % 2 == 0 else "jpeg")

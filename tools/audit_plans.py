@@ -24,6 +24,7 @@ PYTHON_OK = {
     "mm_decode_stub",
     "mm_frame_sample",
     "mm_binary_metadata",
+    "mm_image_header_parse",  # pure-Python header parse (real bytes, documented UDF surface)
     "mm_audio_window_stats",  # Arrow-batched audio feature extraction (documented UDF surface)
     "stream_stateful_user_totals",
     "udtf_split_sentences",  # UDTF API coverage; declarative twin is posexplode(split())
