@@ -151,16 +151,15 @@ def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
     The fallback is deliberately NARROW (advisor r7): only a directory
     with no part files maps to empty state; any other read failure
-    (corrupt footer, incompatible schema) re-raises rather than silently
-    dropping historical candidates into a plausible-but-wrong verdict."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
-    if os.path.isdir(path):
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException:
-            if _has_part_files(path):
-                raise
+    (corrupt footer, incompatible schema) raises rather than silently
+    dropping historical candidates into a plausible-but-wrong verdict.
+    The part-file probe runs BEFORE the read (the state dir is a local
+    work dir by construction) so the schema-less case never raises a JVM
+    AnalysisException at all — an exception on the micro-batch thread is
+    re-surfaced by Spark's listener bus as a scary-but-benign ERROR log
+    even when the Python caller catches it."""
+    if os.path.isdir(path) and _has_part_files(path):
+        return spark.read.parquet(path)
     return spark.createDataFrame([], schema)
 
 
