@@ -69,6 +69,7 @@ HEADLINE = [
     # dedup / text / similarity / UDF surface
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_prefix_filter_jaccard",
     "dedup_lines_corpus",
     "text_quality_classifier",
     "tp_dsir_importance",
@@ -128,6 +129,16 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    # Optional subset (comma-separated) for scale-stress runs: the sf1
+    # linearity check times only the composed pipelines rather than paying
+    # 4-6 sf1 executions of all 70 headline queries.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        wanted = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [w for w in wanted if w not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = wanted
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     warm_errors: dict[str, str] = {}

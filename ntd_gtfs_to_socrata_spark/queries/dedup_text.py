@@ -188,6 +188,113 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard(spark, sf_dir, df_cap=50)
 
 
+@register("dedup_prefix_filter_jaccard", NGRAM_JACCARD_ORACLE)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (All-Pairs / PPJoin family,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08): the EXACT-recall answer to
+    the posting-list blowup that ``dedup_ngram_jaccard_dfcap`` bounds
+    heuristically. Same output as ``dedup_ngram_jaccard`` — it shares that
+    query's DuckDB oracle verbatim — via a provably lossless prune:
+
+    order every doc's shingle set by ONE global total order (document
+    frequency asc, then shingle hash — rarest first) and index only the
+    first ``n - ceil(θ·n) + 1`` shingles. Any pair with J ≥ θ has overlap
+    ≥ ceil(θ·max(na, nb)), and two sets sorted by a common order whose
+    overlap is ≥ t must collide within their (len - t + 1)-prefixes, so
+    every qualifying pair survives candidate generation. Ultra-common
+    shingles sort LAST and fall outside the prefix of any document long
+    enough to matter — the boilerplate key that holds an L-doc posting
+    list (L(L-1)/2 combos) in the full index simply never becomes a key
+    here, which is the df-cap's fan-out bound with zero recall risk.
+
+    Plan: one vocab-sized df aggregation; one shuffle to assemble ordered
+    per-doc sets (persisted — consumed by candidate generation AND both
+    verification probes); prefix-only inverted index with the same
+    map-side i<j combo generation and size-compatibility prune as the
+    full-index query; candidates verified exactly with array_intersect
+    against the ordered sets. Candidate volume is O(qualifying pairs +
+    rare-shingle collisions), not O(shared-shingle pairs)."""
+    theta = 0.2
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = stage_boundary(
+        docs.select(
+            "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh_s")
+        )
+        .select("doc_id", F.explode("sh_s").alias("shingle_s"))
+        .select("doc_id", F.xxhash64("shingle_s").alias("shingle")),
+        "prefix_jaccard_shingles",
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = stage_boundary(
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
+        .select(
+            "doc_id",
+            F.transform("osh", lambda s: s["shingle"]).alias("sh"),
+            F.size("osh").alias("n_sh"),
+        ),
+        "prefix_jaccard_ordered",
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(theta)) + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", "n_sh", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+    )
+    inv = (
+        pref.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    # same lossless size-compatibility prune as _ngram_jaccard: J ≥ 0.2
+    # requires 6·min(na,nb) ≥ na+nb
+    compatible = (
+        F.least(F.col("p.a.n_sh"), F.col("p.b.n_sh")) * 6
+        >= F.col("p.a.n_sh") + F.col("p.b.n_sh")
+    )
+    cands = (
+        inv.select(F.explode(combos).alias("p"))
+        .filter(compatible)
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .distinct()  # a pair may collide on several prefix shingles
+    )
+    verified = (
+        cands.join(
+            ordered.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            ordered.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= theta)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components: near-dup pairs → duplicate clusters
 # ---------------------------------------------------------------------------
@@ -309,7 +416,7 @@ votes AS (
 )
 SELECT doc_id, {fingerprint} AS simhash FROM votes
 """.format(
-    poly=TX.poly_hash_sql("tok", 8),
+    poly=TX.poly_hash_horner_sql("tok"),
     vote_cols=",\n    ".join(
         f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(16)
@@ -331,7 +438,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
     )
-    hashed = toks.select("doc_id", TX.char_poly_hash(F.col("tok"), 8).alias("h"))
+    hashed = toks.select("doc_id", TX.char_poly_hash_horner(F.col("tok")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -368,7 +475,7 @@ hashed AS (
 SELECT doc_id, {mins}
 FROM hashed GROUP BY doc_id
 """.format(
-    poly=TX.poly_hash_sql("sh", 8),
+    poly=TX.poly_hash_horner_sql("sh"),
     mins=", ".join(
         f"min((h * {a} + {b}) % {TX.HASH_MOD}) AS mh{i}"
         for i, (a, b) in enumerate(_MINHASH_PERMS)
@@ -386,7 +493,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select(
         "doc_id", F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh")
     )
-    hashed = shingled.select("doc_id", TX.char_poly_hash(F.col("sh"), 8).alias("h"))
+    hashed = shingled.select(
+        "doc_id", TX.char_poly_hash_horner(F.col("sh")).alias("h")
+    )
     return hashed.groupBy("doc_id").agg(
         *[
             F.min(TX.minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
@@ -395,6 +504,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-bucket membership cap: a band bucket with L members contributes
+# L(L-1)/2 candidate pairs, so one degenerate bucket (a mega-cluster of
+# identical boilerplate the exact-dedup pass upstream would catch, or an
+# adversarial hash pile-up) can dominate the whole candidate volume. A
+# bucket over the cap is dropped wholesale — bounded fan-out per key, and
+# SQL-expressible so the candidate set stays value-hash checked. True
+# near-dup pairs inside a dropped bucket usually still surface through
+# one of the other 3 bands; the standing recall monitor
+# (``dedup_lsh_recall``) prices the residual loss.
+LSH_BUCKET_CAP = 256
+
 LSH_PAIRS_ORACLE = f"""
 WITH sigs AS ({MINHASH_ORACLE}),
 bands AS (
@@ -402,9 +522,14 @@ bands AS (
   UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
   UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
   UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sigs
+),
+kept_buckets AS (
+  SELECT band, x, y FROM bands
+  GROUP BY band, x, y HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
+JOIN kept_buckets k ON a.band = k.band AND a.x = k.x AND a.y = k.y
 JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
             AND a.doc_id < b.doc_id
 """
@@ -435,12 +560,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One shuffle on bucket (vs a self-join's two), then i<j combinations
     # generated map-side from each bucket's sorted member list — the same
-    # inverted-index shape as dedup_ngram_jaccard. At 100 TB, cap bucket
-    # membership first so a degenerate band value can't quadratic-blow-up.
+    # inverted-index shape as dedup_ngram_jaccard. Bucket membership is
+    # capped (LSH_BUCKET_CAP) so a degenerate band value can't
+    # quadratic-blow-up the combo explode.
     buckets = (
         stacked.groupBy("bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_CAP))
     )
     combos = F.flatten(
         F.transform(
@@ -858,7 +984,7 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 FINGERPRINT_ORACLE = f"""
-SELECT doc_id, {TX.poly_hash_sql("text", 16)} AS fingerprint
+SELECT doc_id, {TX.poly_hash_horner_sql("text")} AS fingerprint
 FROM documents
 """
 
@@ -866,10 +992,14 @@ FROM documents
 @register("text_fingerprint", FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: deterministic polynomial rolling hash over
-    the first 16 chars (engine-portable; murmur3 would be Spark-only).
-    Pure map stage."""
+    the WHOLE text (engine-portable Horner fold; murmur3 would be
+    Spark-only). The earlier first-16-chars variant collided every pair
+    of documents sharing a 16-char opening — templated pages all
+    fingerprinted alike. Pure map stage."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.char_poly_hash(F.col("text"), 16).alias("fingerprint"))
+    return docs.select(
+        "doc_id", TX.char_poly_hash_horner(F.col("text")).alias("fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

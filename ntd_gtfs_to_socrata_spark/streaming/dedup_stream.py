@@ -26,9 +26,16 @@ edge set + min-id keep-one produce the SAME (doc_id, component_id, kept)
 frame as the batch ``dedup_lsh_pipeline`` — provably: the union over
 batches of (internal ∪ batch×history) band collisions IS the full band
 collision set, Jaccard verification is per-pair, and CC/keep-one are
-order-independent. The registry entry therefore shares the batch
-pipeline's DuckDB value-hash oracle — a streaming composition checked to
-the VALUE level, not just rows-only.
+order-independent. The batch pipeline's PER-BUCKET CAP (LSH_BUCKET_CAP:
+a bucket justifies pairs only while its final size stays within the
+cap) is reconciled in two moves: per-epoch, any bucket whose
+known-so-far size already exceeds the cap is excluded from generation
+(final size only grows, so those pairs are excluded under the capped
+semantics with certainty); post-drain, surviving edges are re-filtered
+against the FINAL bucket census, which catches buckets that outgrew the
+cap after generating a pair. The registry entry therefore shares the
+batch pipeline's DuckDB value-hash oracle — a streaming composition
+checked to the VALUE level, not just rows-only.
 
 Scale posture: band/shingle state is epoch-partitioned parquet that a
 COMPACTION pass periodically rewrites as a BUCKETED table (bands by the
@@ -92,6 +99,14 @@ def _minhash_perms() -> list[tuple[int, int]]:
     return _MINHASH_PERMS
 
 
+def _bucket_cap() -> int:
+    # single source of truth: the batch query module's bucket cap (the
+    # shared oracle bakes this value into its SQL)
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import LSH_BUCKET_CAP
+
+    return LSH_BUCKET_CAP
+
+
 def _band_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, bucket) — 4 bands × 2 minhash rows, identical construction
     to ``dedup_minhash_lsh_pairs`` (queries/dedup_text.py)."""
@@ -99,7 +114,9 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     shingled = docs.select(
         "doc_id", F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh")
     )
-    hashed = shingled.select("doc_id", TX.char_poly_hash(F.col("sh"), 8).alias("h"))
+    hashed = shingled.select(
+        "doc_id", TX.char_poly_hash_horner(F.col("sh")).alias("h")
+    )
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min(TX.minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
@@ -307,6 +324,8 @@ def incremental_lsh_dedup(
         work=work, bands_state=bands_state, shingles_state=shingles_state
     )
 
+    _BUCKET_CAP = _bucket_cap()
+
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus pass stages all batches: repartition on the deterministic
     # doc_id bucket writes n_batches files (hash assignment may fold two
@@ -331,11 +350,16 @@ def incremental_lsh_dedup(
         bands = _band_signatures(batch_df).localCheckpoint(eager=True)
         shingles = _shingle_hashes(batch_df).localCheckpoint(eager=True)
 
-        # batch-internal candidates: inverted-index i<j combos per bucket
+        # batch-internal candidates: inverted-index i<j combos per bucket.
+        # Buckets already over LSH_BUCKET_CAP on batch members alone are
+        # dropped here — their FINAL size is necessarily over the cap, so
+        # the batch pipeline (whose oracle this stream shares) excludes
+        # every pair they would justify; buckets that only grow past the
+        # cap in LATER epochs are handled by the post-drain filter below.
         buckets = (
             bands.groupBy("bucket")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
+            .filter((F.size("ids") > 1) & (F.size("ids") <= _BUCKET_CAP))
         )
         combos = F.flatten(
             F.transform(
@@ -356,10 +380,59 @@ def incremental_lsh_dedup(
         # (union of the two joins, not a join of the union): unioning
         # first would discard the snapshot's bucket layout and re-shuffle
         # the corpus-sized state side every batch.
-        def _cross(hist: DataFrame) -> DataFrame:
+        #
+        # Fan-out bound: a degenerate bucket makes this join emit
+        # |new members| x |history members| rows. Any bucket whose
+        # batch + known-history count already exceeds LSH_BUCKET_CAP can
+        # never justify a pair in the capped batch semantics (final size
+        # only grows), so it is excluded from the join outright. The
+        # overfull set is tiny (normally empty) -> broadcast anti-join,
+        # which preserves the snapshot's no-exchange layout.
+        batch_counts = bands.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+
+        # members of CURRENT-batch buckets only (broadcast semi-join, no
+        # state shuffle), checkpointed once: consumed by both the
+        # overfull-bucket census and the cross join
+        def _hist_members(hist: DataFrame) -> DataFrame:
             return (
-                bands.alias("new")
-                .join(hist.select("doc_id", "bucket").alias("old"), "bucket")
+                hist.select("doc_id", "bucket")
+                .join(F.broadcast(batch_counts.select("bucket")), "bucket")
+                .localCheckpoint(eager=True)
+            )
+
+        snap = bands_state.read_snapshot(sess)
+        tail_m = _hist_members(bands_state.read_tail(sess))
+        hist_counts = tail_m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
+        if snap is not None:
+            snap_m = _hist_members(snap)
+            hist_counts = (
+                hist_counts.unionByName(
+                    snap_m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
+                )
+                .groupBy("bucket")
+                .agg(F.sum("n_old").alias("n_old"))
+            )
+        overfull = (
+            batch_counts.join(hist_counts, "bucket", "left")
+            .filter(
+                F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0))
+                > _BUCKET_CAP
+            )
+            .select("bucket")
+            .localCheckpoint(eager=True)  # reused by both cross joins
+        )
+
+        def _cross(hist_m: DataFrame) -> DataFrame:
+            return (
+                bands.join(F.broadcast(overfull), "bucket", "left_anti")
+                .alias("new")
+                .join(
+                    hist_m.join(F.broadcast(overfull), "bucket", "left_anti")
+                    .alias("old"),
+                    "bucket",
+                )
                 .select(
                     F.least(F.col("new.doc_id"), F.col("old.doc_id")).alias("doc_a"),
                     F.greatest(F.col("new.doc_id"), F.col("old.doc_id")).alias(
@@ -368,10 +441,9 @@ def incremental_lsh_dedup(
                 )
             )
 
-        snap = bands_state.read_snapshot(sess)
-        cross = _cross(bands_state.read_tail(sess))
+        cross = _cross(tail_m)
         if snap is not None:
-            cross = cross.unionByName(_cross(snap))
+            cross = cross.unionByName(_cross(snap_m))
         cands = internal.unionByName(cross).distinct()
 
         # exact-Jaccard verify on candidates only, over batch ∪ state
@@ -413,6 +485,33 @@ def incremental_lsh_dedup(
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
     edges = _read_state(spark, edges_path, "doc_a long, doc_b long, epoch int")
+    # Final bucket-cap reconciliation: a pair survives the CAPPED batch
+    # semantics only if SOME band bucket of final size in [2, cap]
+    # contains both docs. Per-epoch generation could not know final
+    # sizes (a bucket may outgrow the cap in a later epoch), so verified
+    # edges are filtered here against the accumulated band state: edges
+    # (tiny — verified near-dups) broadcast-join each side's buckets
+    # (fan-out <= 4 bands/doc), semi-join the small-bucket census.
+    all_bands = bands_state.read_all(spark).select("doc_id", "bucket")
+    small = (
+        all_bands.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _BUCKET_CAP))
+        .select("bucket")
+    )
+    members = all_bands.join(small, "bucket")
+    edges = (
+        edges.select("doc_a", "doc_b")
+        .join(
+            members.select(F.col("doc_id").alias("doc_a"), "bucket"), "doc_a"
+        )
+        .join(
+            members.select(F.col("doc_id").alias("doc_b"), "bucket"),
+            ["doc_b", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     cc = connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("node"), F.col("component_id").alias("comp")
     )

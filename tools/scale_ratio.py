@@ -1,0 +1,72 @@
+"""Cross-scale linearity check: compare two bench artifacts at different
+scale factors and flag super-linear queries (r7 verdict item 2, made a
+standing gate rather than a one-off).
+
+Usage: python tools/scale_ratio.py SMALL.json BIG.json [slack]
+
+Both inputs are ``bench.py`` one-line outputs (or the driver's
+``BENCH_r*.json`` wrapper). The data ratio is ``big.sf / small.sf``; a
+query is flagged when its wall-time ratio exceeds ``data_ratio * slack``
+(default slack 1.2 — a 10x data step may cost up to 12x before we call
+it super-linear) AND the big-side time exceeds 1 s (sub-second queries
+are fixed-overhead-dominated: job launch + planning hide the data term,
+so their ratios say nothing about the algorithm).
+
+Sub-linear ratios are expected and GOOD — fixed overhead amortizes, AQE
+picks bigger-batch plans — so only the high side is flagged. Exit code 1
+on any flag, so this can gate alongside tools/compare_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = json.loads(text.splitlines()[0])
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d or "sf" not in d:
+        raise SystemExit(f"{path}: not a bench artifact (need 'queries' + 'sf')")
+    return d
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    slack = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    if small["sf"] <= 0 or big["sf"] <= small["sf"]:
+        raise SystemExit(f"need small.sf < big.sf, got {small['sf']} vs {big['sf']}")
+    data_ratio = big["sf"] / small["sf"]
+    shared = sorted(set(small["queries"]) & set(big["queries"]))
+    if not shared:
+        raise SystemExit("no shared queries between the two artifacts")
+    print(f"data ratio: {data_ratio:.1f}x  (sf {small['sf']} -> {big['sf']}), "
+          f"flag above {data_ratio * slack:.1f}x when big-side > 1s")
+    flagged = []
+    for k in shared:
+        a, b = small["queries"][k], big["queries"][k]
+        ratio = b / a if a > 0 else float("inf")
+        mark = ""
+        if ratio > data_ratio * slack and b > 1.0:
+            mark = "  <-- SUPER-LINEAR"
+            flagged.append(k)
+        print(f"  {k}: {a:.2f}s -> {b:.2f}s ({ratio:.1f}x){mark}")
+    if flagged:
+        print(f"FLAGGED {len(flagged)}: {flagged}")
+        return 1
+    print(f"OK: all {len(shared)} shared queries scale at or below "
+          f"{data_ratio * slack:.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
