@@ -908,11 +908,24 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_T = 0.4  # cosine threshold, tuned to the synthetic embedding space
 
+# SemDeDup cell count scales as ceil(sqrt(n)) with a floor of N_CELLS —
+# the classic IVF balance (nlist ~ sqrt(N)): assignment costs n*cells
+# dots, in-cell pairwise costs ~n*cell_size/2, and sqrt scaling makes
+# BOTH O(n^1.5). A FIXED cell count (the original shape) let cell sizes
+# grow linearly with the corpus, so pairwise work grew quadratically —
+# measured 31x wall-time for a 10x corpus before this change. The oracle
+# derives the identical count from the data via a scalar subquery
+# (ceil(sqrt()) on an exact BIGINT count is engine-portable: IEEE double
+# sqrt is correctly rounded, so both engines see the same value).
+_SEMDEDUP_CELLS_SQL = (
+    f"(SELECT greatest({N_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
+
 SEMDEDUP_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-  FROM embeddings WHERE vec_id < {N_CELLS}
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_CELLS_SQL}
 ),
 assign_scored AS (
   SELECT v.vec_id, c.centroid_id,
@@ -959,14 +972,26 @@ def sim_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: centroid broadcast + map-only assignment, then ONE
     shuffle on centroid_id for the in-cell self-join; at 100 TB the
     corpus is written bucketed by cell so even that shuffle disappears
-    (io.write_bucketed). No cross-cell pair is ever generated."""
+    (io.write_bucketed). No cross-cell pair is ever generated. The cell
+    count scales as ceil(sqrt(n)) (floor N_CELLS) so cell sizes — and
+    with them the per-cell pairwise work — grow as sqrt(corpus), never
+    linearly; the corpus count is a one-scalar control-plane job (the
+    k-means-centroid collect contract)."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(N_CELLS, math.ceil(math.sqrt(emb.count())))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+        l2_norm(F.col("embedding")).alias("centroid_norm"),
+    )
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ve"),
         l2_norm(F.col("embedding")).alias("vn"),
     )
-    scored = v.join(F.broadcast(_centroids(spark, sf_dir))).select(
+    scored = v.join(F.broadcast(cents)).select(
         "vec_id",
         "ve",
         "vn",

@@ -23,13 +23,31 @@ import json
 import sys
 
 
+# Queries whose cost law is super-linear BY DESIGN, with the documented
+# exponent: allowed ratio = data_ratio ** exponent * slack. SemDeDup's
+# sqrt-cells scheme balances assignment vs in-cell pairwise work at
+# O(n^1.5) total (SCALE.md "Semantic dedup") — flagging it at the linear
+# bar would just re-discover its design every round.
+EXPECTED_EXPONENT = {"sim_semdedup_cells": 1.5}
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read()
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
-        d = json.loads(text.splitlines()[0])
+        d = None
+        # scale_stress output interleaves progress lines with the final
+        # JSON line — take the first line that parses
+        for line in text.splitlines():
+            try:
+                d = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if d is None:
+            raise SystemExit(f"{path}: no JSON line found")
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     if "queries" not in d or "sf" not in d:
@@ -55,10 +73,13 @@ def main() -> int:
     for k in shared:
         a, b = small["queries"][k], big["queries"][k]
         ratio = b / a if a > 0 else float("inf")
+        allowed = data_ratio ** EXPECTED_EXPONENT.get(k, 1.0) * slack
         mark = ""
-        if ratio > data_ratio * slack and b > 1.0:
+        if ratio > allowed and b > 1.0:
             mark = "  <-- SUPER-LINEAR"
             flagged.append(k)
+        elif k in EXPECTED_EXPONENT:
+            mark = f"  (design law n^{EXPECTED_EXPONENT[k]}, allowed {allowed:.0f}x)"
         print(f"  {k}: {a:.2f}s -> {b:.2f}s ({ratio:.1f}x){mark}")
     if flagged:
         print(f"FLAGGED {len(flagged)}: {flagged}")
