@@ -2487,3 +2487,113 @@ def dedup_containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT start_doc, end_doc, CAST(min(depth) AS BIGINT) AS min_depth
     FROM reach GROUP BY start_doc, end_doc
     """)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level phrase mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPN = 100
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+totals AS (
+  SELECT (SELECT count(*) FROM uni) AS u_total,
+         (SELECT count(*) FROM bi) AS t_total
+),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+bc AS (SELECT bg, count(*) AS c_xy FROM bi GROUP BY bg HAVING count(*) >= {_PMI_MIN_COUNT}),
+scored AS (
+  SELECT bc.bg AS bigram, bc.c_xy,
+         round(ln((bc.c_xy / CAST(t.t_total AS DOUBLE))
+                  / ((cx.c / CAST(t.u_total AS DOUBLE))
+                     * (cy.c / CAST(t.u_total AS DOUBLE)))), 4) AS pmi
+  FROM bc
+  JOIN uc cx ON cx.tok = split_part(bc.bg, ' ', 1)
+  JOIN uc cy ON cy.tok = split_part(bc.bg, ' ', 2)
+  CROSS JOIN totals t
+),
+top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram ASC LIMIT {_PMI_TOPN})
+SELECT bigram, c_xy, pmi,
+       row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rnk
+FROM top
+"""
+
+
+@register("text_pmi_collocations", PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-bigram pairs by pointwise mutual
+    information ``ln(p(xy) / (p(x) p(y)))`` with a minimum-count floor —
+    the classic signal for multi-word units ("new york", boilerplate
+    phrases) that tokenizer training and phrase-aware dedup both consume.
+
+    Scale posture: two map-side-combinable occurrence aggregations (the
+    shuffle carries one row per (partition, gram), never per occurrence),
+    both totals as 1-row scalar aggregates broadcast back via cross join
+    (the text_unigram_logprob shape), and the two unigram-count joins run
+    VOCAB x bigram-vocab — corpus size never enters a join. The top-N is
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge);
+    ranking happens over the <=N survivors packed into one array, so no
+    WindowExec ever sees the full bigram vocabulary."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # tokenize inside each consumer (word_ngrams zips UNNAMED shifted
+    # slices — handing it a pre-aliased column renames the zip's struct
+    # fields and breaks its positional access)
+    uni = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    bi = docs.select(F.explode(TX.word_ngrams(TX.tokens(F.col("text")), n=2)).alias("bg"))
+    totals = uni.agg(F.count(F.lit(1)).cast("double").alias("u_total")).crossJoin(
+        bi.agg(F.count(F.lit(1)).cast("double").alias("t_total"))
+    )
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bc = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    cx = uc.select(F.col("tok").alias("x_tok"), F.col("c").alias("c_x"))
+    cy = uc.select(F.col("tok").alias("y_tok"), F.col("c").alias("c_y"))
+    scored = (
+        bc.join(cx, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("x_tok"))
+        .join(cy, F.split_part(F.col("bg"), F.lit(" "), F.lit(2)) == F.col("y_tok"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("t_total"))
+                    / ((F.col("c_x") / F.col("u_total")) * (F.col("c_y") / F.col("u_total")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(_PMI_TOPN)
+
+    def by_pmi_desc(l, r):  # noqa: ANN001 - Column comparator
+        return (
+            F.when(l["pmi"] > r["pmi"], -1)
+            .when(l["pmi"] < r["pmi"], 1)
+            .when(l["bigram"] < r["bigram"], -1)
+            .when(l["bigram"] > r["bigram"], 1)
+            .otherwise(0)
+        )
+
+    packed = top.agg(
+        F.array_sort(F.collect_list(F.struct("bigram", "c_xy", "pmi")), by_pmi_desc).alias("arr")
+    )
+    return packed.select(F.posexplode("arr")).select(
+        F.col("col.bigram").alias("bigram"),
+        F.col("col.c_xy").alias("c_xy"),
+        F.col("col.pmi").alias("pmi"),
+        (F.col("pos") + 1).alias("rnk"),
+    )

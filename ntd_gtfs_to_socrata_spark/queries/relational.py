@@ -1620,3 +1620,90 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_dev_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ: distribution drift between corpus snapshots (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_W = 64  # chars per bin; corpus lengths land in [0, 640)
+
+PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT least(CAST(floor(n_chars / {_PSI_W}) AS BIGINT), {_PSI_BINS - 1}) AS bin,
+         doc_id % 2 AS cohort
+  FROM documents
+),
+spine AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+a AS (SELECT bin, count(*) AS n FROM binned WHERE cohort = 0 GROUP BY bin),
+b AS (SELECT bin, count(*) AS n FROM binned WHERE cohort = 1 GROUP BY bin),
+tot AS (
+  SELECT (SELECT count(*) FROM binned WHERE cohort = 0) AS ta,
+         (SELECT count(*) FROM binned WHERE cohort = 1) AS tb
+),
+props AS (
+  SELECT s.bin,
+         coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+         (coalesce(a.n, 0) + 1) / (CAST(t.ta AS DOUBLE) + {_PSI_BINS}) AS pa,
+         (coalesce(b.n, 0) + 1) / (CAST(t.tb AS DOUBLE) + {_PSI_BINS}) AS pb
+  FROM spine s LEFT JOIN a ON s.bin = a.bin LEFT JOIN b ON s.bin = b.bin
+  CROSS JOIN tot t
+)
+SELECT bin, n_a, n_b, round((pa - pb) * ln(pa / pb), 4) AS psi_contrib
+FROM props
+"""
+
+
+@register("dq_psi_drift", PSI_ORACLE)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two corpus cohorts (even vs odd
+    doc_id, standing in for yesterday's vs today's snapshot): Laplace-
+    smoothed per-bin proportions of the document-length histogram, PSI
+    contribution ``(p_a - p_b) * ln(p_a / p_b)`` per bin. The standard
+    drift monitor a 100 TB ingest pipeline runs between snapshot versions
+    before promoting a release — PSI > 0.25 on any feature blocks the
+    promotion.
+
+    Scale posture: ONE corpus scan per cohort membership (a single
+    map-side-combinable groupBy over (bin, cohort) — the shuffle carries
+    at most 2 x {_PSI_BINS} partial rows per task), joined onto a
+    constant {_PSI_BINS}-row bin spine; cohort totals derive from the
+    same tiny histogram, so no second scan and nothing data-sized ever
+    shuffles. Smoothing guarantees log-defined proportions even for
+    empty bins on either side."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.least(F.floor(F.col("n_chars") / _PSI_W).cast("long"), F.lit(_PSI_BINS - 1)).alias(
+            "bin"
+        ),
+        (F.col("doc_id") % 2).alias("cohort"),
+    )
+    hist = binned.groupBy("bin", "cohort").agg(F.count(F.lit(1)).alias("n"))
+    a = hist.filter(F.col("cohort") == 0).select("bin", F.col("n").alias("n_a_raw"))
+    b = hist.filter(F.col("cohort") == 1).select("bin", F.col("n").alias("n_b_raw"))
+    tot = hist.agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("n")).otherwise(F.lit(0))).alias("ta"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("n")).otherwise(F.lit(0))).alias("tb"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    props = (
+        spine.join(a, "bin", "left")
+        .join(b, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a_raw"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b_raw"), F.lit(0)).alias("n_b"),
+            ((F.coalesce(F.col("n_a_raw"), F.lit(0)) + 1) / (F.col("ta").cast("double") + _PSI_BINS)).alias("pa"),
+            ((F.coalesce(F.col("n_b_raw"), F.lit(0)) + 1) / (F.col("tb").cast("double") + _PSI_BINS)).alias("pb"),
+        )
+    )
+    return props.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 4).alias(
+            "psi_contrib"
+        ),
+    )

@@ -165,3 +165,171 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("token", "doc_id", "bm25", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense + sparse fused by reciprocal-rank fusion (RRF)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # standard RRF damping constant (Cormack et al., SIGIR'09)
+_RRF_CAND = 20    # candidates taken from each retriever
+_RRF_TOPK = 10    # fused results per query
+
+
+RRF_ORACLE = f"""
+WITH n_docs AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+dfr AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+kept AS (
+  SELECT dfr.tok,
+         CAST(round(ln(CAST(n.n AS DOUBLE) / dfr.df) * 1e6, 0) AS BIGINT) AS idf_micro
+  FROM dfr CROSS JOIN n_docs n WHERE dfr.df * 2 <= n.n
+),
+qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id % 50 = 0),
+sp_scored AS (
+  SELECT q.qid, c.doc_id AS cid, SUM(k.idf_micro) AS s
+  FROM qt q JOIN kept k ON q.tok = k.tok JOIN toks c ON k.tok = c.tok
+  WHERE c.doc_id <> q.qid
+  GROUP BY q.qid, c.doc_id
+),
+sp AS (
+  SELECT qid, cid, sparse_rnk FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid ASC) AS sparse_rnk
+    FROM sp_scored) t
+  WHERE sparse_rnk <= {_RRF_CAND}
+),
+qv AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+cv AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings
+),
+d AS (
+  SELECT qid, cid, dense_rnk FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(list_inner_product(qe, ce) / (qn * cn), 6) DESC,
+                                       cid ASC) AS dense_rnk
+    FROM qv JOIN cv ON qid <> cid) t
+  WHERE dense_rnk <= {_RRF_CAND}
+),
+fused AS (
+  SELECT coalesce(d.qid, sp.qid) AS qid, coalesce(d.cid, sp.cid) AS cid,
+         d.dense_rnk, sp.sparse_rnk,
+         round(coalesce(1.0 / ({_RRF_K} + d.dense_rnk), 0)
+               + coalesce(1.0 / ({_RRF_K} + sp.sparse_rnk), 0), 6) AS rrf
+  FROM d FULL OUTER JOIN sp ON d.qid = sp.qid AND d.cid = sp.cid
+)
+SELECT qid, cid, dense_rnk, sparse_rnk, rrf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC) AS rnk
+  FROM fused) t
+WHERE rnk <= {_RRF_TOPK}
+"""
+
+
+@register("rag_rrf_hybrid", RRF_ORACLE)
+def rag_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a dense retriever (embedding cosine top-N) and a
+    sparse retriever (IDF-weighted lexical overlap top-N, stop-tokens with
+    df > N/2 cut) fused per query by reciprocal-rank fusion
+    ``1/(k + rank)`` — the industry-standard way to combine vector and
+    keyword search without score calibration. doc_id and vec_id are the
+    same key, so the fusion join closes the loop between the text and
+    embedding modalities.
+
+    Scale posture: the sparse leg is an inverted-index join (query tokens
+    x df-filtered posting lists — the stop-token cut bounds fan-out the
+    same way the LSH df cap does) with per-pair scores summed as exact
+    micro-unit longs (FP-order-proof); the dense leg is the bounded
+    query-set broadcast vs the partitioned corpus (sim_bruteforce shape);
+    both retrievers keep only top-{_RRF_CAND} per query through a
+    WindowGroupLimit, so fusion is a full-outer join of two k-row-per-
+    query frames — corpus size never reaches the fusion stage. RRF itself
+    adds exactly two doubles per row (deterministic: one IEEE add)."""
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # ONE tokenize pass behind a persisted boundary: the distinct-token
+    # frame feeds three consumers (df counts, query tokens, posting lists)
+    # whose per-consumer pruning defeats AQE exchange reuse — unboundaried,
+    # tools/measure_exchanges.py showed the whole tokenize subtree
+    # executing 3x (13 executed shuffles; 8 with the boundary)
+    toks = stage_boundary(
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+        ),
+        "rag_rrf_hybrid.toks",
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    kept = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n"))
+        .select(
+            "tok",
+            F.round(F.log(F.col("n").cast("double") / F.col("df")) * 1e6, 0)
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    qt = toks.filter(F.col("doc_id") % 50 == 0).select(F.col("doc_id").alias("qid"), "tok")
+    sp_scored = (
+        qt.join(kept, "tok")
+        .join(toks.select(F.col("doc_id").alias("cid"), "tok"), "tok")
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("idf_micro").alias("s"))
+    )
+    w_sp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").asc())
+    sp = (
+        sp_scored.withColumn("sparse_rnk", F.row_number().over(w_sp))
+        .filter(F.col("sparse_rnk") <= _RRF_CAND)
+        .select("qid", "cid", "sparse_rnk")
+    )
+
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    cv = ensure_min_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    w_d = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    d = (
+        F.broadcast(qv)
+        .join(cv, F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias("cos")
+        )
+        .withColumn("dense_rnk", F.row_number().over(w_d))
+        .filter(F.col("dense_rnk") <= _RRF_CAND)
+        .select("qid", "cid", "dense_rnk")
+    )
+    fused = d.join(sp, ["qid", "cid"], "full_outer").select(
+        "qid",
+        "cid",
+        "dense_rnk",
+        "sparse_rnk",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("dense_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sparse_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("cid").asc())
+    return fused.withColumn("rnk", F.row_number().over(w_f)).filter(F.col("rnk") <= _RRF_TOPK)

@@ -167,6 +167,9 @@ _EXCHANGES_OK_MEASURED = {
     "sim_semdedup_cells": 2,
     "dedup_cluster_report": 5,
     "dedup_containment_closure": 2,
+    "dedup_prefix_filter_jaccard": 5,
+    "text_pmi_collocations": 5,
+    "rag_rrf_hybrid": 11,
 }
 
 

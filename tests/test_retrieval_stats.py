@@ -177,3 +177,86 @@ def test_lateral_topk_matches_window_formulation(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r8 additions: RRF hybrid fusion, PMI collocations, PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_hybrid_fusion_consistency(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.retrieval_q import (
+        _RRF_CAND,
+        _RRF_K,
+        _RRF_TOPK,
+        rag_rrf_hybrid,
+    )
+
+    rows = rag_rrf_hybrid(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert by_q  # at least one query doc
+    for qid, group in by_q.items():
+        group.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in group] == list(range(1, len(group) + 1))
+        assert len(group) <= _RRF_TOPK
+        for r in group:
+            # fused score must equal the RRF formula applied to the
+            # per-retriever ranks carried alongside it
+            expect = 0.0
+            if r["dense_rnk"] is not None:
+                assert 1 <= r["dense_rnk"] <= _RRF_CAND
+                expect += 1.0 / (_RRF_K + r["dense_rnk"])
+            if r["sparse_rnk"] is not None:
+                assert 1 <= r["sparse_rnk"] <= _RRF_CAND
+                expect += 1.0 / (_RRF_K + r["sparse_rnk"])
+            assert r["dense_rnk"] is not None or r["sparse_rnk"] is not None
+            assert abs(r["rrf"] - expect) < 1e-5
+            assert r["cid"] != qid
+        # fused order must agree with descending rrf
+        scores = [r["rrf"] for r in group]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pmi_collocations_recompute_from_raw_counts(spark, sf_dir):
+    import math
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        _PMI_MIN_COUNT,
+        text_pmi_collocations,
+    )
+
+    rows = text_pmi_collocations(spark, sf_dir).collect()
+    assert rows and [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    u_total = t_total = 0
+    for d in docs:
+        toks = (d["text"] or "").split()
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+            u_total += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[f"{a} {b}"] = bi.get(f"{a} {b}", 0) + 1
+            t_total += 1
+    for r in rows[:10]:
+        x, y = r["bigram"].split(" ")
+        assert r["c_xy"] == bi[r["bigram"]] >= _PMI_MIN_COUNT
+        expect = math.log(
+            (r["c_xy"] / t_total) / ((uni[x] / u_total) * (uni[y] / u_total))
+        )
+        assert abs(r["pmi"] - expect) < 1e-3
+
+
+def test_psi_drift_bins_and_nonnegativity(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.relational import _PSI_BINS, dq_psi_drift
+
+    rows = dq_psi_drift(spark, sf_dir).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(_PSI_BINS))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_docs
+    for r in rows:
+        # (p_a - p_b) * ln(p_a / p_b) >= 0 for any two positive proportions
+        assert r["psi_contrib"] >= 0.0

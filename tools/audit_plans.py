@@ -61,6 +61,9 @@ BNLJ_OK = {
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
     "dq_benford_first_digit",  # 1-row digit-count total, broadcast cross join
     "sim_semdedup_cells",  # centroid-table broadcast cross join (sim_ivf_assign pattern)
+    "text_pmi_collocations",  # 1-row (U, T) occurrence totals, broadcast cross join
+    "dq_psi_drift",  # 1-row cohort-totals scalar over the 10-bin histogram
+    "rag_rrf_hybrid",  # 1-row doc-count scalar + sim_bruteforce dense leg
 }
 
 # Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
@@ -109,6 +112,9 @@ FORCED_BC_OK = {
     "sim_matryoshka_topk",       # bounded query set, two-stage screen
     "sim_hard_negatives",        # bounded anchor set
     "sim_lsh_hyperplane_buckets",  # bounded (vec_id<200) probe set
+    "text_pmi_collocations",     # 1-row (U, T) occurrence-totals scalar
+    "dq_psi_drift",              # 1-row cohort-totals scalar
+    "rag_rrf_hybrid",            # 1-row doc-count scalar + bounded dense query set
     "a6_count_min_heavy_hitters",  # d*w-row CMS counter table (constant by construction)
     "bpe_token_counts",          # trained-vocab segmentation table (fixed artifact)
     "sq_correlated_scalar",      # per-key avg threshold frame (decorrelated scalar agg)
@@ -310,6 +316,18 @@ EXCHANGES_OK = {
     # inverted-index re-execution PER recursive step (12.2s -> 3.9s at
     # sf0.1)
     "dedup_containment_closure",
+    # All-Pairs prefix filter: static plan re-lists the df-ordered shingle
+    # subtree under every consumer, but the stage boundaries collapse it at
+    # runtime. MEASURED r8: 5 executed / cachescan=5
+    "dedup_prefix_filter_jaccard",
+    # unigram agg + bigram agg + two vocab joins + totals: AQE reuses the
+    # token-array subtree. MEASURED r8: 5 executed / 4 reused
+    "text_pmi_collocations",
+    # two full retrievers + rank fusion: tokenize pass persisted
+    # (cachescan=3), remaining shuffles are the per-leg aggs/windows and
+    # the (qid,cid) fusion join — each a distinct logical step.
+    # MEASURED r8: 11 executed / 0 duplicated subtrees
+    "rag_rrf_hybrid",
 }
 
 
