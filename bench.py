@@ -117,6 +117,10 @@ HEADLINE = [
     "privacy_l_diversity",
     "tw_gap_fill_locf",
     "stream_incremental_lsh_dedup",
+    # r8 additions: PQ ANN, hybrid retrieval fusion, collocation mining
+    "sim_pq_topk",
+    "rag_rrf_hybrid",
+    "text_pmi_collocations",
 ]
 
 

@@ -460,3 +460,82 @@ def k_core(
         "path legitimately exceeds it); raise max_iterations or pass None "
         "to derive the bound from the node count"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a DIRECTED
+    edge set; returns (node, auth_raw, hub_raw) as exact BIGINTs.
+
+    The fourth iterative-graph entry beside PageRank / CC / k-core, and
+    the one that needs edge DIRECTION: on a containment graph (src is
+    mostly contained in dst) authorities are the heavily-quoted canonical
+    originals and hubs the aggregator/compilation documents — the curation
+    signal that separates "source worth keeping" from "scraper mashup".
+
+    Determinism by construction: with h_0 = 1 and the classic unnormalized
+    updates ``a_i(n) = Σ_{(m,n)∈E} h_{i-1}(m)`` then ``h_i(n) =
+    Σ_{(n,m)∈E} a_i(m)``, every intermediate is an INTEGER (sums of
+    integer products), so all aggregation runs in BIGINT — exact and
+    summation-order-free on any engine, unlike float PageRank whose final
+    round() tolerates an ulp. Normalization (one exact division per node)
+    is left to the caller so the raw scores stay integers here.
+
+    Scale posture per iteration: one edge⋈score shuffle join + one
+    node-keyed aggregation per direction — identical shape to
+    ``pagerank`` (score state is 16 bytes/node; ``localCheckpoint``
+    truncates lineage). Values grow like (max degree)^iterations, so the
+    BIGINT budget bounds iterations at ~4 for web-scale degrees — HITS
+    converges in spirit by then, and the fixed count is what makes the
+    unrolled-CTE oracle exact.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.explode(F.array("e_src", "e_dst")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(iterations):
+        a_in = (
+            e.join(hub, e.e_src == hub.node)
+            .groupBy(F.col("e_dst").alias("node2"))
+            .agg(F.sum("h").alias("a_sum"))
+        )
+        auth = (
+            nodes.join(a_in, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("a_sum"), F.lit(0)).cast("long").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_out = (
+            e.join(auth, e.e_dst == auth.node)
+            .groupBy(F.col("e_src").alias("node2"))
+            .agg(F.sum("a").alias("h_sum"))
+        )
+        hub = (
+            nodes.join(h_out, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("h_sum"), F.lit(0)).cast("long").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(auth, "node").join(hub, "node").select(
+        "node",
+        F.col("a").alias("auth_raw"),
+        F.col("h").alias("hub_raw"),
+    )

@@ -1345,6 +1345,113 @@ def text_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram log-prob scoring (order-aware perplexity proxy)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+bc AS (SELECT g, count(*) AS c FROM big GROUP BY g),
+ctx AS (SELECT split_part(g, ' ', 1) AS w1, sum(c) AS c1 FROM bc GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+model AS (
+  SELECT bc.g,
+         CAST(floor(ln(CAST(bc.c + 1 AS DOUBLE) / CAST(ctx.c1 + vocab.v AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS lp_u
+  FROM bc JOIN ctx ON ctx.w1 = split_part(bc.g, ' ', 1), vocab
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       floor(CAST(sum(m.lp_u) AS DOUBLE) / count(*) / 100 + 0.5) / 10000
+         AS avg_logprob
+FROM big b JOIN model m ON m.g = b.g
+GROUP BY b.doc_id
+"""
+
+
+@register("text_bigram_logprob", BIGRAM_LP_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware perplexity proxy: train a bigram LM on the corpus
+    itself with add-one smoothing over the unigram vocab — lp(w2|w1) =
+    ln((c(w1 w2) + 1) / (c(w1·) + V)) — and score each doc by its mean
+    bigram log-probability. Catches what the unigram score cannot:
+    shuffled/concatenated text reuses frequent TOKENS but improbable
+    TRANSITIONS, so word-salad spam drops here while passing
+    ``text_unigram_logprob``.
+
+    Summation-order-proof by the r7 float policy: each bigram TYPE's
+    log-prob is quantized ONCE to exact micro-unit BIGINTs in the model
+    table, per-doc totals then sum integers (exact under any partial-agg
+    order), and the single division at the end uses the
+    floor-based rounding both engines compute bit-identically — unlike a
+    per-doc avg() of raw doubles, whose last ulp depends on Spark's
+    partial-aggregation order.
+
+    Scale posture: bigram/context counts are map-side-combinable
+    aggregations; the model join (bigram vocab x context vocab) never
+    touches the corpus; the corpus-sized score join is keyed on the
+    bigram string (xxhash64 it at 100 TB) and the vocab side would be
+    pruned to top-K + OOV floor exactly as ``text_unigram_logprob_topk``
+    does. No window anywhere."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    big = docs.select(
+        "doc_id",
+        F.explode(TX.word_ngrams(TX.tokens(F.col("text")), 2)).alias("g"),
+    )
+    bc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    ctx = (
+        bc.groupBy(F.split(F.col("g"), " ")[0].alias("w1"))
+        .agg(F.sum("c").alias("c1"))
+    )
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    model = (
+        bc.join(ctx, ctx.w1 == F.split(bc.g, " ")[0])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("g").alias("m_g"),
+            F.floor(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_u"),
+        )
+    )
+    return (
+        big.join(model, big.g == model.m_g)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("lp_u").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate detection (CCNet-style corpus-frequency cut)
 # ---------------------------------------------------------------------------
 
@@ -2022,7 +2129,16 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAIN_T = 0.6  # min fraction of src's shingles present in dst
 
-CONTAINMENT_ORACLE = f"""
+
+def _containment_oracle(df_cap: int | None = None) -> str:
+    """Directed containment edge set as DuckDB SQL, parametrized by the
+    same optional document-frequency cap as the Spark ``_containment``
+    (cap on posting-list LENGTH: ``size(ds) <= df_cap`` == shingle
+    occurrence count ``<= df_cap``), so graph queries built on the capped
+    audit edge set share one semantic definition with the uncapped
+    ``dedup_containment`` reference query."""
+    cap = f" AND count(*) <= {df_cap}" if df_cap is not None else ""
+    return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
@@ -2035,7 +2151,7 @@ shingled AS (
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 kept AS (
-  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1{cap}
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -2058,6 +2174,9 @@ SELECT doc_b AS src, doc_a AS dst,
        round(CAST(n_common AS DOUBLE) / nb, 4) AS containment
 FROM sized WHERE CAST(n_common AS DOUBLE) / nb >= {_CONTAIN_T}
 """
+
+
+CONTAINMENT_ORACLE = _containment_oracle()
 
 
 def _containment(

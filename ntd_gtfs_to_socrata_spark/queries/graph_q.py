@@ -407,3 +407,223 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("node").alias("doc_id"), "core_degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (directed containment graph)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-iteration HITS as chained CTEs (the _pagerank_oracle
+    pattern) over the DIRECTED df-capped containment edge set. Every
+    intermediate score is a BIGINT (h0=1 and integer sums stay integer),
+    so the oracle needs no float-tolerance anywhere — only the final
+    normalization divides, under the floor(x*1e6+0.5)/1e6 policy."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment_oracle
+
+    steps = []
+    for i in range(_HITS_ITERS):
+        steps.append(
+            f"a{i + 1} AS (\n"
+            f"  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS a\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT e.dst AS node, sum(h.h) AS v\n"
+            f"    FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst\n"
+            f"  ) s ON s.node = n.node\n)"
+        )
+        steps.append(
+            f"h{i + 1} AS (\n"
+            f"  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS h\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT e.src AS node, sum(a.a) AS v\n"
+            f"    FROM edges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src\n"
+            f"  ) s ON s.node = n.node\n)"
+        )
+    chained = ",\n".join(steps)
+    k = _HITS_ITERS
+    return f"""
+WITH ce AS MATERIALIZED ({_containment_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ce),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+{chained},
+ta AS (SELECT sum(a) AS v FROM a{k}),
+th AS (SELECT sum(h) AS v FROM h{k})
+SELECT a{k}.node AS doc_id,
+       floor(CAST(a{k}.a AS DOUBLE) / CAST(ta.v AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS authority,
+       floor(CAST(h{k}.h AS DOUBLE) / CAST(th.v AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS hub
+FROM a{k} JOIN h{k} ON h{k}.node = a{k}.node, ta, th
+"""
+
+
+@register("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities over the DIRECTED containment graph (src mostly
+    contained in dst): authorities are the heavily-quoted canonical
+    originals, hubs the aggregator/compilation documents — the direction-
+    aware complement to PageRank's undirected centrality, and the signal
+    that tells "source worth keeping" from "scraper mashup" in corpus
+    curation.
+
+    Runs ``operators/graph.py hits`` (fixed 2 iterations, all-BIGINT
+    exact integer state — no float drifts ANY engine can disagree on),
+    then L1-normalizes each score once at the end under the
+    floor(x*1e6+0.5)/1e6 rounding policy. The containment edge set is the
+    df-capped audit form (``_containment(df_cap=AUDIT_DF_CAP)``), sharing
+    one semantic definition with ``dedup_containment``'s oracle via
+    ``_containment_oracle``."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import hits
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment
+
+    edges = _containment(spark, sf_dir, df_cap=AUDIT_DF_CAP).select("src", "dst")
+    raw = hits(edges, iterations=_HITS_ITERS)
+    totals = raw.agg(
+        F.sum("auth_raw").alias("ta"), F.sum("hub_raw").alias("th")
+    )
+    # 1-row scalar totals: the sanctioned constant-size broadcast pattern
+    return raw.crossJoin(F.broadcast(totals)).select(
+        F.col("node").alias("doc_id"),
+        (
+            F.floor(
+                F.col("auth_raw").cast("double")
+                / F.col("ta").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("authority"),
+        (
+            F.floor(
+                F.col("hub_raw").cast("double")
+                / F.col("th").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("hub"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard (2-hop wedge join)
+# ---------------------------------------------------------------------------
+
+LINKPRED_ORACLE = """
+WITH pairs0 AS MATERIALIZED ({neardup}),
+pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM pairs0),
+edges AS MATERIALIZED (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION
+  SELECT doc_b AS x, doc_a AS y FROM pairs
+),
+deg AS (SELECT x, count(*) AS d FROM edges GROUP BY x),
+wedges AS (
+  SELECT e1.y AS a, e2.y AS b, count(*) AS cn
+  FROM edges e1 JOIN edges e2 ON e2.x = e1.x AND e1.y < e2.y
+  GROUP BY e1.y, e2.y
+),
+cand AS (
+  SELECT w.a, w.b, w.cn FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.doc_a = w.a AND p.doc_b = w.b
+  )
+),
+scored AS (
+  SELECT c.a, c.b, c.cn,
+         floor(CAST(c.cn AS DOUBLE) / CAST(da.d + db.d - c.cn AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS score
+  FROM cand c JOIN deg da ON da.x = c.a JOIN deg db ON db.x = c.b
+)
+SELECT a AS id_a, b AS id_b, cn AS common_neighbors, score
+FROM scored ORDER BY score DESC, a, b LIMIT 100
+"""
+
+
+def _linkpred_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import NEARDUP_ORACLE
+
+    return LINKPRED_ORACLE.format(neardup=NEARDUP_ORACLE)
+
+
+@register("graph_link_prediction", _linkpred_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted-but-missing near-dup links by common-neighbor
+    Jaccard: for each NON-adjacent pair sharing >= 1 neighbor in the
+    embedding-cosine graph (``sim_cosine_neardup_pairs``'s edge set —
+    cosine-threshold graphs genuinely chain, unlike the shingle-Jaccard
+    clusters which are transitive cliques in this corpus), score =
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. High scores flag pairs a threshold/
+    ANN candidate stage missed inside an otherwise-dense neighborhood —
+    the recall auditor for near-dup retrieval (and the classic link-
+    prediction baseline).
+
+    Plan: symmetrize edges with ONE explode pass, wedge self-join on the
+    shared-neighbor key (fan-out bounded by node degree — at 100 TB the
+    edge set comes from the LSH/IVF bucketed candidate generator, and a
+    degree cap bounds the wedge blow-up the same way the df cap bounds
+    posting lists), count per candidate pair = intersection; union =
+    deg_a + deg_b - cn via a node-keyed degree join (plain joins — AQE
+    sizes them). Scores are exact integer ratios under the
+    floor(x*1e6+0.5)/1e6 policy, ranked with id tie-breaks, so the
+    top-100 cut is engine-deterministic; orderBy().limit() =
+    TakeOrderedAndProject, never a global sort."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import sim_neardup_pairs
+
+    pairs = (
+        sim_neardup_pairs(spark, sf_dir)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")),
+                F.struct(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    deg = edges.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e2.x") == F.col("e1.x")) & (F.col("e1.y") < F.col("e2.y")),
+        )
+        .groupBy(F.col("e1.y").alias("a"), F.col("e2.y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges.a == pairs.doc_a) & (wedges.b == pairs.doc_b),
+        "left_anti",
+    )
+    scored = cand.join(
+        deg.select(F.col("x").alias("a"), F.col("d").alias("deg_a")), "a"
+    ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("deg_b")), "b")
+    score = (
+        F.floor(
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        scored.select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("cn").alias("common_neighbors"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id_a", "id_b")
+        .limit(100)
+    )

@@ -616,3 +616,76 @@ def tw_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (bounded-window, bit-exact)
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 16  # window rows; alpha = 1/2 so every weight is a power of two
+
+EWMA_ORACLE = f"""
+WITH win AS (
+  SELECT user_id, event_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       list_reduce(list_transform(vals, (x, i) -> x * pow(0.5, len(vals) - i)),
+                   (a, b) -> a + b)
+         / (2 - pow(0.5, len(vals) - 1)) AS ewma
+FROM win
+"""
+
+
+@register("tw_ewma_smoothed", EWMA_ORACLE)
+def tw_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) of purchase values over the last
+    {span} events — the classic trend smoother, built to be BIT-EXACT
+    across engines rather than merely round-tolerant:
+
+    - alpha = 1/2 makes every weight 2^-k, and multiplying a double by a
+      power of two never rounds (exponent shift only), so the weighted
+      terms are exact;
+    - the window's ordered ``collect_list`` fixes ONE summation order
+      (ts then event_id, micros on both engines) and both sides fold the
+      list left-to-right — no partial-aggregation order to drift;
+    - the normalizer 2 - 2^-(s-1) is itself exact, and the final
+      division is a single correctly-rounded IEEE op.
+
+    So the oracle comparison here is EXACT float equality with no
+    round() anywhere — the strongest determinism tier in the suite
+    (SCALE.md float policy: this is the 'design the arithmetic to be
+    order-free' endpoint).
+
+    Scale posture: one shuffle on user_id; the frame is ROWS-bounded at
+    {span}, so window state is O(span) per key regardless of history
+    length (unlike an unbounded running EWMA, which is inherently
+    sequential); skewed power-users cost O(span) extra memory, not
+    O(history). The same expression runs per micro-batch in Structured
+    Streaming over ``applyInPandasWithState`` with the span as state.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    s = F.size(F.col("vals"))
+    weighted = F.transform(
+        F.col("vals"), lambda x, i: x * F.pow(F.lit(0.5), s - 1 - i)
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    denom = F.lit(2.0) - F.pow(F.lit(0.5), s - 1)
+    return (
+        ev.select("user_id", "event_id", vals.alias("vals"))
+        .select("user_id", "event_id", (num / denom).alias("ewma"))
+    )
+
+
+tw_ewma_smoothed.__doc__ = tw_ewma_smoothed.__doc__.format(span=_EWMA_SPAN)

@@ -1,0 +1,122 @@
+"""Semantic checks for HITS, common-neighbor link prediction, the bigram
+LM score, and the bit-exact EWMA — hand-computed tiny-graph/series truths
+the DuckDB value-hash can't express (exact integer propagation, missing-
+link identification, order sensitivity, float exactness)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.operators.graph import hits
+
+
+def test_hits_star_graph_exact_integers(spark):
+    # 3 hubs all pointing at one authority t, plus t -> x so t has an
+    # out-edge too. h0 = 1 everywhere.
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 4)], ["src", "dst"]
+    )
+    rows = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    # iteration 1: a1 = in-degree: a1(9)=3, a1(4)=1, others 0
+    #              h1(n) = sum a1 over out-neighbors: h1(1..3)=3, h1(9)=1
+    # iteration 2: a2(9) = h1(1)+h1(2)+h1(3) = 9; a2(4) = h1(9) = 1
+    #              h2(1..3) = a2(9) = 9; h2(9) = a2(4) = 1
+    assert rows[9]["auth_raw"] == 9 and rows[9]["hub_raw"] == 1
+    assert rows[4]["auth_raw"] == 1 and rows[4]["hub_raw"] == 0
+    for n in (1, 2, 3):
+        assert rows[n]["auth_raw"] == 0 and rows[n]["hub_raw"] == 9
+
+
+def test_hits_scores_are_exact_longs(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    df = hits(edges, iterations=3)
+    dtypes = dict(df.dtypes)
+    assert dtypes["auth_raw"] == "bigint" and dtypes["hub_raw"] == "bigint"
+    # 3-cycle is symmetric under rotation: all scores equal
+    rows = df.collect()
+    assert len({r["auth_raw"] for r in rows}) == 1
+    assert len({r["hub_raw"] for r in rows}) == 1
+
+
+def test_link_prediction_finds_missing_triangle_edge(spark, sf_dir):
+    """Path a-b-c in the cosine graph ⇒ (a,c) must appear as a candidate;
+    conversely no returned pair may already be an edge."""
+    from ntd_gtfs_to_socrata_spark.queries.graph_q import graph_link_prediction
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import sim_neardup_pairs
+
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in sim_neardup_pairs(spark, sf_dir).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    preds = graph_link_prediction(spark, sf_dir).collect()
+    assert preds, "cosine graph at this sf has open wedges"
+    for r in preds:
+        pair = (r["id_a"], r["id_b"])
+        assert pair not in edges, "predicted an existing edge"
+        inter = len(adj[r["id_a"]] & adj[r["id_b"]])
+        union = len(adj[r["id_a"]] | adj[r["id_b"]])
+        assert r["common_neighbors"] == inter
+        expected = math.floor(inter / union * 1e6 + 0.5) / 1e6
+        assert r["score"] == expected
+
+
+def test_bigram_logprob_penalizes_shuffled_word_salad(spark):
+    """Docs reusing frequent tokens in improbable ORDER must score lower
+    than the coherent docs a unigram model can't tell apart."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import text_bigram_logprob
+
+    coherent = "the cat sat on the mat"
+    rows = [(i, coherent) for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))  # same tokens, salad order
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    import unittest.mock as mock
+
+    with mock.patch(
+        "ntd_gtfs_to_socrata_spark.queries.dedup_text.load_table",
+        return_value=docs,
+    ):
+        out = {r["doc_id"]: r for r in text_bigram_logprob(spark, "unused").collect()}
+    assert out[99]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[0]["n_bigrams"] == 5
+
+
+def test_ewma_hand_computed_and_bit_exact(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import (
+        _EWMA_SPAN,
+        tw_ewma_smoothed,
+    )
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = {}
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rows):
+            window = rows[max(0, i - (_EWMA_SPAN - 1)) : i + 1]
+            s = len(window)
+            num = 0.0
+            for j, wr in enumerate(window):
+                num += wr["value"] * 2.0 ** -(s - 1 - j)
+            expected[(u, r["event_id"])] = num / (2.0 - 2.0 ** -(s - 1))
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in tw_ewma_smoothed(spark, sf_dir).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        # bit-exact: same fold order, power-of-two weights
+        assert got[k] == v, k
