@@ -117,10 +117,15 @@ HEADLINE = [
     "privacy_l_diversity",
     "tw_gap_fill_locf",
     "stream_incremental_lsh_dedup",
-    # r8 additions: PQ ANN, hybrid retrieval fusion, collocation mining
+    # r8 additions: PQ ANN, hybrid retrieval fusion, collocation mining,
+    # stateful streaming EWMA (bit-exact batch parity)
     "sim_pq_topk",
     "rag_rrf_hybrid",
     "text_pmi_collocations",
+    "stream_ewma",
+    "eval_bradley_terry",
+    "tp_decontaminate_fuzzy",
+    "tw_resample_interpolate",
 ]
 
 

@@ -335,3 +335,182 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("y").cast("double")), 4).alias("frac_pos"),
         F.round(F.abs(F.avg("p") - F.avg(F.col("y").cast("double"))), 4).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference aggregation (MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 2
+_BT_MICRO = 1_000_000.0
+
+
+def _bt_oracle() -> str:
+    """Fixed-iteration Bradley-Terry MM as unrolled CTEs (the
+    _pagerank_oracle pattern). Strengths live as MICRO-UNIT BIGINTs
+    between iterations and every float expression mirrors the Spark
+    formulation token-for-token (one division chain, floor(x*1e6+0.5)
+    quantization), so both engines walk identical IEEE ops."""
+    steps = []
+    for t in range(_BT_ITERS):
+        steps.append(
+            f"q{t + 1} AS (\n"
+            f"  SELECT g.p,\n"
+            f"    CAST(floor(CAST(g.n AS DOUBLE)\n"
+            f"         / (CAST(sa.su + sb.su AS DOUBLE) / 1000000.0)\n"
+            f"         * 1000000.0 + 0.5) AS BIGINT) AS q\n"
+            f"  FROM games g JOIN s{t} sa ON sa.p = g.p\n"
+            f"               JOIN s{t} sb ON sb.p = g.o\n)"
+        )
+        steps.append(
+            f"s{t + 1} AS (\n"
+            f"  SELECT w.p,\n"
+            f"    CASE WHEN w.W = 0 OR d.D = 0 THEN CAST(0 AS BIGINT)\n"
+            f"         ELSE CAST(floor(CAST(w.W AS DOUBLE)\n"
+            f"              / (CAST(d.D AS DOUBLE) / 1000000.0)\n"
+            f"              * 1000000.0 + 0.5) AS BIGINT) END AS su\n"
+            f"  FROM wins w JOIN (SELECT p, sum(q) AS D FROM q{t + 1} GROUP BY p) d\n"
+            f"    ON d.p = w.p\n)"
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey AS ok, l_suppkey AS s, l_extendedprice AS pr FROM lineitem
+),
+comp AS (
+  SELECT a.s AS i, b.s AS j,
+         CASE WHEN a.pr > b.pr OR (a.pr = b.pr AND a.s < b.s)
+              THEN 1 ELSE 0 END AS win_i
+  FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+),
+pairs AS MATERIALIZED (
+  SELECT i, j, count(*) AS n, sum(win_i) AS w FROM comp GROUP BY i, j
+),
+games AS MATERIALIZED (
+  SELECT i AS p, j AS o, n, w FROM pairs
+  UNION ALL
+  SELECT j AS p, i AS o, n, n - w AS w FROM pairs
+),
+wins AS MATERIALIZED (
+  SELECT p, CAST(sum(w) AS BIGINT) AS W, CAST(sum(n) AS BIGINT) AS G
+  FROM games GROUP BY p
+),
+s0 AS (SELECT p, CAST(1000000 AS BIGINT) AS su FROM wins),
+{chained}
+SELECT w.p AS supp_key, w.G AS n_games, w.W AS n_wins,
+       s{_BT_ITERS}.su AS strength_micro
+FROM wins w JOIN s{_BT_ITERS} ON s{_BT_ITERS}.p = w.p
+"""
+
+
+@register("eval_bradley_terry", _bt_oracle())
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation over pairwise preferences — the
+    aggregation step of every RLHF/preference-data pipeline (pairwise
+    judgments in, per-entity strengths out), run with Hunter's MM update
+    ``s_i' = W_i / Σ_j n_ij/(s_i+s_j)`` for a FIXED 2 iterations.
+    Preferences are derived deterministically from the data itself: in
+    each order, every supplier pair is one comparison won by the higher
+    l_extendedprice line (ties to the lower suppkey) — the co-occurrence
+    self-join shape of a judge-panel table.
+
+    Engine-exactness by the r7 float policy: strengths live as micro-unit
+    BIGINTs between iterations; each pair's MM term is quantized ONCE to
+    a micro-unit BIGINT, so the per-entity denominator is an exact
+    integer sum (no partial-agg float order); the one division chain per
+    update mirrors the oracle token-for-token. Winless entities get
+    strength 0 (their true MLE limit); paired entities can never BOTH be
+    winless (their mutual games had winners), so no 0/0 arises.
+
+    Scale posture: the comparison self-join shuffles on the order key
+    with per-order fan-out bounded by C(lines,2) ≤ 21; pair and games
+    tables are O(entities²) at worst but O(observed pairs) in practice;
+    each MM iteration is two entity-keyed joins + one map-side-combinable
+    integer sum — the pagerank loop shape, with localCheckpoint
+    truncating lineage per round. No window, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("s"),
+        F.col("l_extendedprice").alias("pr"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    comp = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s"))
+    ).select(
+        F.col("a.s").alias("i"),
+        F.col("b.s").alias("j"),
+        F.when(
+            (F.col("a.pr") > F.col("b.pr"))
+            | ((F.col("a.pr") == F.col("b.pr")) & (F.col("a.s") < F.col("b.s"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("win_i"),
+    )
+    pairs = comp.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("win_i").alias("w")
+    )
+    games = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("i").alias("p"),
+                        F.col("j").alias("o"),
+                        F.col("n").alias("n"),
+                        F.col("w").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("j").alias("p"),
+                        F.col("i").alias("o"),
+                        F.col("n").alias("n"),
+                        (F.col("n") - F.col("w")).alias("w"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.p", "g.o", "g.n", "g.w")
+        .localCheckpoint(eager=True)
+    )
+    wins = games.groupBy("p").agg(
+        F.sum("w").alias("W"), F.sum("n").alias("G")
+    ).localCheckpoint(eager=True)
+    s = wins.select("p", F.lit(1_000_000).cast("long").alias("su"))
+    for _ in range(_BT_ITERS):
+        sa = s.select(F.col("p").alias("pa"), F.col("su").alias("su_a"))
+        sb = s.select(F.col("p").alias("pb"), F.col("su").alias("su_b"))
+        q = games.join(sa, games.p == sa.pa).join(sb, games.o == sb.pb).select(
+            "p",
+            F.floor(
+                F.col("n").cast("double")
+                / ((F.col("su_a") + F.col("su_b")).cast("double") / F.lit(_BT_MICRO))
+                * F.lit(_BT_MICRO)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        d = q.groupBy("p").agg(F.sum("q").alias("D"))
+        s = (
+            wins.join(d, "p")
+            .select(
+                "p",
+                F.when((F.col("W") == 0) | (F.col("D") == 0), F.lit(0).cast("long"))
+                .otherwise(
+                    F.floor(
+                        F.col("W").cast("double")
+                        / (F.col("D").cast("double") / F.lit(_BT_MICRO))
+                        * F.lit(_BT_MICRO)
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .alias("su"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return wins.join(s, "p").select(
+        F.col("p").alias("supp_key"),
+        F.col("G").alias("n_games"),
+        F.col("W").alias("n_wins"),
+        F.col("su").alias("strength_micro"),
+    )

@@ -317,3 +317,38 @@ def stream_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return incremental_lsh_dedup(spark, sf_dir, n_batches=4)
+
+
+def _ewma_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import EWMA_ORACLE
+
+    return EWMA_ORACLE
+
+
+@register("stream_ewma", _ewma_oracle())
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-user EWMA via a custom stateful operator
+    (``streaming/stateful.py::running_ewma``): purchases arrive as 4
+    time-quantile micro-batches (``stage_time_sliced`` writes them
+    oldest-first so the file source replays event-time order); each
+    user's last span-1 values ride the state store across batches and
+    every event emits its smoothed value exactly once.
+
+    Shares the batch ``tw_ewma_smoothed`` oracle at FULL value-hash
+    strength — and because the alpha=1/2 arithmetic is order-fixed and
+    power-of-two exact on both paths, the parity is BIT-exact, not
+    rounded (pinned in tests/test_streaming.py): the strongest
+    determinism statement on the streaming surface."""
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    staging = STF.stage_time_sliced(spark, purchases, n_slices=4)
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    name = _run_to_table(STF.running_ewma(stream), "sewma", "update")
+    return spark.table(name)

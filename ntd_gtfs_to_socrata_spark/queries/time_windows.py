@@ -689,3 +689,161 @@ def tw_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tw_ewma_smoothed.__doc__ = tw_ewma_smoothed.__doc__.format(span=_EWMA_SPAN)
+
+
+# ---------------------------------------------------------------------------
+# Regular-grid resampling with linear interpolation
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_US = 3_600_000_000  # 1-hour grid, in epoch microseconds
+
+RESAMPLE_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+),
+bounds AS (
+  SELECT user_id,
+         CAST(ceil(CAST(min(t) AS DOUBLE) / {_RESAMPLE_US}) AS BIGINT)
+           * {_RESAMPLE_US} AS g0,
+         CAST(floor(CAST(max(t) AS DOUBLE) / {_RESAMPLE_US}) AS BIGINT)
+           * {_RESAMPLE_US} AS g1
+  FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(g0, g1 + 1, {_RESAMPLE_US})) AS t
+  FROM bounds WHERE g0 <= g1
+),
+unioned AS (
+  SELECT user_id, t, v, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT user_id, t, NULL AS v, 1 AS is_grid FROM grid
+),
+filled AS (
+  SELECT user_id, t, is_grid,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+  FROM unioned
+)
+SELECT user_id, t // 1000000 AS grid_epoch,
+  CAST(floor((v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+       * 1000000 + 0.5) AS BIGINT) AS value_micro
+FROM filled WHERE is_grid = 1 AND t0 < t
+UNION ALL
+SELECT user_id, t // 1000000 AS grid_epoch,
+  CAST(floor(v0 * 1000000 + 0.5) AS BIGINT) AS value_micro
+FROM filled WHERE is_grid = 1 AND t0 = t
+"""
+
+
+@register("tw_resample_interpolate", RESAMPLE_ORACLE)
+def tw_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular events -> regular hourly grid by LINEAR INTERPOLATION
+    between the surrounding observations — the numeric companion to
+    ``tw_gap_fill_locf`` (LOCF holds a step; interpolation draws the
+    line), and the standard resampler feeding downstream models that
+    want a fixed cadence.
+
+    Shape: per-user grid instants (``sequence`` over epoch-micros, one
+    explode bounded by span-hours), unioned with the observations, then
+    ONE per-user ordered window pass computing both the
+    last-obs-at-or-before (frame ...PRECEDING AND CURRENT ROW with
+    ignorenulls) and first-obs-after (CURRENT ROW AND ...FOLLOWING) in
+    the same sort order — obs rows sort BEFORE grid rows at equal ts, so
+    a grid point landing exactly on an observation takes that value via
+    the t0 = t branch (the forward anchor may not exist there; the
+    ordering guarantees the backward one does). Interpolation closes
+    over exact integer micros cast to double once, so both engines walk
+    the identical IEEE expression; outputs are floor-quantized micro
+    BIGINTs per the float policy.
+
+    Scale posture: everything is keyed or windowed per user — bounded
+    partitions, never a global sort; observations collapse to distinct
+    (user, ts) via an order-free max() first so the anchors are
+    engine-deterministic. At 100 TB the grid explode stays
+    span-proportional and the union + window co-partition on user_id:
+    one shuffle total."""
+    us = F.lit(_RESAMPLE_US).cast("long")
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("t"))
+        .agg(F.max("value").alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        (
+            F.ceil(F.min("t").cast("double") / F.lit(float(_RESAMPLE_US))).cast(
+                "long"
+            )
+            * us
+        ).alias("g0"),
+        (
+            F.floor(F.max("t").cast("double") / F.lit(float(_RESAMPLE_US))).cast(
+                "long"
+            )
+            * us
+        ).alias("g1"),
+    )
+    grid = bounds.filter(F.col("g0") <= F.col("g1")).select(
+        "user_id",
+        F.explode(F.sequence(F.col("g0"), F.col("g1"), us)).alias("t"),
+    )
+    unioned = obs.select(
+        "user_id", "t", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t",
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("t"))
+    filled = unioned.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v0"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("t0"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v1"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("t1"),
+    ).filter(F.col("is_grid") == 1)
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        (F.col("t") - F.col("t0")).cast("double")
+        / (F.col("t1") - F.col("t0")).cast("double")
+    )
+    grid_epoch = (F.col("t") / F.lit(1_000_000)).cast("long").alias("grid_epoch")
+    exact = filled.filter(F.col("t0") == F.col("t")).select(
+        "user_id",
+        grid_epoch,
+        F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micro"),
+    )
+    between = filled.filter(F.col("t0") < F.col("t")).select(
+        "user_id",
+        grid_epoch,
+        F.floor(interp * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micro"),
+    )
+    return between.unionByName(exact)

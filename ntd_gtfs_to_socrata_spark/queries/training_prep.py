@@ -1242,3 +1242,163 @@ def tp_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("waste_tokens"),
         F.array_join(F.reverse(F.array_sort(bins)), ",").alias("bin_loads"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy train/eval decontamination (MinHash-LSH, asymmetric)
+# ---------------------------------------------------------------------------
+
+_DECON_T = 0.5  # near-match Jaccard above which a train doc is contaminated
+_DECON_EVAL_BUCKET = 90  # md5 buckets >= this form the held-out eval set
+
+
+def _decon_fuzzy_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import MINHASH_ORACLE
+
+    return f"""
+WITH sigs AS MATERIALIZED ({MINHASH_ORACLE}),
+split AS (
+  SELECT doc_id,
+         ({_BUCKET_SQL}) >= {_DECON_EVAL_BUCKET} AS is_eval
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sigs
+  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
+  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
+  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM bands t
+  JOIN split st ON st.doc_id = t.doc_id AND NOT st.is_eval
+  JOIN bands e ON e.band = t.band AND e.x = t.x AND e.y = t.y
+  JOIN split se ON se.doc_id = e.doc_id AND se.is_eval
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+expl AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+common AS (
+  SELECT c.train_id, c.eval_id, count(*) AS nc
+  FROM cand c
+  JOIN expl a ON a.doc_id = c.train_id
+  JOIN expl b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+  GROUP BY c.train_id, c.eval_id
+),
+scored AS (
+  SELECT train_id, eval_id,
+         CAST(floor(CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc)
+                    * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+  FROM common
+  JOIN sizes sa ON sa.doc_id = train_id
+  JOIN sizes sb ON sb.doc_id = eval_id
+  WHERE CAST(nc AS DOUBLE) / (sa.n_sh + sb.n_sh - nc) >= {_DECON_T}
+)
+SELECT train_id AS doc_id, eval_id AS matched_eval, jaccard_micro
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY train_id ORDER BY jaccard_micro DESC, eval_id
+) = 1
+"""
+
+
+@register("tp_decontaminate_fuzzy", _decon_fuzzy_oracle())
+def tp_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: find training docs that are
+    near-duplicates (shingle Jaccard >= {t}) of any held-out eval doc —
+    the hygiene pass exact n-gram overlap (``tp_contamination_check``)
+    misses when the leaked copy was lightly paraphrased or re-wrapped.
+    Returns one row per contaminated train doc with its best-matching
+    eval doc (max Jaccard, ties to the lowest eval id) — the drop list a
+    release pipeline anti-joins against the corpus.
+
+    Candidate generation is the ASYMMETRIC MinHash-LSH band join
+    (``dedup_incremental_lsh``'s posture): the eval side is bounded by
+    construction (benchmarks, 10% of keyspace here), so its band table
+    broadcasts and the corpus-sized train band table is probed with NO
+    shuffle of the train side; exact-Jaccard verification then touches
+    only candidate docs' shingles (hash equality stands in for string
+    equality w.h.p., the ``dedup_ngram_jaccard`` convention). At 100 TB
+    a degenerate band bucket bounds fan-out at |train-bucket| x |eval|,
+    linear in the bucket — no quadratic blowup to cap.
+
+    Per-train-doc argmax runs as a window over candidate matches only
+    (<= |eval| rows per train doc, never corpus-wide)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import dedup_minhash
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    sigs = dedup_minhash(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "_", F.lit(i), F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+            ).alias(f"band{i}")
+            for i in range(4)
+        ],
+    ).selectExpr("doc_id", "stack(4, band0, band1, band2, band3) AS bucket")
+    is_eval = _bucket() >= _DECON_EVAL_BUCKET
+    split = docs.select("doc_id", is_eval.alias("is_eval"))
+    tr_bands = bands.join(
+        split.filter(~F.col("is_eval")).select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("train_id"), "bucket")
+    ev_bands = bands.join(
+        split.filter(F.col("is_eval")).select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("eval_id"), "bucket")
+    cand = (
+        tr_bands.join(F.broadcast(ev_bands), "bucket")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    shingled = docs.select(
+        "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+    ).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
+    a = shingled.select(
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("na"), "h"
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("nb"), "h"
+    )
+    common = (
+        cand.join(a, "train_id")
+        .join(b, ["eval_id", "h"])
+        .groupBy("train_id", "eval_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    jac = F.col("nc").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("nc")
+    )
+    scored = common.filter(jac >= F.lit(_DECON_T)).select(
+        "train_id",
+        "eval_id",
+        F.floor(jac * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("jaccard_micro").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("train_id").alias("doc_id"),
+            F.col("eval_id").alias("matched_eval"),
+            "jaccard_micro",
+        )
+    )
+
+
+tp_decontaminate_fuzzy.__doc__ = tp_decontaminate_fuzzy.__doc__.format(
+    t=_DECON_T
+)

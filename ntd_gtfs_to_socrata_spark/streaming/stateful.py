@@ -25,7 +25,13 @@ from __future__ import annotations
 # supported custom-state surface here; the operator bodies port 1:1 once
 # protobuf is available.
 
-from pyspark.sql import DataFrame
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -67,3 +73,122 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming EWMA -------------------------------------------------------
+
+# one live staging dir per session (the dedup_stream lifecycle discipline):
+# a new run retires the previous run's staging; atexit removes the last one
+_PREV_WORK: list[str] = []
+
+
+def _retire_previous() -> None:
+    while _PREV_WORK:
+        shutil.rmtree(_PREV_WORK.pop(), ignore_errors=True)
+
+
+atexit.register(_retire_previous)
+
+
+def running_ewma(events: DataFrame, span: int = 16) -> DataFrame:
+    """Per-user bounded-window EWMA as a CUSTOM STATEFUL streaming
+    operator: state carries the last ``span - 1`` values per user across
+    micro-batches; each arriving event emits its smoothed value
+    immediately (one output row per input event, never re-emitted).
+
+    Arithmetic is IDENTICAL to the batch ``tw_ewma_smoothed``
+    (queries/time_windows.py): alpha = 1/2 so every weight 2^-k is a
+    power of two (multiplication never rounds), the fold runs
+    left-to-right over the ts-then-event_id-ordered window, and the
+    normalizer 2 - 2^-(s-1) is exact — so given TIME-ORDERED per-key
+    arrival the streaming output is BIT-EXACT equal to the batch window
+    query, and this operator shares its DuckDB oracle at full value-hash
+    strength (the r7 ``stream_incremental_lsh_dedup`` pattern: a
+    streaming composition checked to the VALUE level).
+
+    Caller contract: micro-batches must arrive in event-time order per
+    key (the staged runner slices the corpus by ts quantiles); within a
+    batch this function sorts each key's rows itself.
+
+    Scale posture: state is O(span) doubles per key in the state store
+    (partitioned by user_id — horizontal with key cardinality), NOT
+    O(history); an unbounded-alpha EWMA would be inherently sequential,
+    the bounded window is what makes per-event emission exact under
+    batch boundaries at any cadence."""
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdfs, state: GroupState):
+        tail: list[float] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        out_eid: list[int] = []
+        out_ewma: list[float] = []
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            tail.append(float(v))
+            win = tail[-span:]
+            s = len(win)
+            acc = 0.0
+            for j, x in enumerate(win):
+                acc += x * 2.0 ** -(s - 1 - j)
+            out_eid.append(int(eid))
+            out_ewma.append(acc / (2.0 - 2.0 ** -(s - 1)))
+        state.update((tail[-(span - 1) :],))
+        yield pd.DataFrame(
+            {"user_id": key[0], "event_id": out_eid, "ewma": out_ewma}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, ewma double",
+        stateStructType="tail array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stage_time_sliced(
+    spark: SparkSession, df: DataFrame, n_slices: int = 4
+) -> str:
+    """Stage ``df`` as ``n_slices`` parquet files cut at exact ts
+    QUANTILES, written SEQUENTIALLY oldest-first so the file source's
+    modification-time ordering replays them in event-time order — the
+    arrival contract stateful order-dependent operators (``running_ewma``)
+    need. Rows with equal ts always land in the same slice (quantile cuts
+    compare ts only), so within-batch tie-breaking stays local.
+
+    Returns the staging directory (readStream it with
+    ``maxFilesPerTrigger=1``). Cost: one quantile probe (n_slices - 1
+    control-plane scalars) + ONE pass over ``df`` (a single
+    ``partitionBy(slice)`` write); pickup order is then pinned with
+    explicit increasing mtimes rather than trusting write timing."""
+    _retire_previous()
+    work = tempfile.mkdtemp(prefix="stream_staging_")
+    _PREV_WORK.append(work)
+    qs = [i / n_slices for i in range(1, n_slices)]
+    bounds = df.select(
+        F.percentile(F.col("ts").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).first()["b"]
+    ts_d = F.col("ts").cast("double")
+    slice_col = F.lit(n_slices - 1)
+    for i in range(n_slices - 2, -1, -1):
+        slice_col = F.when(ts_d <= F.lit(bounds[i]), F.lit(i)).otherwise(slice_col)
+    tmp = os.path.join(work, "tmp")
+    df.withColumn("slc", slice_col).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("slc").parquet(tmp)
+    staging = os.path.join(work, "slices")
+    os.makedirs(staging)
+    base = os.path.getmtime(tmp)
+    for i in range(n_slices):
+        sub = os.path.join(tmp, f"slc={i}")
+        if not os.path.isdir(sub):  # an empty slice writes no dir
+            continue
+        part = next(f for f in sorted(os.listdir(sub)) if f.startswith("part-"))
+        dst = os.path.join(staging, f"slice_{i}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        # flatten (a slc=i subdir would be inferred as a partition column)
+        # and pin pickup order: the file source replays by (mtime, path)
+        os.utime(dst, times=(base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return staging

@@ -1,0 +1,90 @@
+"""Independent parity check for eval_bradley_terry: a pure-Python MM with
+the same micro-unit quantization, fed from the raw parquet via pandas, must
+reproduce the distributed result exactly — plus the semantic invariants
+(winless -> 0, dominance ordering) the value hash can't articulate."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+
+from ntd_gtfs_to_socrata_spark.queries.stats_q import (
+    _BT_ITERS,
+    eval_bradley_terry,
+)
+
+MICRO = 1_000_000.0
+
+
+def _python_bt(sf_dir: str) -> dict[int, tuple[int, int, int]]:
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    )
+    pairs: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    for _, grp in li.groupby("l_orderkey"):
+        rows = sorted(
+            zip(grp["l_suppkey"], grp["l_extendedprice"]), key=lambda r: r[0]
+        )
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                (si, pi), (sj, pj) = rows[x], rows[y]
+                if si == sj:
+                    continue
+                i, j = (si, sj) if si < sj else (sj, si)
+                win_i = pi > pj or (pi == pj)  # tie -> lower suppkey (= i)
+                if si > sj:
+                    win_i = pj > pi or (pj == pi)
+                rec = pairs[(i, j)]
+                rec[0] += 1
+                rec[1] += 1 if win_i else 0
+    games: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+    for (i, j), (n, w) in pairs.items():
+        games[i].append((j, n, w))
+        games[j].append((i, n, n - w))
+    wins = {p: sum(w for _, _, w in gs) for p, gs in games.items()}
+    total = {p: sum(n for _, n, _ in gs) for p, gs in games.items()}
+    su = {p: 1_000_000 for p in games}
+    for _ in range(_BT_ITERS):
+        new = {}
+        for p, gs in games.items():
+            d = sum(
+                int(math.floor(float(n) / ((su[p] + su[o]) / MICRO) * MICRO + 0.5))
+                for o, n, _ in gs
+            )
+            if wins[p] == 0 or d == 0:
+                new[p] = 0
+            else:
+                new[p] = int(
+                    math.floor(float(wins[p]) / (float(d) / MICRO) * MICRO + 0.5)
+                )
+        su = new
+    return {p: (total[p], wins[p], su[p]) for p in games}
+
+
+def test_bradley_terry_matches_pure_python(spark, sf_dir):
+    got = {
+        r["supp_key"]: (r["n_games"], r["n_wins"], r["strength_micro"])
+        for r in eval_bradley_terry(spark, sf_dir).collect()
+    }
+    want = _python_bt(sf_dir)
+    assert got == want
+
+
+def test_bradley_terry_semantics(spark, sf_dir):
+    rows = eval_bradley_terry(spark, sf_dir).collect()
+    assert rows
+    by_rate = sorted(rows, key=lambda r: r["n_wins"] / r["n_games"])
+    # winless entities (if any) pin to exactly 0; everyone else positive
+    for r in rows:
+        if r["n_wins"] == 0:
+            assert r["strength_micro"] == 0
+        else:
+            assert r["strength_micro"] > 0
+    # strength broadly tracks win rate: the best-rate entity must outrank
+    # the worst-rate one (a weak but model-independent dominance check)
+    assert (
+        by_rate[-1]["strength_micro"] >= by_rate[0]["strength_micro"]
+    )

@@ -120,3 +120,48 @@ def test_ewma_hand_computed_and_bit_exact(spark, sf_dir):
     for k, v in expected.items():
         # bit-exact: same fold order, power-of-two weights
         assert got[k] == v, k
+
+
+def test_resample_interpolate_hand_computed(spark):
+    """3 observations at 00:30, 02:30, 03:00 -> grid hours 01:00, 02:00,
+    03:00: two interpolated points on the first segment, one exact hit."""
+    import unittest.mock as mock
+
+    from pyspark.sql import Row
+    from ntd_gtfs_to_socrata_spark.queries import time_windows as TWm
+
+    h = 3_600_000_000  # us
+    base = 1_700_000_400_000_000  # not hour-aligned; obs at +0, +2h, +2.5h
+    # align manually: choose obs ts so grid math is easy
+    t0 = 1_700_002_800_000_000  # some instant; grid = ceil to hour
+    import datetime as dt
+
+    def ts(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # obs at 00:30 (v=10), 02:30 (v=50), 03:00 exactly (v=80)
+    o1 = (1_700_001_000 // 3600 + 1) * 3600 * 1_000_000 - 30 * 60 * 1_000_000
+    g1 = o1 + 30 * 60 * 1_000_000          # first grid hour after o1
+    o2 = o1 + 2 * 3600 * 1_000_000          # 02:30
+    o3 = g1 + 2 * 3600 * 1_000_000          # 03:00 == grid point
+    rows = [
+        Row(event_id=1, ts=ts(o1), user_id=7, event_type="purchase", value=10.0),
+        Row(event_id=2, ts=ts(o2), user_id=7, event_type="purchase", value=50.0),
+        Row(event_id=3, ts=ts(o3), user_id=7, event_type="purchase", value=80.0),
+    ]
+    docs = spark.createDataFrame(rows)
+    with mock.patch.object(TWm, "load_table", return_value=docs):
+        out = {
+            r["grid_epoch"]: r["value_micro"]
+            for r in TWm.tw_resample_interpolate(spark, "unused").collect()
+        }
+    ge1 = g1 // 1_000_000
+    # segment o1->o2 spans 2h, slope (50-10)/2h: 01:00 -> 10 + 40*(0.5/2) = 20
+    assert out[ge1] == 20_000_000
+    # 02:00 -> 10 + 40*(1.5/2) = 40
+    assert out[ge1 + 3600] == 40_000_000
+    # 03:00 is an exact observation hit -> 80
+    assert out[ge1 + 7200] == 80_000_000
+    assert len(out) == 3

@@ -335,3 +335,56 @@ def test_read_state_reraises_on_corrupt_part_file(spark, tmp_path):
     (p / "part-00000-corrupt.parquet").write_bytes(b"not parquet at all")
     with _pytest.raises(Exception):
         _read_state(spark, str(p), "doc_id long").collect()
+
+
+def test_stream_ewma_bit_exact_equals_batch(spark, sf_dir):
+    """The stateful streaming EWMA must equal the batch window query with
+    EXACT float equality (no rounding): alpha=1/2 weights are powers of
+    two and both paths fold the same ordered window left-to-right, so any
+    difference is an arrival-order or state bug, never FP noise."""
+    from ntd_gtfs_to_socrata_spark.queries.streaming_q import stream_ewma
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_ewma_smoothed
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in stream_ewma(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in tw_ewma_smoothed(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want)  # bit-exact, not isclose
+
+
+def test_stream_ewma_state_spans_microbatches(spark, sf_dir):
+    """At least one user's events must straddle a slice boundary (else the
+    parity test wouldn't exercise cross-batch state), and slice files must
+    carry strictly increasing modification times (the pickup-order
+    contract stage_time_sliced promises)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    staging = STF.stage_time_sliced(spark, purchases, n_slices=4)
+    files = sorted(os.listdir(staging))
+    assert files == [f"slice_{i}.parquet" for i in range(4)]
+    mtimes = [os.path.getmtime(os.path.join(staging, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    per_slice = [
+        {
+            r["user_id"]
+            for r in spark.read.parquet(os.path.join(staging, f))
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for f in files
+    ]
+    assert any(per_slice[0] & s for s in per_slice[1:])
