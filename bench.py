@@ -126,6 +126,7 @@ HEADLINE = [
     "eval_bradley_terry",
     "tp_decontaminate_fuzzy",
     "tw_resample_interpolate",
+    "sim_ivfpq_topk",
 ]
 
 

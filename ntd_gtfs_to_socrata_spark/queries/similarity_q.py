@@ -1037,3 +1037,240 @@ def sim_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dups_lower").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + product-quantized RESIDUALS (the production ANN)
+# ---------------------------------------------------------------------------
+
+
+IVFPQ_CODES = 64  # residual codewords/subspace (own constant: recall on the
+# near-random fixture embeddings roughly doubles 16 -> 64 and saturates
+# after — measured in tests/test_similarity.py's monitor; sim_pq_topk keeps
+# its 16-codeword book as the minimal ADC reference shape)
+
+
+def _ivfpq_oracle() -> str:
+    sub = f"(SELECT unnest(range({N_SUB})) AS s)"
+    l2 = (
+        "round(list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y), 6)"
+    )
+    rsub = (
+        f"list_transform(range(sub.s * {SUB_DIM} + 1, sub.s * {SUB_DIM} + {SUB_DIM} + 1), "
+        "i -> {e}[i] - {c}[i])"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign_scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_inner_product(v.embedding::DOUBLE[], c.ce)
+                                           / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn), 6) DESC,
+                                     c.centroid_id ASC) AS rnk
+  FROM embeddings v CROSS JOIN cent c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM assign_scored WHERE rnk = 1
+),
+resid AS MATERIALIZED (
+  SELECT e.vec_id, e.label, a.centroid_id, sub.s,
+         {rsub.format(e='(e.embedding::DOUBLE[])', c='c.ce')} AS rvec
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.centroid_id = a.centroid_id, {sub} sub
+),
+cb AS MATERIALIZED (
+  SELECT vec_id AS code, s, rvec AS cvec FROM resid WHERE vec_id < {IVFPQ_CODES}
+),
+code_scored AS (
+  SELECT r.vec_id AS cid, r.label, r.centroid_id, r.s, c.code,
+         row_number() OVER (PARTITION BY r.vec_id, r.s
+                            ORDER BY {l2.format(a='r.rvec', b='c.cvec', d=SUB_DIM)} ASC,
+                                     c.code ASC) AS rn
+  FROM resid r JOIN cb c ON c.s = r.s
+),
+codes AS (SELECT cid, label, centroid_id, s, code FROM code_scored WHERE rn = 1),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+q_probe AS (
+  SELECT qid, qe, centroid_id, ce FROM (
+    SELECT q.qid, q.qe, c.centroid_id, c.ce,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round(list_inner_product(q.qe, c.ce) / (q.qn * c.cn), 6) DESC,
+                                       c.centroid_id ASC) AS rnk
+    FROM q CROSS JOIN cent c) t
+  WHERE rnk <= {N_PROBE}
+),
+q_resid AS (
+  SELECT qid, centroid_id, sub.s,
+         {rsub.format(e='qe', c='ce')} AS qrvec
+  FROM q_probe, {sub} sub
+),
+adc AS (
+  SELECT qid, r.centroid_id, r.s, c.code,
+         {l2.format(a='r.qrvec', b='c.cvec', d=SUB_DIM)} AS qd
+  FROM q_resid r JOIN cb c ON c.s = r.s
+),
+scored AS (
+  SELECT a.qid, k.cid, k.label, round(sum(a.qd), 6) AS approx_d2
+  FROM codes k
+  JOIN adc a ON a.centroid_id = k.centroid_id AND a.s = k.s AND a.code = k.code
+  WHERE a.qid <> k.cid
+  GROUP BY a.qid, k.cid, k.label
+)
+SELECT qid, cid, label, approx_d2,
+       row_number() OVER (PARTITION BY qid ORDER BY approx_d2 ASC, cid ASC) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+@register("sim_ivfpq_topk", _ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems actually deploy
+    (FAISS ``IVFx,PQy``): the coarse quantizer (``sim_ivf_assign``) routes
+    each vector to a cell, PQ codes are trained on the RESIDUAL
+    (vector - cell centroid, which is what makes the codebook sharp: cell
+    offsets are removed before quantization), and a query probes its
+    N_PROBE nearest cells scoring candidates through a per-(query, cell)
+    ADC lookup table built from the QUERY residual against that cell.
+
+    Deterministic residual codebook (residual subvectors of the first
+    N_CODES corpus vectors) keeps encode + probe fully value-hash
+    checkable, like ``sim_pq_topk``.
+
+    Scale posture: encoding is ingest-time (broadcast codebook, map-side
+    argmin per subspace — one corpus pass, persists as bytes/vector);
+    query time touches ONLY the probed cells' code lists (corpus stored
+    partitioned by centroid_id → partition pruning), joined against a
+    broadcast ADC of Q x N_PROBE x N_SUB x N_CODES rows — the raw float
+    corpus is never re-scanned at query time, and the candidate join is
+    keyed (cell, s, code), never a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir).select(
+        "centroid_id", F.col("centroid").cast("array<double>").alias("ce")
+    )
+    assigned = sim_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    resid_full = (
+        ensure_min_parallelism(emb)
+        .join(assigned, "vec_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "ce",
+                lambda x, y: x - y,
+            ).alias("rv"),
+        )
+    )
+    subs = F.array(*[F.slice("rv", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
+    resid = resid_full.select(
+        "vec_id", "label", "centroid_id", F.posexplode(subs).alias("s", "rvec")
+    )
+    cb = resid.filter(F.col("vec_id") < IVFPQ_CODES).select(
+        F.col("vec_id").alias("code"), "s", F.col("rvec").alias("cvec")
+    )
+    d2 = F.round(_sq_l2(F.col("rvec"), F.col("cvec")), 6)
+    # argmin via min(struct(d2, code)) — lexicographic struct ordering IS
+    # "lowest distance, tie to lowest code", and a groupBy aggregate gets
+    # map-side partial aggregation where a window would full-sort each
+    # (vector, subspace) partition; at ingest scale that is the encode cost
+    codes = (
+        resid.join(F.broadcast(cb), "s")
+        .groupBy("vec_id", "label", "centroid_id", "s")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("code").alias("code"))).alias("m"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "label",
+            "centroid_id",
+            "s",
+            F.col("m.code").alias("code"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    q_scored = q.join(F.broadcast(_centroids(spark, sf_dir))).select(
+        "qid",
+        "qe",
+        "centroid_id",
+        F.col("centroid").cast("array<double>").alias("ce"),
+        F.round(
+            dot(F.col("qe"), F.col("centroid")) / (F.col("qn") * F.col("centroid_norm")),
+            6,
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    q_probe = (
+        q_scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select(
+            "qid",
+            "centroid_id",
+            F.zip_with("qe", "ce", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    qsubs = F.array(*[F.slice("qrv", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
+    q_resid = q_probe.select(
+        "qid", "centroid_id", F.posexplode(qsubs).alias("s", "qrvec")
+    )
+    adc = q_resid.join(F.broadcast(cb), "s").select(
+        "qid",
+        "centroid_id",
+        "s",
+        "code",
+        F.round(_sq_l2(F.col("qrvec"), F.col("cvec")), 6).alias("qd"),
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["centroid_id", "s", "code"])
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid", "label")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_d2"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 5)
+
+
+@register("sim_ivfpq_recall")  # rows-only: self-measured ANN quality monitor
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ path against exact brute force, AS A QUERY
+    (the ``sim_ivf_recall`` monitor pattern). On the near-random fixture
+    embeddings the honest operating point is LOW (~0.1-0.2): nprobe=2/16
+    already caps recall near 0.3 (see sim_ivf_recall) and residual
+    quantization halves it — random vectors are PQ's worst case, real
+    embedding manifolds quantize far better. Recall is bought at serving
+    time with N_PROBE and IVFPQ_CODES; this monitor is what prices that
+    dial at 100 TB."""
+    exact = sim_bruteforce(spark, sf_dir).filter(F.col("rnk") <= 5).select(
+        F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid")
+    )
+    approx = sim_ivfpq_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("cid").alias("a_cid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("e_qid") == F.col("a_qid")) & (F.col("e_cid") == F.col("a_cid")),
+        "left",
+    ).groupBy("e_qid").agg(
+        (F.sum(F.col("a_cid").isNotNull().cast("int")) / F.count(F.lit(1))).alias(
+            "recall"
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"),
+        F.round(F.min("recall"), 4).alias("min_recall"),
+    )

@@ -514,3 +514,103 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("W").alias("n_wins"),
         F.col("su").alias("strength_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement: Cohen's kappa between two quality verdicts
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        GOPHER_ORACLE,
+        QC_ORACLE,
+    )
+
+    return f"""
+WITH a AS ({QC_ORACLE}),
+b AS ({GOPHER_ORACLE}),
+j AS (
+  SELECT a.keep AS ka, b.keep AS kb
+  FROM a JOIN b ON b.doc_id = a.doc_id
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM j
+)
+SELECT n, n11, n10, n01, n00,
+  CASE WHEN (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) = n * n
+       THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(
+         (CAST(n * (n11 + n00) AS DOUBLE)
+          - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE))
+         / (CAST(n * n AS DOUBLE)
+            - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE))
+         * 1000000 + 0.5) AS BIGINT) END AS kappa_micro
+FROM c
+"""
+
+
+@register("eval_cohen_kappa", _kappa_oracle())
+def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two INDEPENDENT quality raters — the
+    labeling-pipeline agreement statistic, composed from two components
+    this engine already ships: rater A = the linear quality classifier's
+    keep verdict ([[text_quality_classifier]]), rater B = the Gopher rule
+    bundle's conjunctive keep ([[text_gopher_rules]]). Low kappa flags
+    that a learned filter and a rule filter are cutting DIFFERENT
+    populations — the ablation signal corpus curators act on.
+
+    Exactness: the 2x2 contingency is integer counts; kappa
+    = (n*(n11+n00) - Σ marginal products) / (n² - Σ marginal products)
+    is computed as ONE division of exactly-representable integers (corpus
+    ≤ ~10^7 docs keeps every product < 2^53; at larger n, pre-divide both
+    sides by n — same value) then floor-quantized to micro units. The
+    degenerate pe = 1 case (both raters constant) pins kappa to 0 on both
+    engines.
+
+    Scale posture: two map-only rater expressions over one corpus scan
+    each, joined on doc_id, folded to a single 5-counter row —
+    map-side-combinable all the way; the kappa arithmetic happens on one
+    row. At 100 TB this costs two scans (or one, fusing both raters into
+    a single select)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        text_gopher_rules,
+        text_quality_classifier,
+    )
+
+    a = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ka")
+    )
+    b = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kb")
+    )
+    c = (
+        a.join(b, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("ka") & F.col("kb")).cast("long")).alias("n11"),
+            F.sum((F.col("ka") & ~F.col("kb")).cast("long")).alias("n10"),
+            F.sum((~F.col("ka") & F.col("kb")).cast("long")).alias("n01"),
+            F.sum((~F.col("ka") & ~F.col("kb")).cast("long")).alias("n00"),
+        )
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    kappa = F.when(pe_num == F.col("n") * F.col("n"), F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (
+                (F.col("n") * (F.col("n11") + F.col("n00"))).cast("double")
+                - pe_num.cast("double")
+            )
+            / ((F.col("n") * F.col("n")).cast("double") - pe_num.cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return c.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa_micro"))

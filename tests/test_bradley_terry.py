@@ -88,3 +88,50 @@ def test_bradley_terry_semantics(spark, sf_dir):
     assert (
         by_rate[-1]["strength_micro"] >= by_rate[0]["strength_micro"]
     )
+
+
+def test_cohen_kappa_hand_computed(spark, sf_dir):
+    """Recompute kappa from the query's own contingency counts in pure
+    Python (independent arithmetic path) and check the quantized value;
+    also pin the counts to the two source verdict queries."""
+    import math
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        text_gopher_rules,
+        text_quality_classifier,
+    )
+    from ntd_gtfs_to_socrata_spark.queries.stats_q import eval_cohen_kappa
+
+    r = eval_cohen_kappa(spark, sf_dir).collect()[0]
+    ka = {
+        x["doc_id"]: x["keep"]
+        for x in text_quality_classifier(spark, sf_dir).collect()
+    }
+    kb = {
+        x["doc_id"]: x["keep"] for x in text_gopher_rules(spark, sf_dir).collect()
+    }
+    n11 = sum(1 for d in ka if ka[d] and kb[d])
+    n10 = sum(1 for d in ka if ka[d] and not kb[d])
+    n01 = sum(1 for d in ka if not ka[d] and kb[d])
+    n00 = sum(1 for d in ka if not ka[d] and not kb[d])
+    n = len(ka)
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+        n,
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    if pe_num == n * n:
+        want = 0
+    else:
+        want = int(
+            math.floor(
+                (float(n * (n11 + n00)) - float(pe_num))
+                / (float(n * n) - float(pe_num))
+                * 1e6
+                + 0.5
+            )
+        )
+    assert r["kappa_micro"] == want
