@@ -539,3 +539,62 @@ def hits(
         F.col("a").alias("auth_raw"),
         F.col("h").alias("hub_raw"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over an UNDIRECTED pair list: hop distance from
+    the nearest seed, up to ``max_hops``; unreached nodes are absent.
+    Returns (node, dist) with dist in [0, max_hops], exact integers.
+
+    Each round is one distance-frontier ⋈ edges shuffle + a node-keyed
+    min — the connected-components loop shape with a bounded round count
+    (``max_hops`` is a semantic parameter here, not a convergence bound:
+    distance-to-trusted-seed beyond a few hops carries no curation
+    signal, which is also what keeps the unrolled-CTE oracle exact).
+    State is one (node, dist) row per REACHED node; the frontier join
+    prunes to rows that can still improve, so late rounds touch only the
+    expanding rim. ``localCheckpoint`` truncates lineage per round.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("s", "d"),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e.s == dist.node)
+            .groupBy(F.col("d").alias("node2"))
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, dist.node == F.col("node2"), "full")
+            .select(
+                F.coalesce(F.col("node"), F.col("node2")).alias("node"),
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2147483647)),
+                    F.coalesce(F.col("nd"), F.lit(2147483647)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2716,3 +2716,89 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col.pmi").alias("pmi"),
         (F.col("pos") + 1).alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter bias audit: is the quality filter cutting sources unevenly?
+# ---------------------------------------------------------------------------
+
+
+def _filter_bias_oracle() -> str:
+    return f"""
+WITH g AS ({GOPHER_ORACLE}),
+j AS (
+  SELECT d.source, g.keep FROM documents d JOIN g ON g.doc_id = d.doc_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk
+  FROM j
+),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM j GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_keep,
+  CAST(floor(CAST(p.n_keep AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS keep_rate_micro,
+  CAST(floor(
+    (CAST(p.n_keep AS DOUBLE)
+       - CAST(p.n_docs AS DOUBLE) * CAST(t.nk AS DOUBLE) / CAST(t.n AS DOUBLE))
+    * (CAST(p.n_keep AS DOUBLE)
+       - CAST(p.n_docs AS DOUBLE) * CAST(t.nk AS DOUBLE) / CAST(t.n AS DOUBLE))
+    / (CAST(p.n_docs AS DOUBLE) * CAST(t.nk AS DOUBLE) / CAST(t.n AS DOUBLE))
+    * 1000000 + 0.5) AS BIGINT) AS chi2_keep_micro
+FROM per p, tot t
+"""
+
+
+@register("dq_filter_bias_by_source", _filter_bias_oracle())
+def dq_filter_bias_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-bias audit: per-source keep rate under the Gopher rule
+    bundle plus each source's chi-square contribution on the keep cell
+    ((observed - expected)²/expected against the independence
+    expectation) — the report that catches a "quality" filter that is
+    actually a SOURCE filter (the known failure mode of rule bundles on
+    non-web registers: forums, code, poetry). Curators read the rate
+    column; the chi² column ranks which source drives the skew.
+
+    Exactness: counts are integers; rate and chi² are single expression
+    chains over exact integer casts, floor-quantized to micro units.
+    Scale posture: one corpus scan through the map-only rule expression,
+    one (source)-keyed count aggregation (map-side combined; source
+    cardinality is small by nature), the totals row broadcast via a
+    1-row cross join. At 100 TB this is a scan plus a KB-sized shuffle."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    g = text_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    j = docs.select("doc_id", "source").join(g, "doc_id")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("nk"),
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    exp_keep = (
+        F.col("n_docs").cast("double")
+        * F.col("nk").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("n_keep").cast("double") - exp_keep
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.floor(
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("keep_rate_micro"),
+        F.floor(dev * dev / exp_keep * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("chi2_keep_micro"),
+    )

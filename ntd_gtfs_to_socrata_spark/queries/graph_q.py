@@ -627,3 +627,72 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "id_a", "id_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: hop distance to the nearest trusted seed
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 97
+
+
+def _bfs_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment_oracle
+
+    steps = []
+    for t in range(_BFS_HOPS):
+        steps.append(
+            f"d{t + 1} AS (\n"
+            f"  SELECT coalesce(p.node, r.node) AS node,\n"
+            f"         least(coalesce(p.dist, 2147483647),\n"
+            f"               coalesce(r.nd, 2147483647)) AS dist\n"
+            f"  FROM d{t} p FULL JOIN (\n"
+            f"    SELECT e.d AS node, min(p2.dist) + 1 AS nd\n"
+            f"    FROM edges e JOIN d{t} p2 ON p2.node = e.s GROUP BY e.d\n"
+            f"  ) r ON r.node = p.node\n)"
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH ce AS MATERIALIZED ({_containment_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM ce
+  UNION
+  SELECT dst AS s, src AS d FROM ce
+),
+d0 AS (
+  SELECT doc_id AS node, CAST(0 AS INT) AS dist FROM documents
+  WHERE doc_id % {_BFS_SEED_MOD} = 0
+),
+{chained}
+SELECT node AS doc_id, CAST(dist AS INT) AS dist FROM d{_BFS_HOPS}
+"""
+
+
+@register("graph_bfs_distance", _bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the nearest TRUSTED SEED document (deterministic
+    seed set: doc_id % {mod} == 0) over the undirected df-capped
+    containment graph — the "provenance distance" curation signal: docs
+    many near-dup hops from any vetted source are scraper-of-scraper
+    chains, the population quality filters rank down. Multi-source BFS
+    with a FIXED hop budget (distance beyond a few hops carries no
+    signal), run by ``operators/graph.py::bfs_distances`` — per round one
+    frontier⋈edges shuffle + a node-keyed integer min, the CC loop shape
+    with exact integer distances the unrolled-CTE oracle replays."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import bfs_distances
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    edges = _containment(spark, sf_dir, df_cap=AUDIT_DF_CAP).select("src", "dst")
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BFS_SEED_MOD == 0)
+        .select("doc_id")
+    )
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS).select(
+        F.col("node").alias("doc_id"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.format(mod=_BFS_SEED_MOD)

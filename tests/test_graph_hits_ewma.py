@@ -165,3 +165,22 @@ def test_resample_interpolate_hand_computed(spark):
     # 03:00 is an exact observation hit -> 80
     assert out[ge1 + 7200] == 80_000_000
     assert len(out) == 3
+
+
+def test_bfs_distances_path_graph(spark):
+    """Path 1-2-3-4-5-6 with seed {1}: dist = hops, capped at max_hops;
+    node 6 unreached at max_hops=4. Second seed {5} shows the multi-source
+    min."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["doc_id"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    seeds2 = spark.createDataFrame([(1,), (5,)], ["doc_id"])
+    got2 = {
+        r["node"]: r["dist"] for r in bfs_distances(edges, seeds2, max_hops=4).collect()
+    }
+    assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 1}
