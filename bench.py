@@ -127,6 +127,7 @@ HEADLINE = [
     "tp_decontaminate_fuzzy",
     "tw_resample_interpolate",
     "sim_ivfpq_topk",
+    "sim_nn_descent_round",
 ]
 
 

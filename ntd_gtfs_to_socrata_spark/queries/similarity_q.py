@@ -1274,3 +1274,106 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 4).alias("mean_recall"),
         F.round(F.min("recall"), 4).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent refinement round (ANN k-NN GRAPH construction)
+# ---------------------------------------------------------------------------
+
+_NND_K = 5
+
+NND_ORACLE = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM embeddings
+),
+g0s AS (
+  SELECT a.vec_id AS src, bb.vec_id AS dst,
+         round(list_inner_product(a.e, bb.e), 6) AS score,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round(list_inner_product(a.e, bb.e), 6) DESC,
+                                     bb.vec_id ASC) AS rn
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+),
+g0 AS MATERIALIZED (SELECT src, dst FROM g0s WHERE rn <= {k}),
+sym AS MATERIALIZED (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+cand AS (
+  SELECT DISTINCT a.src AS src, b2.dst AS dst
+  FROM sym a JOIN sym b2 ON b2.src = a.dst AND b2.dst <> a.src
+  UNION
+  SELECT src, dst FROM g0
+),
+resc AS (
+  SELECT c.src, c.dst, round(list_inner_product(e1.e, e2.e), 6) AS score
+  FROM cand c JOIN b e1 ON e1.vec_id = c.src JOIN b e2 ON e2.vec_id = c.dst
+)
+SELECT src, dst, score, rnk FROM (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+  FROM resc) t
+WHERE rnk <= {k}
+""".format(bucket=_BUCKET_SQL, k=_NND_K)
+
+
+@register("sim_nn_descent_round", NND_ORACLE)
+def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT refinement round (Dong et al.) over the corpus k-NN
+    graph: start from the LSH-bucket top-k graph G0, propose every
+    neighbor-of-a-neighbor as a candidate ("a neighbor of my neighbor is
+    probably my neighbor" — the symmetrized 2-hop join), exact-score the
+    proposals, keep the best k per node. Because G0 is contained in the
+    candidate set, the refined k-th score DOMINATES G0's pointwise —
+    recall can only improve (pinned in tests/test_similarity.py). This is
+    how production ANN-graph indexes (NN-descent, HNSW layer seeding) are
+    actually built; iterating the same round converges.
+
+    Scale posture: G0 comes from the bucketed LSH join (never all-pairs;
+    at 100 TB the per-bucket cap applies exactly as in the dedup LSH
+    path); the 2-hop proposal join is keyed on the shared neighbor with
+    fan-out bounded by k² per node; re-scoring joins the embedding table
+    twice on its key. Everything shuffles on node ids — no window sees
+    more than one node's candidates (≤ ~2k² rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        sim_lsh_buckets(spark, sf_dir)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket")
+    )
+    a = b.select(F.col("vec_id").alias("src"), F.col("e").alias("ea"), F.col("bucket").alias("ba"))
+    c = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("eb"), F.col("bucket").alias("bb"))
+    w0 = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    g0 = (
+        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.round(dot(F.col("ea"), F.col("eb")), 6).alias("score"))
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= _NND_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        g0.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst"),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    twohop = (
+        s1.join(s2, (F.col("s2.src") == F.col("s1.dst")) & (F.col("s2.dst") != F.col("s1.src")))
+        .select(F.col("s1.src").alias("src"), F.col("s2.dst").alias("dst"))
+    )
+    cand = twohop.unionByName(g0.select("src", "dst")).distinct()
+    e1 = b.select(F.col("vec_id").alias("src"), F.col("e").alias("e_src"))
+    e2 = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("e_dst"))
+    resc = (
+        cand.join(e1, "src")
+        .join(e2, "dst")
+        .select("src", "dst", F.round(dot(F.col("e_src"), F.col("e_dst")), 6).alias("score"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    return resc.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= _NND_K)

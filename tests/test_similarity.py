@@ -192,3 +192,64 @@ def test_ivfpq_structure_and_recall_monitor(spark, sf_dir):
     mon = sim_ivfpq_recall(spark, sf_dir).collect()[0]
     assert mon["n_queries"] == len(per_q)
     assert mon["mean_recall"] >= 0.02, f"IVF-PQ collapsed: {mon}"
+
+
+def test_nn_descent_round_dominates_g0(spark, sf_dir):
+    """G0 ⊆ candidate set ⟹ the refined per-node k-th score dominates the
+    LSH-bucket graph's pointwise, and mean recall vs brute force must not
+    decrease. Also: no self-edges, ranks contiguous."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        _NND_K,
+        dot,
+        l2_norm,  # noqa: F401
+        sim_lsh_buckets,
+        sim_nn_descent_round,
+    )
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    refined = sim_nn_descent_round(spark, sf_dir).collect()
+    per: dict[int, list] = {}
+    for r in refined:
+        assert r["src"] != r["dst"]
+        per.setdefault(r["src"], []).append(r)
+    for src, rs in per.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        s = [r["score"] for r in rs]
+        assert s == sorted(s, reverse=True)
+
+    # rebuild G0 (bucket top-k) and check pointwise dominance on min score
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        sim_lsh_buckets(spark, sf_dir)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket")
+    )
+    rows = b.collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    def ip(x, y):
+        acc = 0.0
+        for a_, b_ in zip(x, y):
+            acc += a_ * b_
+        return acc
+
+    g0_min: dict[int, float] = {}
+    for bucket, members in by_bucket.items():
+        for m in members:
+            scores = sorted(
+                (
+                    (round(ip(m["e"], o["e"]), 6), o["vec_id"])
+                    for o in members
+                    if o["vec_id"] != m["vec_id"]
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:_NND_K]
+            if scores:
+                g0_min[m["vec_id"]] = scores[-1][0]
+    for src, rs in per.items():
+        if src in g0_min and len(rs) == _NND_K:
+            assert rs[-1]["score"] >= g0_min[src] - 1e-9
