@@ -735,13 +735,11 @@ filled AS (
   FROM unioned
 )
 SELECT user_id, t // 1000000 AS grid_epoch,
-  CAST(floor((v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
-       * 1000000 + 0.5) AS BIGINT) AS value_micro
-FROM filled WHERE is_grid = 1 AND t0 < t
-UNION ALL
-SELECT user_id, t // 1000000 AS grid_epoch,
-  CAST(floor(v0 * 1000000 + 0.5) AS BIGINT) AS value_micro
-FROM filled WHERE is_grid = 1 AND t0 = t
+  CASE WHEN t0 = t THEN CAST(floor(v0 * 1000000 + 0.5) AS BIGINT)
+       ELSE CAST(floor((v0 + (v1 - v0)
+                        * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+                 * 1000000 + 0.5) AS BIGINT) END AS value_micro
+FROM filled WHERE is_grid = 1
 """
 
 
@@ -832,18 +830,15 @@ def tw_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("t1") - F.col("t0")).cast("double")
     )
     grid_epoch = (F.col("t") / F.lit(1_000_000)).cast("long").alias("grid_epoch")
-    exact = filled.filter(F.col("t0") == F.col("t")).select(
-        "user_id",
-        grid_epoch,
-        F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("value_micro"),
+    # ONE pass over the windowed frame: a two-branch union would re-list
+    # (and absent exchange reuse, re-execute) the window subtree per
+    # branch — the exact-hit case is a CASE arm, not a second scan. The
+    # exact arm fires only when t0 = t, so the interp division never sees
+    # t1 = t0 (t0 < t implies a strictly-later forward anchor exists).
+    value = F.when(
+        F.col("t0") == F.col("t"),
+        F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    ).otherwise(
+        F.floor(interp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
-    between = filled.filter(F.col("t0") < F.col("t")).select(
-        "user_id",
-        grid_epoch,
-        F.floor(interp * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("value_micro"),
-    )
-    return between.unionByName(exact)
+    return filled.select("user_id", grid_epoch, value.alias("value_micro"))

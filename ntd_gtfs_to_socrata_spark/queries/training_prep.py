@@ -1345,6 +1345,10 @@ def tp_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     ).selectExpr("doc_id", "stack(4, band0, band1, band2, band3) AS bucket")
+    # the train/eval branches would each re-execute the corpus-sized
+    # signature aggregation (measured r8: 8 executed / 0 reused before
+    # this boundary) — materialize the small (doc_id, bucket) frame once
+    bands = bands.localCheckpoint(eager=True)
     is_eval = _bucket() >= _DECON_EVAL_BUCKET
     split = docs.select("doc_id", is_eval.alias("is_eval"))
     tr_bands = bands.join(

@@ -170,6 +170,14 @@ _EXCHANGES_OK_MEASURED = {
     "dedup_prefix_filter_jaccard": 5,
     "text_pmi_collocations": 5,
     "rag_rrf_hybrid": 11,
+    # r8 additions (all MEASURED via tools/measure_exchanges.py at sf0.01)
+    "graph_link_prediction": 4,
+    "sim_nn_descent_round": 4,
+    "text_bigram_logprob": 8,
+    "tp_decontaminate_fuzzy": 6,
+    "sim_ivfpq_topk": 6,
+    "sim_ivfpq_recall": 11,
+    "tw_resample_interpolate": 3,
 }
 
 

@@ -64,6 +64,11 @@ BNLJ_OK = {
     "text_pmi_collocations",  # 1-row (U, T) occurrence totals, broadcast cross join
     "dq_psi_drift",  # 1-row cohort-totals scalar over the 10-bin histogram
     "rag_rrf_hybrid",  # 1-row doc-count scalar + sim_bruteforce dense leg
+    "dq_filter_bias_by_source",  # 1-row (n, nk) totals scalar, broadcast cross join
+    "graph_hits",  # 1-row L1-normalization totals scalar, broadcast cross join
+    "text_bigram_logprob",  # 1-row vocab-size scalar, broadcast cross join
+    "sim_ivfpq_topk",  # K-centroid assignment cross product (sim_ivf_assign shape)
+    "sim_ivfpq_recall",  # embeds sim_bruteforce + sim_ivfpq_topk (both above)
 }
 
 # Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
@@ -146,6 +151,13 @@ FORCED_BC_OK = {
     "geo_grid_neighbor_join",    # 9x-replicated supplier dim (grid LSH)
     "geo_knn_per_customer",      # supplier dim
     "text_ngram_novelty",        # reference-corpus ngram set: fixed reference slice
+    "dq_filter_bias_by_source",  # 1-row totals scalar
+    "graph_hits",                # 1-row normalization totals
+    "text_bigram_logprob",       # 1-row vocab-size scalar
+    "sim_ivfpq_topk",            # K centroids + N_SUB*IVFPQ_CODES residual codebook + bounded ADC
+    "sim_ivfpq_recall",          # embeds both allowlisted pipelines above
+    "tp_decontaminate_fuzzy",    # eval-set band table: eval suites are fixed-size (tp_contamination_check precedent)
+    "sim_nn_descent_round",      # 1-row-free: broadcast is the bounded LSH query side inherited from sim_ann shape
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -328,6 +340,33 @@ EXCHANGES_OK = {
     # the (qid,cid) fusion join — each a distinct logical step.
     # MEASURED r8: 11 executed / 0 duplicated subtrees
     "rag_rrf_hybrid",
+    # wedge join + degree joins over the checkpointed cosine pair set:
+    # static 8, MEASURED r8: 4 executed / 2 reused — the pair stage
+    # materializes once behind the localCheckpoint
+    "graph_link_prediction",
+    # G0 bucket-graph build + 2-hop proposals + re-score joins: static 10,
+    # MEASURED r8: 4 executed / 2 reused (G0 checkpointed once)
+    "sim_nn_descent_round",
+    # bigram agg + context agg + vocab scalar + score join + doc agg:
+    # static 10, MEASURED r8: 8 executed / 2 reused — the bigram-count
+    # exchange reuses across the context and model branches; remaining
+    # duplicates are map-side ngram generation, not shuffles
+    "text_bigram_logprob",
+    # signature agg (checkpointed once — was 8/0 before the boundary,
+    # MEASURED r8: 6 executed after) + asymmetric band join + candidate
+    # verify + per-doc argmax: each a distinct step
+    "tp_decontaminate_fuzzy",
+    # assignment + residual encode + ADC + probe joins: static 8,
+    # MEASURED r8: 6 executed / 4 reused (assignment subtree reuses)
+    "sim_ivfpq_topk",
+    # offline monitor joining the FULL exact and IVF-PQ pipelines:
+    # static 14, MEASURED r8: 11 executed / 4 reused — the sum of its
+    # audited parts (sim_ivf_recall precedent)
+    "sim_ivfpq_recall",
+    # obs agg + bounds agg + per-user anchor window (single-pass CASE —
+    # the two-branch union form re-listed the window subtree):
+    # MEASURED r8: 3 executed / 0 duplicated
+    "tw_resample_interpolate",
 }
 
 
