@@ -128,6 +128,8 @@ HEADLINE = [
     "tw_resample_interpolate",
     "sim_ivfpq_topk",
     "sim_nn_descent_round",
+    "graph_modularity",
+    "tw_range_frame_sum",
 ]
 
 

@@ -275,10 +275,12 @@ def graph_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERS = 3
 
 
-def _lpa_oracle() -> str:
-    """Unrolled fixed-iteration label propagation as chained CTEs:
-    per round, (node, label) vote counts → per-node argmax (count desc,
-    label asc) → label update with keep-own fallback."""
+def _lpa_labels_cte() -> str:
+    """The shared CTE block: near-dup pairs → symmetric edges → unrolled
+    fixed-iteration label propagation (per round: (node, label) vote
+    counts → per-node argmax (count desc, label asc) → label update with
+    keep-own fallback). Ends with ``lp{N}`` = final (node, label); both
+    the community profile and the modularity oracle build on it."""
     steps = []
     for i in range(_LPA_ITERS):
         steps.append(
@@ -298,9 +300,8 @@ lp{i + 1} AS (
 )"""
         )
     chained = ",\n".join(steps)
-    return f"""
-WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+    return f"""pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -309,7 +310,12 @@ lp0 AS (
   SELECT DISTINCT node, node AS label FROM (
     SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)
 ),
-{chained}
+{chained}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+WITH {_lpa_labels_cte()}
 SELECT label AS community, count(*) AS n_members, min(node) AS min_doc_id
 FROM lp{_LPA_ITERS} GROUP BY label
 """
@@ -696,3 +702,116 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.format(mod=_BFS_SEED_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA communities (clustering quality score)
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    k = _LPA_ITERS
+    return f"""
+WITH {_lpa_labels_cte()},
+internal AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+  FROM pairs p
+  JOIN lp{k} la ON la.node = p.doc_a
+  JOIN lp{k} lb ON lb.node = p.doc_b AND lb.label = la.label
+  GROUP BY la.label
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+dsum AS (
+  SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS d_c
+  FROM lp{k} l JOIN deg ON deg.node = l.node GROUP BY l.label
+),
+members AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members
+  FROM lp{k} GROUP BY label
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+SELECT mem.label AS community, mem.n_members,
+       coalesce(i.e_c, 0) AS internal_edges, ds.d_c AS degree_sum,
+       CAST(floor(
+         (CAST(coalesce(i.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+          - (CAST(ds.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+            * (CAST(ds.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))))
+         * 1000000 + 0.5) AS BIGINT) AS modularity_contrib_micro
+FROM members mem
+LEFT JOIN internal i ON i.label = mem.label
+JOIN dsum ds ON ds.label = mem.label, m
+"""
+
+
+@register("graph_modularity", _modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the near-dup graph —
+    the standard clustering-quality score (Q = Σ_c e_c/m − (d_c/2m)²):
+    the number curators watch when tuning the LSH threshold, since a
+    partition whose Q collapses toward 0 means the "clusters" are no
+    better than random edge placement. Emitted per community
+    (contribution in micro units; total Q = the sum), so the report also
+    ranks which communities are well-separated vs bridge-riddled.
+
+    Exactness: e_c, d_c, m are integers; each contribution is one double
+    expression over exact integer casts, floor-quantized (4m² < 2⁵³ up to
+    m ≈ 4.7·10⁷ pairs; past that pre-scale by 1/m on both engines).
+    Scale posture: membership joins are node-keyed; degrees come from the
+    symmetric edge set's node-keyed count; m is a 1-row broadcast scalar.
+    Everything else is per-community aggregation — map-side combinable."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import label_propagation
+
+    pairs = (
+        _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = label_propagation(edges, iterations=_LPA_ITERS).localCheckpoint(
+        eager=True
+    )
+    la = labels.select(F.col("node").alias("doc_a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("label").alias("lab_b"))
+    internal = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    members = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    md = F.col("m").cast("double")
+    half = F.col("d_c").cast("double") / (F.lit(2.0) * md)
+    contrib = F.floor(
+        (F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / md - half * half)
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        members.join(internal, "label", "left")
+        .join(dsum, "label")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("label").alias("community"),
+            "n_members",
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("internal_edges"),
+            F.col("d_c").alias("degree_sum"),
+            contrib.alias("modularity_contrib_micro"),
+        )
+    )

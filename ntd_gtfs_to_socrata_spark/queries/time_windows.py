@@ -842,3 +842,69 @@ def tw_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(interp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
     return filled.select("user_id", grid_epoch, value.alias("value_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (trailing 30-minute aggregate per event)
+# ---------------------------------------------------------------------------
+
+_RANGE_SEC = 1800
+
+RANGE_FRAME_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_u
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+  CAST(sum(v_u) OVER w AS BIGINT) AS sum_value_micro,
+  CAST(count(*) OVER w AS BIGINT) AS n_in_window
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN {_RANGE_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("tw_range_frame_sum", RANGE_FRAME_ORACLE)
+def tw_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-RANGE frame: per purchase, the sum/count of the
+    user's purchases in the last {sec} seconds of EVENT TIME — the
+    velocity feature (fraud/abuse scoring, rate limits) that a ROWS frame
+    cannot express because it must include a variable number of rows.
+    This is the one window-frame kind (`rangeBetween` on a numeric time
+    key) the W2 sweep didn't cover.
+
+    Determinism: values are micro-quantized BIGINTs BEFORE the frame sum,
+    so the aggregate is exact whatever order the engine folds frame
+    members in — equal-ts rows are RANGE peers whose float-sum order
+    would otherwise be unspecified (the r7 policy's "make the arithmetic
+    order-free" rule applied to window frames).
+
+    Scale posture: one shuffle on user_id; the range frame scans each
+    partition once with a sliding two-pointer (Spark's WindowExec range
+    mode), state bounded by the densest {sec}-second burst per user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("tsec"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-_RANGE_SEC, 0)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        F.sum("v_u").over(w).alias("sum_value_micro"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+tw_range_frame_sum.__doc__ = tw_range_frame_sum.__doc__.format(sec=_RANGE_SEC)

@@ -184,3 +184,97 @@ def test_bfs_distances_path_graph(spark):
         r["node"]: r["dist"] for r in bfs_distances(edges, seeds2, max_hops=4).collect()
     }
     assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 1}
+
+
+def test_modularity_python_recompute(spark, sf_dir):
+    """Recompute per-community modularity contributions in pure Python
+    from the query's own inputs (pairs + LPA labels) and compare exactly."""
+    import math
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import label_propagation
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard
+    from ntd_gtfs_to_socrata_spark.queries.graph_q import (
+        _LPA_ITERS,
+        AUDIT_DF_CAP,
+        graph_modularity,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"]).selectExpr(
+        "doc_a AS src", "doc_b AS dst"
+    )
+    sym = edges.selectExpr("src", "dst").unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    ).distinct()
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(sym, iterations=_LPA_ITERS).collect()
+    }
+    m = len(pairs)
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    e_c: dict[int, int] = {}
+    d_c: dict[int, int] = {}
+    n_c: dict[int, int] = {}
+    for node, lab in labels.items():
+        d_c[lab] = d_c.get(lab, 0) + deg[node]
+        n_c[lab] = n_c.get(lab, 0) + 1
+    for a, b in pairs:
+        if labels[a] == labels[b]:
+            e_c[labels[a]] = e_c.get(labels[a], 0) + 1
+    got = {r["community"]: r for r in graph_modularity(spark, sf_dir).collect()}
+    assert set(got) == set(n_c)
+    for lab, r in got.items():
+        assert r["n_members"] == n_c[lab]
+        assert r["internal_edges"] == e_c.get(lab, 0)
+        assert r["degree_sum"] == d_c[lab]
+        half = d_c[lab] / (2.0 * m)
+        want = math.floor((e_c.get(lab, 0) / m - half * half) * 1e6 + 0.5)
+        assert r["modularity_contrib_micro"] == want
+
+
+def test_range_frame_hand_computed(spark, sf_dir):
+    """Brute-force the trailing 30-minute frame per purchase in Python
+    and compare the micro-quantized sums exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import (
+        _RANGE_SEC,
+        tw_range_frame_sum,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for u, rows in by_user.items():
+        for r in rows:
+            tsec = r["tus"] // 1_000_000
+            frame = [
+                o
+                for o in rows
+                if tsec - _RANGE_SEC <= o["tus"] // 1_000_000 <= tsec
+            ]
+            s = sum(math.floor(o["value"] * 1e6 + 0.5) for o in frame)
+            want[(u, r["event_id"])] = (s, len(frame))
+    got = {
+        (r["user_id"], r["event_id"]): (r["sum_value_micro"], r["n_in_window"])
+        for r in tw_range_frame_sum(spark, sf_dir).collect()
+    }
+    assert got == want
