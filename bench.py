@@ -130,6 +130,7 @@ HEADLINE = [
     "sim_nn_descent_round",
     "graph_modularity",
     "tw_range_frame_sum",
+    "privacy_t_closeness",
 ]
 
 

@@ -230,3 +230,121 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.round(F.min("entropy"), 4).alias("min_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity triad)
+# ---------------------------------------------------------------------------
+
+_T_MICRO = 300_000  # flag groups with variational distance > 0.3
+
+T_CLOSE_ORACLE = f"""
+WITH pv AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM customer
+  GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT), c_mktsegment
+),
+gv AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS big_nv
+  FROM customer GROUP BY c_mktsegment
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+per_group AS (
+  SELECT pv.c_nationkey, pv.bal_band,
+         CAST(sum(pv.nv) AS BIGINT) AS s,
+         CAST(sum(abs(pv.nv * tot.n - gv.big_nv * t2.s2)) AS BIGINT) AS present_num,
+         CAST(sum(gv.big_nv) AS BIGINT) AS present_big
+  FROM pv
+  JOIN gv ON gv.c_mktsegment = pv.c_mktsegment
+  JOIN (SELECT c_nationkey, bal_band, CAST(sum(nv) AS BIGINT) AS s2
+        FROM pv GROUP BY c_nationkey, bal_band) t2
+    ON t2.c_nationkey = pv.c_nationkey AND t2.bal_band = pv.bal_band,
+  tot
+  GROUP BY pv.c_nationkey, pv.bal_band
+),
+scored AS (
+  SELECT c_nationkey, bal_band, s,
+    CAST(floor(
+      (CAST(present_num AS DOUBLE) + CAST((tot.n - present_big) AS DOUBLE) * CAST(s AS DOUBLE))
+      / (2.0 * CAST(s AS DOUBLE) * CAST(tot.n AS DOUBLE))
+      * 1000000 + 0.5) AS BIGINT) AS t_micro
+  FROM per_group, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       max(t_micro) AS max_t_micro,
+       CAST(sum(CASE WHEN t_micro > {_T_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_t,
+       CAST(sum(CASE WHEN t_micro > {_T_MICRO} THEN s ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM scored
+"""
+
+
+@register("privacy_t_closeness", T_CLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.) — the refinement l-diversity misses:
+    a group can be diverse yet SKEWED far from the population (e.g. 90%
+    one segment where the corpus has 20%), and the skew itself leaks.
+    Per QI group, the variational distance D = ½ Σ_v |p_v − q_v| between
+    the group's sensitive-value distribution and the global one; groups
+    with D > t are flagged. Completes the [[privacy_k_anonymity]] /
+    [[privacy_l_diversity]] triad.
+
+    Exactness via a common denominator: over values PRESENT in the group,
+    Σ|nv·N − Nv·S| is an exact integer sum; absent values contribute
+    (N − Σ_present Nv)·S exactly; D = (present + absent) / (2·S·N) is ONE
+    quantized division per group — no float ever enters an aggregation.
+    (Products stay under 2⁵³ to ~10⁸ rows; past that pre-divide both
+    counts by their gcd scale on both engines.)
+
+    Scale posture: two key aggregations — (QI, value) counts then a QI
+    rollup — plus a broadcast-sized join to the value-domain totals
+    (sensitive domains are small by definition) and a 1-row total. All
+    map-side combinable; no window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    pv = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nv")
+    ).localCheckpoint(eager=True)  # feeds both the sizes rollup and the join
+    gv = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("big_nv"))
+    tot = cust.agg(F.count(F.lit(1)).alias("n"))
+    sizes = pv.groupBy("c_nationkey", "bal_band").agg(F.sum("nv").alias("s"))
+    per_group = (
+        pv.join(F.broadcast(gv), "c_mktsegment")
+        .join(sizes, ["c_nationkey", "bal_band"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.first("s").alias("s"),
+            F.first("n").alias("n"),
+            F.sum(
+                F.abs(F.col("nv") * F.col("n") - F.col("big_nv") * F.col("s"))
+            ).alias("present_num"),
+            F.sum("big_nv").alias("present_big"),
+        )
+    )
+    t_micro = F.floor(
+        (
+            F.col("present_num").cast("double")
+            + (F.col("n") - F.col("present_big")).cast("double")
+            * F.col("s").cast("double")
+        )
+        / (F.lit(2.0) * F.col("s").cast("double") * F.col("n").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = per_group.select("s", t_micro.alias("t_micro"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("t_micro").alias("max_t_micro"),
+        F.sum((F.col("t_micro") > _T_MICRO).cast("long")).alias("n_over_t"),
+        F.sum(F.when(F.col("t_micro") > _T_MICRO, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

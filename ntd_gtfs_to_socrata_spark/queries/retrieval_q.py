@@ -174,6 +174,13 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60       # standard RRF damping constant (Cormack et al., SIGIR'09)
 _RRF_CAND = 20    # candidates taken from each retriever
 _RRF_TOPK = 10    # fused results per query
+# ABSOLUTE bound on the query batch: the %50 fixture convention alone makes
+# the query set grow WITH the corpus, turning both retriever legs into
+# O(corpus²/50) — the r8 sf1 sweep measured 94.8x on the 10x data step. A
+# real serving/benchmark batch is fixed-size; the bound encodes that. Ids
+# below it cover every doc at the oracle-gate scales (sf <= 0.1), so gate
+# results are unchanged while sf >= 1 runs scale linearly.
+_RRF_QBOUND = 5000
 
 
 RRF_ORACLE = f"""
@@ -188,7 +195,7 @@ kept AS (
          CAST(round(ln(CAST(n.n AS DOUBLE) / dfr.df) * 1e6, 0) AS BIGINT) AS idf_micro
   FROM dfr CROSS JOIN n_docs n WHERE dfr.df * 2 <= n.n
 ),
-qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id % 50 = 0),
+qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id % 50 = 0 AND doc_id < {_RRF_QBOUND}),
 sp_scored AS (
   SELECT q.qid, c.doc_id AS cid, SUM(k.idf_micro) AS s
   FROM qt q JOIN kept k ON q.tok = k.tok JOIN toks c ON k.tok = c.tok
@@ -205,7 +212,7 @@ sp AS (
 qv AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < {_RRF_QBOUND}
 ),
 cv AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
@@ -281,7 +288,9 @@ def rag_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_micro"),
         )
     )
-    qt = toks.filter(F.col("doc_id") % 50 == 0).select(F.col("doc_id").alias("qid"), "tok")
+    qt = toks.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < _RRF_QBOUND)
+    ).select(F.col("doc_id").alias("qid"), "tok")
     sp_scored = (
         qt.join(kept, "tok")
         .join(toks.select(F.col("doc_id").alias("cid"), "tok"), "tok")
@@ -299,7 +308,9 @@ def rag_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntd_gtfs_to_socrata_spark.queries.similarity_q import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") % 50 == 0).select(
+    qv = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _RRF_QBOUND)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         l2_norm(F.col("embedding")).alias("qn"),

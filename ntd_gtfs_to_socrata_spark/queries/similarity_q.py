@@ -1281,18 +1281,41 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NND_K = 5
+# ring width of the linear-cost init graph: each node pairs with the next
+# _NND_RING members of its bucket in sorted-id order, so G0 construction is
+# O(n * ring), NOT the O(sum bucket_size^2) all-pairs-within-bucket form the
+# r8 sf1 sweep measured at 13.8x on a 10x data step (fixed 256 buckets make
+# bucket sizes grow linearly with the corpus). This is also truer to
+# NN-descent's contract: a CHEAP imperfect init that the descent rounds
+# repair ("a neighbor of my neighbor is probably my neighbor").
+_NND_RING = 8
 
 NND_ORACLE = """
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM embeddings
 ),
+blist AS (
+  SELECT bucket, list_sort(list(vec_id)) AS ids FROM b GROUP BY bucket
+),
+ring AS (
+  SELECT unnest(flatten(list_transform(range(1, len(ids) + 1),
+           i -> list_transform(list_slice(ids, i + 1, least(i + {ring}, len(ids))),
+                               y -> struct_pack(a := ids[i], b := y))))) AS p
+  FROM blist
+),
+rp AS (SELECT p.a AS a, p.b AS b FROM ring),
+scored0 AS (
+  SELECT rp.a, rp.b, round(list_inner_product(ea.e, eb.e), 6) AS score
+  FROM rp JOIN b ea ON ea.vec_id = rp.a JOIN b eb ON eb.vec_id = rp.b
+),
 g0s AS (
-  SELECT a.vec_id AS src, bb.vec_id AS dst,
-         round(list_inner_product(a.e, bb.e), 6) AS score,
-         row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY round(list_inner_product(a.e, bb.e), 6) DESC,
-                                     bb.vec_id ASC) AS rn
-  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+  FROM (
+    SELECT a AS src, b AS dst, score FROM scored0
+    UNION ALL
+    SELECT b AS src, a AS dst, score FROM scored0
+  )
 ),
 g0 AS MATERIALIZED (SELECT src, dst FROM g0s WHERE rn <= {k}),
 sym AS MATERIALIZED (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
@@ -1311,7 +1334,7 @@ SELECT src, dst, score, rnk FROM (
          row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
   FROM resc) t
 WHERE rnk <= {k}
-""".format(bucket=_BUCKET_SQL, k=_NND_K)
+""".format(bucket=_BUCKET_SQL, k=_NND_K, ring=_NND_RING)
 
 
 @register("sim_nn_descent_round", NND_ORACLE)
@@ -1338,13 +1361,49 @@ def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket")
     )
-    a = b.select(F.col("vec_id").alias("src"), F.col("e").alias("ea"), F.col("bucket").alias("ba"))
-    c = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("eb"), F.col("bucket").alias("bb"))
+    # linear-cost init: each node pairs with the next _NND_RING members of
+    # its bucket in sorted-id order (O(n*ring) pairs; the all-pairs-within-
+    # bucket form was O(n²/buckets) — see _NND_RING comment)
+    ring = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, _NND_RING),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    ea = b.select(F.col("vec_id").alias("a"), F.col("e").alias("e_a"))
+    ebt = b.select(F.col("vec_id").alias("b"), F.col("e").alias("e_b"))
+    scored0 = (
+        ring.join(ea, "a")
+        .join(ebt, "b")
+        .select("a", "b", F.round(dot(F.col("e_a"), F.col("e_b")), 6).alias("score"))
+    )
+    sym0 = scored0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst"), F.col("score")
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst"), F.col("score")
+                ),
+            )
+        ).alias("r")
+    ).select("r.src", "r.dst", "r.score")
     w0 = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
     g0 = (
-        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst", F.round(dot(F.col("ea"), F.col("eb")), 6).alias("score"))
-        .withColumn("rn", F.row_number().over(w0))
+        sym0.withColumn("rn", F.row_number().over(w0))
         .filter(F.col("rn") <= _NND_K)
         .select("src", "dst")
         .localCheckpoint(eager=True)

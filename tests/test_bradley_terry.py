@@ -135,3 +135,57 @@ def test_cohen_kappa_hand_computed(spark, sf_dir):
             )
         )
     assert r["kappa_micro"] == want
+
+
+def test_t_closeness_python_recompute(spark, sf_dir):
+    """Recompute the variational-distance audit in pure Python from the
+    raw parquet and compare all four counters exactly."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.queries.privacy_q import (
+        _T_MICRO,
+        privacy_t_closeness,
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    cust["band"] = (cust["c_acctbal"] / 1000).apply(math.floor)
+    n = len(cust)
+    gv = Counter(cust["c_mktsegment"])
+    groups: dict[tuple, Counter] = {}
+    for _, r in cust.iterrows():
+        groups.setdefault((r["c_nationkey"], r["band"]), Counter())[
+            r["c_mktsegment"]
+        ] += 1
+    n_groups = len(groups)
+    max_t = 0
+    n_over = 0
+    rows_at_risk = 0
+    for key, cnt in groups.items():
+        s = sum(cnt.values())
+        present_num = sum(abs(nv * n - gv[v] * s) for v, nv in cnt.items())
+        present_big = sum(gv[v] for v in cnt)
+        t_micro = int(
+            math.floor(
+                (float(present_num) + float(n - present_big) * float(s))
+                / (2.0 * float(s) * float(n))
+                * 1e6
+                + 0.5
+            )
+        )
+        max_t = max(max_t, t_micro)
+        if t_micro > _T_MICRO:
+            n_over += 1
+            rows_at_risk += s
+    r = privacy_t_closeness(spark, sf_dir).collect()[0]
+    assert (r["n_groups"], r["max_t_micro"], r["n_over_t"], r["rows_at_risk"]) == (
+        n_groups,
+        max_t,
+        n_over,
+        rows_at_risk,
+    )

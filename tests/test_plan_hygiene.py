@@ -169,7 +169,7 @@ _EXCHANGES_OK_MEASURED = {
     "dedup_containment_closure": 2,
     "dedup_prefix_filter_jaccard": 5,
     "text_pmi_collocations": 5,
-    "rag_rrf_hybrid": 11,
+    "rag_rrf_hybrid": 4,
     # r8 additions (all MEASURED via tools/measure_exchanges.py at sf0.01)
     "graph_link_prediction": 4,
     "sim_nn_descent_round": 4,
@@ -178,6 +178,8 @@ _EXCHANGES_OK_MEASURED = {
     "sim_ivfpq_topk": 6,
     "sim_ivfpq_recall": 11,
     "tw_resample_interpolate": 3,
+    "graph_modularity": 7,
+    "privacy_t_closeness": 5,
 }
 
 

@@ -237,19 +237,23 @@ def test_nn_descent_round_dominates_g0(spark, sf_dir):
             acc += a_ * b_
         return acc
 
-    g0_min: dict[int, float] = {}
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import _NND_RING
+
+    # rebuild the RING init (each node pairs with the next _NND_RING
+    # members of its bucket in sorted-id order), symmetrize, per-node
+    # top-k, take the k-th (min) score
+    neigh: dict[int, list] = {}
     for bucket, members in by_bucket.items():
-        for m in members:
-            scores = sorted(
-                (
-                    (round(ip(m["e"], o["e"]), 6), o["vec_id"])
-                    for o in members
-                    if o["vec_id"] != m["vec_id"]
-                ),
-                key=lambda t: (-t[0], t[1]),
-            )[:_NND_K]
-            if scores:
-                g0_min[m["vec_id"]] = scores[-1][0]
+        ms = sorted(members, key=lambda r: r["vec_id"])
+        for i, m in enumerate(ms):
+            for o in ms[i + 1 : i + 1 + _NND_RING]:
+                s = round(ip(m["e"], o["e"]), 6)
+                neigh.setdefault(m["vec_id"], []).append((s, o["vec_id"]))
+                neigh.setdefault(o["vec_id"], []).append((s, m["vec_id"]))
+    g0_min: dict[int, float] = {}
+    for node, cands in neigh.items():
+        top = sorted(cands, key=lambda t: (-t[0], t[1]))[:_NND_K]
+        g0_min[node] = top[-1][0]
     for src, rs in per.items():
         if src in g0_min and len(rs) == _NND_K:
             assert rs[-1]["score"] >= g0_min[src] - 1e-9

@@ -335,17 +335,18 @@ EXCHANGES_OK = {
     # unigram agg + bigram agg + two vocab joins + totals: AQE reuses the
     # token-array subtree. MEASURED r8: 5 executed / 4 reused
     "text_pmi_collocations",
-    # two full retrievers + rank fusion: tokenize pass persisted
-    # (cachescan=3), remaining shuffles are the per-leg aggs/windows and
-    # the (qid,cid) fusion join — each a distinct logical step.
-    # MEASURED r8: 11 executed / 0 duplicated subtrees
+    # two full retrievers + rank fusion over the ABSOLUTE-bounded query
+    # batch (_RRF_QBOUND — the %50-only form grew the query set with the
+    # corpus: 94.8x on the r8 sf1 sweep, 1.8x after the bound).
+    # MEASURED r8: 4 executed
     "rag_rrf_hybrid",
     # wedge join + degree joins over the checkpointed cosine pair set:
     # static 8, MEASURED r8: 4 executed / 2 reused — the pair stage
     # materializes once behind the localCheckpoint
     "graph_link_prediction",
-    # G0 bucket-graph build + 2-hop proposals + re-score joins: static 10,
-    # MEASURED r8: 4 executed / 2 reused (G0 checkpointed once)
+    # RING-init G0 (O(n*ring), was all-pairs-within-bucket O(n²/buckets):
+    # 13.8x on the r8 sf1 sweep, 1.2x after) + 2-hop proposals + re-score
+    # joins: MEASURED r8: 4 executed / 2 reused (G0 checkpointed once)
     "sim_nn_descent_round",
     # bigram agg + context agg + vocab scalar + score join + doc agg:
     # static 10, MEASURED r8: 8 executed / 2 reused — the bigram-count
@@ -367,6 +368,13 @@ EXCHANGES_OK = {
     # the two-branch union form re-listed the window subtree):
     # MEASURED r8: 3 executed / 0 duplicated
     "tw_resample_interpolate",
+    # LPA label build (checkpointed) + membership/degree/internal-edge
+    # aggregations: MEASURED r8: 7 executed, each a distinct step
+    "graph_modularity",
+    # (QI, value) counts (checkpointed — the sizes rollup re-listed the
+    # agg: 7 -> 5 executed) + QI rollup + domain/total broadcasts:
+    # MEASURED r8: 5 executed
+    "privacy_t_closeness",
 }
 
 
