@@ -131,6 +131,7 @@ HEADLINE = [
     "graph_modularity",
     "tw_range_frame_sum",
     "privacy_t_closeness",
+    "stream_sessionize_stateful",
 ]
 
 

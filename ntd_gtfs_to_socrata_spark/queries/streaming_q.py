@@ -352,3 +352,31 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(STF.running_ewma(stream), "sewma", "update")
     return spark.table(name)
+
+
+@register("stream_sessionize_stateful")  # rows-only: watermark-gated emission
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization as a CUSTOM STATEFUL operator with
+    EVENT-TIME TIMEOUTS (``streaming/stateful.py::sessionize_with_timeout``):
+    per-user open-session state closes either when a later event opens the
+    next session or when the watermark passes last_event + gap — the
+    ``applyInPandasWithState`` facility ``session_window()`` cannot
+    express (custom gap logic, exact-once append emission per session).
+    Events arrive as 4 time-quantile micro-batches; every emitted row
+    equals the batch ``sessionize_lag_gap`` session with the same key
+    (subset parity pinned in tests/test_streaming.py — the unemitted
+    remainder is exactly the sessions still inside the final watermark)."""
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    staging = STF.stage_time_sliced(spark, ev, n_slices=4)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withWatermark("ts", "1 hour")
+    )
+    name = _run_to_table(
+        STF.sessionize_with_timeout(stream, gap_sec=1800), "sswt", "append"
+    )
+    return spark.table(name)

@@ -192,3 +192,71 @@ def stage_time_sliced(
         os.utime(dst, times=(base + i, base + i))
     shutil.rmtree(tmp, ignore_errors=True)
     return staging
+
+
+def sessionize_with_timeout(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful SESSIONIZER with EVENT-TIME TIMEOUTS: per-user
+    open-session state (start, last, count) extends while events arrive
+    within ``gap_sec``; a session EMITS when (a) a later event opens the
+    next session, or (b) the event-time watermark passes last + gap —
+    ``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp``, the
+    one arbitrary-state facility ``session_window()`` cannot replace
+    (custom gap predicates, per-session enrichment, side outputs).
+
+    Caller contract: ``events.withWatermark("ts", ...)`` already applied,
+    and micro-batches time-ordered per key (``stage_time_sliced``).
+
+    Emission is APPEND-mode (each closed session exactly once) and the
+    closed-session tuples equal the batch lag-gap sessionizer's rows for
+    every session the final watermark has passed (pinned in
+    tests/test_streaming.py). State is 3 longs per OPEN session per user,
+    evicted on close — bounded by active users, not history."""
+    import pandas as pd  # noqa: PLC0415
+
+    def _emit(user, st, last, n):
+        return {
+            "user_id": user,
+            "session_start_epoch": st,
+            "n_events": n,
+            "duration_sec": last - st,
+        }
+
+    def update(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            st, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([_emit(user, st, last, n)])
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        tsecs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        st, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for tsec in tsecs:
+            if st is None:
+                st, last, n = tsec, tsec, 1
+            elif tsec - last > gap_sec:
+                closed.append(_emit(user, st, last, n))
+                st, last, n = tsec, tsec, 1
+            else:
+                last, n = tsec, n + 1
+        state.update((st, last, n))
+        # fire when the watermark passes the gap after the last event;
+        # Spark requires the timeout to sit beyond the current watermark
+        # (a session already expired fires on the NEXT batch)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((last + gap_sec) * 1000, wm_ms + 1))
+        yield pd.DataFrame(closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start_epoch long, n_events long, "
+            "duration_sec long"
+        ),
+        stateStructType="st long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

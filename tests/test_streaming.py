@@ -388,3 +388,46 @@ def test_stream_ewma_state_spans_microbatches(spark, sf_dir):
         for f in files
     ]
     assert any(per_slice[0] & s for s in per_slice[1:])
+
+
+def test_stream_sessionize_subset_parity_with_batch(spark, sf_dir):
+    """Every emitted session must EQUAL a batch lag-gap session
+    (user, start, n, duration), and every batch session that the final
+    watermark has safely passed must have been emitted — the unemitted
+    remainder is exactly the tail still inside the watermark."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.streaming_q import (
+        stream_sessionize_stateful,
+    )
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import lag_gap_sessions
+
+    got = {
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["duration_sec"])
+        for r in stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    batch = {
+        (
+            r["user_id"],
+            r["session_start_epoch"],
+            r["n_events"],
+            r["duration_sec"],
+        )
+        for r in lag_gap_sessions(ev, gap_sec=1800).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got <= batch, f"phantom sessions: {sorted(got - batch)[:3]}"
+    # coverage: sessions ending well before the final watermark must emit.
+    # final watermark = max ts - 1h; timeouts fire on the NEXT batch after
+    # the watermark passes, so only require sessions that ended before the
+    # watermark at the LAST-BUT-ONE batch (conservatively: max ts - 2h -
+    # gap). Everything older MUST be out.
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).first()["m"]
+    safe_end = max_ts - 2 * 3600 - 1800
+    must_emit = {
+        s for s in batch if s[1] + s[3] < safe_end - 1800
+    }
+    missing = must_emit - got
+    assert not missing, f"unemitted old sessions: {sorted(missing)[:3]}"

@@ -69,6 +69,8 @@ BNLJ_OK = {
     "text_bigram_logprob",  # 1-row vocab-size scalar, broadcast cross join
     "sim_ivfpq_topk",  # K-centroid assignment cross product (sim_ivf_assign shape)
     "sim_ivfpq_recall",  # embeds sim_bruteforce + sim_ivfpq_topk (both above)
+    "graph_modularity",  # 1-row edge-count scalar, broadcast cross join
+    "privacy_t_closeness",  # 1-row corpus-total scalar, broadcast cross join
 }
 
 # Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
@@ -158,6 +160,8 @@ FORCED_BC_OK = {
     "sim_ivfpq_recall",          # embeds both allowlisted pipelines above
     "tp_decontaminate_fuzzy",    # eval-set band table: eval suites are fixed-size (tp_contamination_check precedent)
     "sim_nn_descent_round",      # 1-row-free: broadcast is the bounded LSH query side inherited from sim_ann shape
+    "graph_modularity",          # 1-row edge-count scalar
+    "privacy_t_closeness",       # domain totals (sensitive domains are small by definition) + 1-row total
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
