@@ -132,6 +132,7 @@ HEADLINE = [
     "tw_range_frame_sum",
     "privacy_t_closeness",
     "stream_sessionize_stateful",
+    "eval_pass_at_k",
 ]
 
 

@@ -614,3 +614,81 @@ def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
     )
     return c.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa_micro"))
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator (Chen et al., "Evaluating LLMs Trained on Code")
+# ---------------------------------------------------------------------------
+
+_PAK_K = 5
+_PAK_SUCCESS = 500.0  # a "sample" passes when its value exceeds this
+
+
+def _pass_at_k_oracle() -> str:
+    prod = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(_PAK_K)
+    )
+    return f"""
+WITH samples AS (
+  SELECT user_id AS problem_id,
+         CASE WHEN value > {_PAK_SUCCESS} THEN 1 ELSE 0 END AS ok
+  FROM events WHERE event_type = 'purchase'
+),
+per AS (
+  SELECT problem_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ok) AS BIGINT) AS c
+  FROM samples GROUP BY problem_id
+  HAVING count(*) >= {_PAK_K}
+)
+SELECT problem_id, n, c,
+  CASE WHEN n - c < {_PAK_K} THEN CAST(1000000 AS BIGINT)
+       ELSE CAST(floor((1.0 - {prod}) * 1000000 + 0.5) AS BIGINT) END
+    AS pass_at_k_micro
+FROM per
+"""
+
+
+@register("eval_pass_at_k", _pass_at_k_oracle())
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021): per problem with n samples of
+    which c pass, ``1 − C(n−c, k)/C(n, k)`` — THE functional-correctness
+    metric of code-model evals, computed in its numerically-stable
+    product form ``1 − Π_{{i<k}} (n−c−i)/(n−i)`` (never a factorial).
+    Problems = users, samples = their purchase events, "pass" = value
+    above a fixed threshold — the fixture stand-in for (problem, sample,
+    unit-test verdict) rows; problems with fewer than k samples are
+    excluded per the estimator's definition, and n−c < k pins the
+    estimate to exactly 1 (some pass in EVERY k-subset).
+
+    Exactness: n and c are integers; the k-term product is one fixed
+    expression chain of exactly-representable integer casts (identical
+    token order in both engines), floor-quantized once.
+
+    Scale posture: one map-side-combinable (problem) aggregation then a
+    map-only expression — scores 10⁹ samples at scan speed; no window,
+    no join."""
+    samples = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("problem_id"),
+        (F.col("value") > _PAK_SUCCESS).cast("int").alias("ok"),
+    )
+    per = (
+        samples.groupBy("problem_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").alias("c"))
+        .filter(F.col("n") >= _PAK_K)
+    )
+    prod = F.lit(1.0)
+    for i in range(_PAK_K):
+        prod = prod * (
+            (F.col("n") - F.col("c") - F.lit(i)).cast("double")
+            / (F.col("n") - F.lit(i)).cast("double")
+        )
+    pak = F.when(
+        F.col("n") - F.col("c") < _PAK_K, F.lit(1_000_000).cast("long")
+    ).otherwise(
+        F.floor((F.lit(1.0) - prod) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    return per.select("problem_id", "n", "c", pak.alias("pass_at_k_micro"))

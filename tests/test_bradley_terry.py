@@ -189,3 +189,29 @@ def test_t_closeness_python_recompute(spark, sf_dir):
         n_over,
         rows_at_risk,
     )
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark, sf_dir):
+    """The product form must equal the exact 1 - C(n-c,k)/C(n,k) from
+    Python's arbitrary-precision comb(), quantized the same way."""
+    import math
+
+    from ntd_gtfs_to_socrata_spark.queries.stats_q import _PAK_K, eval_pass_at_k
+
+    rows = eval_pass_at_k(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, c = r["n"], r["c"]
+        assert n >= _PAK_K
+        if n - c < _PAK_K:
+            assert r["pass_at_k_micro"] == 1_000_000
+            continue
+        # float-product replay (the engines' arithmetic)
+        prod = 1.0
+        for i in range(_PAK_K):
+            prod *= float(n - c - i) / float(n - i)
+        want = math.floor((1.0 - prod) * 1e6 + 0.5)
+        assert r["pass_at_k_micro"] == want
+        # and the float form agrees with exact combinatorics to 1 micro
+        exact = 1 - math.comb(n - c, _PAK_K) / math.comb(n, _PAK_K)
+        assert abs(r["pass_at_k_micro"] / 1e6 - exact) <= 2e-6
