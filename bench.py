@@ -133,6 +133,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "stream_sessionize_stateful",
     "eval_pass_at_k",
+    "asof_join_nearest",
 ]
 
 

@@ -908,3 +908,111 @@ def tw_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tw_range_frame_sum.__doc__ = tw_range_frame_sum.__doc__.format(sec=_RANGE_SEC)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event as-of join (bidirectional, tolerance-bounded)
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 1800 * 1_000_000  # ±30 min
+
+NEAREST_ASOF_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'view'
+),
+back AS (
+  SELECT c.event_id AS click_id, v.event_id AS view_id, c.t - v.t AS d
+  FROM clicks c JOIN views v
+    ON v.user_id = c.user_id AND v.t <= c.t AND c.t - v.t <= {_NEAREST_TOL_US}
+  QUALIFY row_number() OVER (PARTITION BY c.event_id
+                             ORDER BY v.t DESC, v.event_id DESC) = 1
+),
+fwd AS (
+  SELECT c.event_id AS click_id, v.event_id AS view_id, c.t - v.t AS d
+  FROM clicks c JOIN views v
+    ON v.user_id = c.user_id AND v.t > c.t AND v.t - c.t <= {_NEAREST_TOL_US}
+  QUALIFY row_number() OVER (PARTITION BY c.event_id
+                             ORDER BY v.t ASC, v.event_id ASC) = 1
+)
+SELECT c.event_id AS click_id,
+       CASE WHEN b.view_id IS NOT NULL
+                 AND (f.view_id IS NULL OR b.d <= -f.d) THEN b.view_id
+            ELSE f.view_id END AS view_id,
+       CASE WHEN b.view_id IS NOT NULL
+                 AND (f.view_id IS NULL OR b.d <= -f.d) THEN b.d
+            ELSE f.d END AS delta_us
+FROM clicks c
+LEFT JOIN back b ON b.click_id = c.event_id
+LEFT JOIN fwd f ON f.click_id = c.event_id
+"""
+
+
+@register("asof_join_nearest", NEAREST_ASOF_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join: each click matched to the closest view
+    by |Δt| within ±30 min, EITHER direction — the sensor-fusion /
+    attribution semantic the backward-only [[asof_join_click_to_view]]
+    cannot express (ties prefer the backward match, then the window's
+    deterministic event-id pick). Emits signed delta_us (positive = view
+    before click); clicks with no view in tolerance keep NULLs (left
+    semantics).
+
+    Scalable formulation: union both sides tagged, ONE per-user ordered
+    window pass computing the backward anchor (last view at-or-before;
+    equal-ts views sort before clicks so they count as backward — ASOF's
+    >=) and the forward anchor (first view strictly after), then a
+    map-side CASE picks the nearer. O(n log n) per key, one shuffle, NO
+    time-range cross join — the plan that survives 100 TB. The oracle
+    replays it as two tolerance-bounded argmin joins."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("v_t"),
+    )
+    order = ["t", "is_click", "event_id"]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchored = tagged.select(
+        "event_id",
+        "t",
+        "is_click",
+        F.last("v_id", ignorenulls=True).over(w_back).alias("b_id"),
+        F.last("v_t", ignorenulls=True).over(w_back).alias("b_t"),
+        F.first("v_id", ignorenulls=True).over(w_fwd).alias("f_id"),
+        F.first("v_t", ignorenulls=True).over(w_fwd).alias("f_t"),
+    ).filter(F.col("is_click") == 1)
+    b_ok = F.col("b_id").isNotNull() & (
+        (F.col("t") - F.col("b_t")) <= F.lit(_NEAREST_TOL_US)
+    )
+    f_ok = F.col("f_id").isNotNull() & (
+        (F.col("f_t") - F.col("t")) <= F.lit(_NEAREST_TOL_US)
+    )
+    b_d = F.col("t") - F.col("b_t")
+    f_d = F.col("t") - F.col("f_t")  # negative (view after click)
+    pick_back = b_ok & (~f_ok | (b_d <= -f_d))
+    return anchored.select(
+        F.col("event_id").alias("click_id"),
+        F.when(pick_back, F.col("b_id"))
+        .when(f_ok, F.col("f_id"))
+        .alias("view_id"),
+        F.when(pick_back, b_d).when(f_ok, f_d).alias("delta_us"),
+    )

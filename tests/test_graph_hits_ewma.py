@@ -278,3 +278,36 @@ def test_range_frame_hand_computed(spark, sf_dir):
         for r in tw_range_frame_sum(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_nearest_asof_hand_truth(spark):
+    """Views at -40min, -10min, +5min of a click: nearest is +5min
+    (forward); a second click with equidistant views prefers backward."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from pyspark.sql import Row
+    from ntd_gtfs_to_socrata_spark.queries import time_windows as TWm
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = [
+        Row(event_id=1, ts=ts(0), user_id=1, event_type="view", value=0.0),
+        Row(event_id=2, ts=ts(1800), user_id=1, event_type="view", value=0.0),
+        Row(event_id=3, ts=ts(2400), user_id=1, event_type="click", value=0.0),
+        Row(event_id=4, ts=ts(2700), user_id=1, event_type="view", value=0.0),
+        # user 2: click equidistant (600s) between two views -> backward
+        Row(event_id=5, ts=ts(0), user_id=2, event_type="view", value=0.0),
+        Row(event_id=6, ts=ts(600), user_id=2, event_type="click", value=0.0),
+        Row(event_id=7, ts=ts(1200), user_id=2, event_type="view", value=0.0),
+        # user 3: no view within tolerance -> nulls
+        Row(event_id=8, ts=ts(0), user_id=3, event_type="view", value=0.0),
+        Row(event_id=9, ts=ts(7200), user_id=3, event_type="click", value=0.0),
+    ]
+    docs = spark.createDataFrame(rows)
+    with mock.patch.object(TWm, "load_table", return_value=docs):
+        out = {r["click_id"]: r for r in TWm.asof_join_nearest(spark, "x").collect()}
+    assert out[3]["view_id"] == 4 and out[3]["delta_us"] == -300 * 1_000_000
+    assert out[6]["view_id"] == 5 and out[6]["delta_us"] == 600 * 1_000_000
+    assert out[9]["view_id"] is None and out[9]["delta_us"] is None
