@@ -169,7 +169,7 @@ _EXCHANGES_OK_MEASURED = {
     "dedup_containment_closure": 2,
     "dedup_prefix_filter_jaccard": 5,
     "text_pmi_collocations": 5,
-    "rag_rrf_hybrid": 4,
+    "rag_rrf_hybrid": 11,  # at the sweep fixture (sf0.001); 4 at sf0.01 where AQE folds more
     # r8 additions (all MEASURED via tools/measure_exchanges.py at sf0.01)
     "graph_link_prediction": 4,
     "sim_nn_descent_round": 4,
