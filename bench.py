@@ -134,6 +134,8 @@ HEADLINE = [
     "stream_sessionize_stateful",
     "eval_pass_at_k",
     "asof_join_nearest",
+    "dq_mutual_information",
+    "graph_assortativity",
 ]
 
 

@@ -2802,3 +2802,137 @@ def dq_filter_bias_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_keep_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two metadata columns (curation diagnostic)
+# ---------------------------------------------------------------------------
+
+MI_ORACLE = """
+WITH j AS (SELECT lang, source FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY lang, source
+),
+ra AS (SELECT lang, CAST(count(*) AS BIGINT) AS a FROM j GROUP BY lang),
+cb AS (SELECT source, CAST(count(*) AS BIGINT) AS b FROM j GROUP BY source),
+terms AS (
+  -- per-cell contribution c*ln(c*n/(a*b)) quantized ONCE to micro-nat
+  -- BIGINTs, so the cross-cell sum is exact under any aggregation order
+  SELECT CAST(floor(CAST(cell.c AS DOUBLE)
+         * ln(CAST(cell.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+              / (CAST(ra.a AS DOUBLE) * CAST(cb.b AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS t_u
+  FROM cell JOIN ra ON ra.lang = cell.lang
+            JOIN cb ON cb.source = cell.source, n
+),
+hx AS (
+  SELECT CAST(sum(CAST(floor((0 - CAST(a AS DOUBLE))
+       * ln(CAST(a AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5)
+       AS BIGINT)) AS BIGINT) AS h FROM ra, n
+),
+hy AS (
+  SELECT CAST(sum(CAST(floor((0 - CAST(b AS DOUBLE))
+       * ln(CAST(b AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5)
+       AS BIGINT)) AS BIGINT) AS h FROM cb, n
+)
+SELECT n.n AS n_rows,
+  CAST(sum(t_u) AS BIGINT) AS mi_sum_micro,
+  CAST(floor(CAST(sum(t_u) AS DOUBLE) / CAST(n.n AS DOUBLE) + 0.5) AS BIGINT)
+    AS mi_micro,
+  CAST(floor(CAST(sum(t_u) AS DOUBLE)
+       / CAST(least(hx.h, hy.h) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+    AS nmi_micro
+FROM terms, n, hx, hy
+GROUP BY n.n, hx.h, hy.h
+"""
+
+
+@register("dq_mutual_information", MI_ORACLE)
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the corpus metadata — the
+    dependence diagnostic curators check before stratifying or weighting
+    by EITHER column (high MI means language balance and source balance
+    cannot be tuned independently), alongside the per-cell chi² of
+    [[dq_filter_bias_by_source]] and the drift PSI of [[dq_psi_drift]].
+    Reports raw MI (micro-nats/row) and min-entropy-normalized NMI.
+
+    Exactness (r7 float policy): each cell's contribution c·ln(cnN/(ab))
+    and each marginal's entropy term are quantized ONCE to micro-nat
+    BIGINTs, so every cross-cell sum is an exact integer under any
+    partial-agg order; the two final normalizing divisions are single
+    quantized expressions.
+
+    Scale posture: one corpus scan into three map-side-combinable
+    aggregations ((lang, source) cells + both marginals — cell counts are
+    vocabulary-sized, never data-sized); the term join runs cells ×
+    marginals. At 100 TB this is as cheap as three group-bys."""
+    j = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "lang", "source"
+    )
+    n = j.agg(F.count(F.lit(1)).alias("n"))
+    cell = j.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ra = j.groupBy("lang").agg(F.count(F.lit(1)).alias("a"))
+    cb = j.groupBy("source").agg(F.count(F.lit(1)).alias("b"))
+    terms = (
+        cell.join(ra, "lang")
+        .join(cb, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.col("c").cast("double")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("a").cast("double") * F.col("b").cast("double"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t_u")
+        )
+    )
+    def _entropy(m: DataFrame, col: str) -> DataFrame:
+        return (
+            m.crossJoin(F.broadcast(n))
+            .select(
+                F.floor(
+                    (F.lit(0.0) - F.col(col).cast("double"))
+                    * F.log(F.col(col).cast("double") / F.col("n").cast("double"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.sum("t").alias("h"))
+        )
+
+    hx = _entropy(ra, "a")
+    hy = _entropy(cb, "b")
+    mi_sum = terms.agg(F.sum("t_u").alias("mi_sum_micro"))
+    return (
+        mi_sum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(hx.select(F.col("h").alias("hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+        .select(
+            F.col("n").alias("n_rows"),
+            "mi_sum_micro",
+            F.floor(
+                F.col("mi_sum_micro").cast("double") / F.col("n").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mi_micro"),
+            F.floor(
+                F.col("mi_sum_micro").cast("double")
+                / F.least(F.col("hx"), F.col("hy")).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nmi_micro"),
+        )
+    )

@@ -815,3 +815,99 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.alias("modularity_contrib_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Pearson r of degrees at edge endpoints)
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+ends AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x + y) AS BIGINT) AS sx,
+         CAST(sum(x * x + y * y) AS BIGINT) AS sxx
+  FROM ends
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+  CASE WHEN 2 * m2 * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(
+         CAST(4 * m2 * sxy - sx * sx AS DOUBLE)
+         / CAST(2 * m2 * sxx - sx * sx AS DOUBLE)
+         * 1000000 + 0.5) AS BIGINT) END AS assortativity_micro
+FROM s
+"""
+
+
+@register("graph_assortativity", _assortativity_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    incidences. Positive = hubs link hubs (mirror farms copying each
+    other), negative = hubs link leaves (one template fanned out to many
+    one-off pages) — which of the two dedup topologies dominates decides
+    whether keep-one or cluster-review is the right release policy.
+
+    Formula on the symmetrized incidence list (each undirected edge
+    counted in both orientations, which is what makes the x/y roles
+    symmetric): r = (4·M·Σxy − (Σ(x+y))²) / (2·M·Σ(x²+y²) − (Σ(x+y))²)
+    with M = incidence count — every sum an exact BIGINT (degrees are
+    integers), ONE quantized division at the end; a degree-regular graph
+    (zero variance) pins r to 0.
+
+    Scale posture: degree table = one node-keyed count; the incidence
+    join is edge-keyed on each endpoint; the moment fold is one
+    map-side-combinable row. No window, no collect."""
+    pairs = (
+        _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ends = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") + F.col("y")).alias("sx"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxx"),
+    )
+    denom = F.lit(2) * F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.lit(4) * F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    return s.select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(denom == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                num.cast("double") / denom.cast("double") * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("assortativity_micro"),
+    )

@@ -311,3 +311,73 @@ def test_nearest_asof_hand_truth(spark):
     assert out[3]["view_id"] == 4 and out[3]["delta_us"] == -300 * 1_000_000
     assert out[6]["view_id"] == 5 and out[6]["delta_us"] == 600 * 1_000_000
     assert out[9]["view_id"] is None and out[9]["delta_us"] is None
+
+
+def test_assortativity_python_recompute(spark, sf_dir):
+    """Recompute Newman's r from the pair list in pure Python and compare
+    the quantized value; a star graph must be strongly negative."""
+    import math
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ngram_jaccard
+    from ntd_gtfs_to_socrata_spark.queries.graph_q import (
+        AUDIT_DF_CAP,
+        graph_assortativity,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = []
+    for a, b in pairs:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m2 = len(xs)
+    sxy = sum(x * y for x, y in xs)
+    sx = sum(x + y for x, y in xs)
+    sxx = sum(x * x + y * y for x, y in xs)
+    denom = 2 * m2 * sxx - sx * sx
+    want = (
+        0
+        if denom == 0
+        else math.floor(float(4 * m2 * sxy - sx * sx) / float(denom) * 1e6 + 0.5)
+    )
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    assert r["n_edges"] == len(pairs)
+    assert r["assortativity_micro"] == want
+
+
+def test_mutual_information_python_recompute(spark, sf_dir):
+    """Recompute MI/NMI micro-units from pandas counts with identical
+    quantization and compare exactly; MI of independent-ish columns must
+    sit far below min-entropy (NMI << 1)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import dq_mutual_information
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    n = len(docs)
+    cell = Counter(zip(docs["lang"], docs["source"]))
+    ra = Counter(docs["lang"])
+    cb = Counter(docs["source"])
+    mi_sum = sum(
+        int(math.floor(c * math.log(c * n / (ra[l] * cb[s])) * 1e6 + 0.5))
+        for (l, s), c in cell.items()
+    )
+    hx = sum(int(math.floor(-a * math.log(a / n) * 1e6 + 0.5)) for a in ra.values())
+    hy = sum(int(math.floor(-b * math.log(b / n) * 1e6 + 0.5)) for b in cb.values())
+    r = dq_mutual_information(spark, sf_dir).collect()[0]
+    assert r["n_rows"] == n
+    assert r["mi_sum_micro"] == mi_sum
+    assert r["mi_micro"] == int(math.floor(mi_sum / n + 0.5))
+    assert r["nmi_micro"] == int(math.floor(mi_sum / min(hx, hy) * 1e6 + 0.5))
+    assert 0 <= r["nmi_micro"] < 1_000_000
