@@ -136,6 +136,7 @@ HEADLINE = [
     "asof_join_nearest",
     "dq_mutual_information",
     "graph_assortativity",
+    "tw_cusum_drift",
 ]
 
 

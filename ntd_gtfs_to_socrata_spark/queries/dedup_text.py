@@ -2871,10 +2871,21 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
         "lang", "source"
     )
-    n = j.agg(F.count(F.lit(1)).alias("n"))
-    cell = j.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
-    ra = j.groupBy("lang").agg(F.count(F.lit(1)).alias("a"))
-    cb = j.groupBy("source").agg(F.count(F.lit(1)).alias("b"))
+    # the marginal/cell count frames are vocabulary-sized and each feeds
+    # TWO consumers (terms + an entropy/normalizer branch) — materialize
+    # once so the corpus scan and aggs don't re-execute per branch
+    n = j.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    cell = (
+        j.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ra = j.groupBy("lang").agg(F.count(F.lit(1)).alias("a")).localCheckpoint(
+        eager=True
+    )
+    cb = j.groupBy("source").agg(F.count(F.lit(1)).alias("b")).localCheckpoint(
+        eager=True
+    )
     terms = (
         cell.join(ra, "lang")
         .join(cb, "source")

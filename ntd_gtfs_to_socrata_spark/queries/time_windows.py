@@ -1016,3 +1016,126 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("view_id"),
         F.when(pick_back, b_d).when(f_ok, f_d).alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily per-type series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SLACK_MICRO = 500_000  # k = 0.5 events of slack per day (micro units)
+
+CUSUM_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+mu AS (
+  SELECT event_type,
+         CAST(floor(CAST(sum(n) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT)
+           AS mu_micro
+  FROM daily GROUP BY event_type
+),
+seq AS (
+  SELECT d.event_type, d.day, d.n,
+         d.n * 1000000 - m.mu_micro - {_CUSUM_SLACK_MICRO} AS dev,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN mu m ON m.event_type = d.event_type
+),
+rec AS (
+  SELECT event_type, day, n, dev, rn,
+         CAST(greatest(0, dev) AS BIGINT) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.day, q.n, q.dev, q.rn,
+         CAST(greatest(0, r.s + q.dev) AS BIGINT) AS s
+  FROM rec r JOIN seq q ON q.event_type = r.event_type AND q.rn = r.rn + 1
+)
+SELECT event_type, day, n, s AS cusum_micro
+FROM rec
+"""
+
+
+@register("tw_cusum_drift", CUSUM_ORACLE)
+def tw_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per event type over the
+    daily count series: S_d = max(0, S_(d-1) + (x_d − μ − k)) — the
+    SEQUENTIAL drift detector that fires on sustained small shifts the
+    per-day robust-z ([[dq_anomaly_daily_counts]]) and snapshot PSI
+    ([[dq_psi_drift]]) both miss. μ is the per-type series mean
+    (micro-quantized once), k the slack.
+
+    The recursion is inherently ordered, so it runs as a HIGHER-ORDER
+    FOLD over the per-type ordered day array (``aggregate`` with a
+    struct(state, emitted-array) accumulator) — ALL-INTEGER state, so
+    both engines (Spark fold vs the oracle's recursive CTE) walk
+    identical arithmetic with no float order anywhere.
+
+    Scale posture: the corpus collapses map-side to (type, day) counts
+    first (bounded: types × days, metadata-sized); the fold happens on
+    that tiny series per type — the corpus is never windowed or
+    collected. The same recursion shape serves any per-entity
+    bounded-length sequential statistic (inventory running-min,
+    drawdown, refractory counters)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.floor(
+            F.sum("n").cast("double") / F.count(F.lit(1)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mu_micro")
+    )
+    seq = (
+        daily.join(mu, "event_type")
+        .select(
+            "event_type",
+            F.struct(
+                "day",
+                "n",
+                (
+                    F.col("n") * F.lit(1_000_000)
+                    - F.col("mu_micro")
+                    - F.lit(_CUSUM_SLACK_MICRO)
+                ).alias("dev"),
+            ).alias("row"),
+        )
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("row")).alias("rows"))
+    )
+    out_t = "array<struct<day:string,n:bigint,cusum_micro:bigint>>"
+    folded = F.aggregate(
+        F.col("rows"),
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(None).cast(out_t).alias("out"),
+        ),
+        lambda acc, r: F.struct(
+            F.greatest(F.lit(0).cast("long"), acc.getField("s") + r.getField("dev")).alias("s"),
+            F.concat(
+                F.coalesce(acc.getField("out"), F.array().cast(out_t)),
+                F.array(
+                    F.struct(
+                        r.getField("day").alias("day"),
+                        r.getField("n").alias("n"),
+                        F.greatest(
+                            F.lit(0).cast("long"),
+                            acc.getField("s") + r.getField("dev"),
+                        ).alias("cusum_micro"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc.getField("out"),
+    )
+    return (
+        seq.select("event_type", F.explode(folded).alias("o"))
+        .select("event_type", "o.day", "o.n", "o.cusum_micro")
+    )

@@ -381,3 +381,45 @@ def test_mutual_information_python_recompute(spark, sf_dir):
     assert r["mi_micro"] == int(math.floor(mi_sum / n + 0.5))
     assert r["nmi_micro"] == int(math.floor(mi_sum / min(hx, hy) * 1e6 + 0.5))
     assert 0 <= r["nmi_micro"] < 1_000_000
+
+
+def test_cusum_hand_computed(spark, sf_dir):
+    """Replay the integer CUSUM recursion in Python from the daily counts
+    and compare every row exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import (
+        _CUSUM_SLACK_MICRO,
+        tw_cusum_drift,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    want = {}
+    for et, rows in series.items():
+        rows.sort()
+        mu = int(
+            math.floor(sum(n for _, n in rows) / len(rows) * 1e6 + 0.5)
+        )
+        s = 0
+        for day, n in rows:
+            s = max(0, s + n * 1_000_000 - mu - _CUSUM_SLACK_MICRO)
+            want[(et, day)] = (n, s)
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["cusum_micro"])
+        for r in tw_cusum_drift(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -180,6 +180,7 @@ _EXCHANGES_OK_MEASURED = {
     "tw_resample_interpolate": 3,
     "graph_modularity": 7,
     "privacy_t_closeness": 5,
+    "dq_mutual_information": 3,
 }
 
 

@@ -71,6 +71,7 @@ BNLJ_OK = {
     "sim_ivfpq_recall",  # embeds sim_bruteforce + sim_ivfpq_topk (both above)
     "graph_modularity",  # 1-row edge-count scalar, broadcast cross join
     "privacy_t_closeness",  # 1-row corpus-total scalar, broadcast cross join
+    "dq_mutual_information",  # 1-row total + 1-row entropy scalars, broadcast cross joins
 }
 
 # Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
@@ -162,6 +163,7 @@ FORCED_BC_OK = {
     "sim_nn_descent_round",      # 1-row-free: broadcast is the bounded LSH query side inherited from sim_ann shape
     "graph_modularity",          # 1-row edge-count scalar
     "privacy_t_closeness",       # domain totals (sensitive domains are small by definition) + 1-row total
+    "dq_mutual_information",     # 1-row total + two 1-row entropy scalars
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
@@ -379,6 +381,10 @@ EXCHANGES_OK = {
     # agg: 7 -> 5 executed) + QI rollup + domain/total broadcasts:
     # MEASURED r8: 5 executed
     "privacy_t_closeness",
+    # cell/marginal count frames checkpointed once (each feeds a terms
+    # branch AND an entropy/normalizer branch — static 21, MEASURED r8:
+    # 3 executed / 3 reused after the boundaries)
+    "dq_mutual_information",
 }
 
 
