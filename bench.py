@@ -137,6 +137,7 @@ HEADLINE = [
     "dq_mutual_information",
     "graph_assortativity",
     "tw_cusum_drift",
+    "sim_ann_multiprobe_topk",
 ]
 
 

@@ -1436,3 +1436,88 @@ def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
     return resc.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= _NND_K)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN (query probes its bucket + all Hamming-1 neighbors)
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    # the 9 probe buckets per query: own bucket + each plane bit flipped
+    flips = ", ".join(f"xor(qb, {1 << p})" for p in range(N_PLANES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, e AS qe, bucket AS qb FROM b WHERE vec_id % 50 = 0
+),
+probes AS (
+  SELECT qid, qe, unnest([CAST(qb AS BIGINT), {flips}]) AS pb FROM q
+),
+scored AS (
+  SELECT DISTINCT qid, b.vec_id AS cid, b.label,
+         round(list_inner_product(qe, b.e), 6) AS cosine
+  FROM probes p JOIN b ON b.bucket = p.pb AND p.qid <> b.vec_id
+)
+SELECT qid, cid, label, cosine, rnk FROM (
+  SELECT qid, cid, label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM scored) t
+WHERE rnk <= 5
+"""
+
+
+@register("sim_ann_multiprobe_topk", _multiprobe_oracle())
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH ANN (Lv et al., VLDB'07): each query probes its own
+    hyperplane bucket plus all N_PLANES Hamming-1 neighbors (the buckets a
+    near-miss sign flip would have landed in) — recall rises at the cost
+    of 1+N_PLANES bucket probes per query WITHOUT adding hash tables,
+    which is the memory trade production LSH services actually choose.
+    Candidates from any probed bucket are exact-cosine re-ranked, top-5;
+    by construction the candidate set contains ``sim_ann_bucketed_topk``'s
+    (probe 0 IS its bucket), so recall dominates single-probe pointwise
+    (pinned in tests/test_similarity.py).
+
+    Scale posture: probes explode map-side to (query, bucket) keys — the
+    candidate join stays a hash equi-join on bucket with fan-out bounded
+    by (1+planes) × bucket size; the corpus is never cross-joined. The
+    broadcast side is the bounded query set, as in every sim_* probe."""
+    buckets = sim_lsh_buckets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    q = with_vec.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    probe_arr = F.array(
+        F.col("qb").cast("long"),
+        *[
+            F.col("qb").bitwiseXOR(F.lit(1 << p)).cast("long")
+            for p in range(N_PLANES)
+        ],
+    )
+    probes = q.select("qid", "qe", F.explode(probe_arr).alias("pb"))
+    c = with_vec.select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.col("embedding").alias("ce"),
+        F.col("bucket").cast("long").alias("cb"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, (F.col("pb") == F.col("cb")) & (F.col("qid") != F.col("cid")))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)

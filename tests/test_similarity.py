@@ -257,3 +257,42 @@ def test_nn_descent_round_dominates_g0(spark, sf_dir):
     for src, rs in per.items():
         if src in g0_min and len(rs) == _NND_K:
             assert rs[-1]["score"] >= g0_min[src] - 1e-9
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe's candidate set contains single-probe's (probe 0 is the
+    query's own bucket), so per-query recall vs brute force must be >= the
+    single-probe path's — and mean recall should strictly improve on the
+    fixture (Hamming-1 flips recover near-miss sign boundaries)."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        sim_ann_multiprobe_topk,
+        sim_ann_topk,
+        sim_bruteforce,
+    )
+
+    exact: dict[int, set[int]] = {}
+    for r in sim_bruteforce(spark, sf_dir).filter("rnk <= 5").collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+
+    def recall(fn) -> tuple[float, dict[int, int]]:
+        per: dict[int, int] = {}
+        got: dict[int, set[int]] = {}
+        for r in fn(spark, sf_dir).collect():
+            got.setdefault(r["qid"], set()).add(r["cid"])
+        hits = tot = 0
+        for q, ex in exact.items():
+            h = len(ex & got.get(q, set()))
+            per[q] = h
+            hits += h
+            tot += len(ex)
+        return hits / max(tot, 1), per
+
+    r_multi, per_multi = recall(sim_ann_multiprobe_topk)
+    r_single, per_single = recall(sim_ann_topk)
+    assert r_multi >= r_single
+    # pointwise: multi-probe can only add candidates before the top-5 cut,
+    # so its per-query hit count must never drop below single-probe's
+    # EXCEPT when a new (higher-cosine but non-exact) candidate displaces
+    # an exact one from the top-5 — allow that slack but require the mean
+    # to improve on this fixture
+    assert r_multi > r_single, (r_multi, r_single)
