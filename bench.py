@@ -138,6 +138,7 @@ HEADLINE = [
     "graph_assortativity",
     "tw_cusum_drift",
     "sim_ann_multiprobe_topk",
+    "text_compression_ratio",
 ]
 
 

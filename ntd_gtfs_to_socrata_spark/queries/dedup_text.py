@@ -2947,3 +2947,66 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# zlib compressibility (the Gopher "compression ratio" quality cut)
+# ---------------------------------------------------------------------------
+
+_ZR_LEVEL = 6  # fixed zlib level: output length is deterministic per level
+
+
+@register("text_compression_ratio")  # rows-only: zlib isn't SQL-replayable
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document — the quality signal rule
+    bundles approximate with entropy/repetition features but production
+    filters (Gopher, RefinedWeb) compute EXACTLY: highly compressible
+    text is templated/repetitive junk, incompressible text is often
+    binary noise mis-detected as text. Emits raw and compressed byte
+    lengths plus the micro-quantized ratio; both cut directions compose
+    with the split/pack stages.
+
+    This is a DOCUMENTED Python surface (the mm_* precedent): zlib has
+    no declarative twin, so the column runs as Arrow-batched
+    ``mapInPandas`` (never row-at-a-time) and the registry entry is
+    rows-only — the parity test pins the values against direct zlib in
+    the test interpreter, and determinism comes from the FIXED level (a
+    zlib output is a deterministic function of (bytes, level) for a
+    given zlib build; record the build in the release manifest when the
+    cut feeds a reproducibility-sensitive pipeline).
+
+    Scale posture: one corpus scan, zero shuffles, CPU-bound in the
+    Arrow workers — embarrassingly parallel at any size."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def batches(it):
+        import zlib  # noqa: PLC0415
+
+        for pdf in it:
+            raw = pdf["text"].str.encode("utf-8")
+            raw_len = raw.str.len().astype("int64")
+            comp_len = raw.map(
+                lambda b: len(zlib.compress(b, _ZR_LEVEL))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_len,
+                    "compressed_bytes": comp_len,
+                    "ratio_micro": (
+                        (comp_len * 1_000_000 + raw_len // 2) // raw_len
+                    ).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, raw_bytes long, compressed_bytes long, "
+            "ratio_micro long"
+        ),
+    )

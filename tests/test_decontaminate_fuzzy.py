@@ -69,3 +69,50 @@ def test_fuzzy_decontamination_argmax_tiebreak(spark):
     assert len(out) == 1
     r = out[0]
     assert r["doc_id"] == 1 and r["matched_eval"] == 0  # tie -> min eval id
+
+
+def test_compression_ratio_parity_and_ordering(spark, sf_dir):
+    """Values must equal direct zlib at the fixed level; a highly
+    repetitive doc must compress far better than prose."""
+    import zlib
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        _ZR_LEVEL,
+        text_compression_ratio,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in text_compression_ratio(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    assert len(rows) == len(docs)
+    for _, d in docs.head(50).iterrows():
+        b = d["text"].encode("utf-8")
+        c = len(zlib.compress(b, _ZR_LEVEL))
+        r = rows[d["doc_id"]]
+        assert (r["raw_bytes"], r["compressed_bytes"]) == (len(b), c)
+        assert r["ratio_micro"] == (c * 1_000_000 + len(b) // 2) // len(b)
+
+    import unittest.mock as mock
+
+    junk = "spam ham " * 400
+    prose = (
+        "the quarterly committee reviewed seventeen distinct proposals "
+        "covering irrigation, logistics, procurement and archival policy "
+        "before adjourning without a final recommendation on budget lines"
+    ) * 10
+    fixture = spark.createDataFrame(
+        [(1, junk), (2, prose)], ["doc_id", "text"]
+    )
+    from ntd_gtfs_to_socrata_spark.queries import dedup_text as DT
+
+    with mock.patch.object(DT, "load_table", return_value=fixture):
+        out = {
+            r["doc_id"]: r["ratio_micro"]
+            for r in text_compression_ratio(spark, "x").collect()
+        }
+    assert out[1] < out[2], "repetitive junk must compress better than prose"

@@ -29,6 +29,7 @@ PYTHON_OK = {
     "stream_stateful_user_totals",
     "udtf_split_sentences",  # UDTF API coverage; declarative twin is posexplode(split())
     "s5_zip_member_extract",  # zip-member extraction is the documented mapInPandas surface
+    "text_compression_ratio",  # zlib has no declarative twin (documented Arrow mapInPandas surface)
 }
 # broadcast-nested-loop join is the intended shape for the scored cross
 # products (small broadcast side vs corpus)
