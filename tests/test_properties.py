@@ -567,3 +567,69 @@ def test_k_core_matches_python_peeling(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
     assert got == _py_k_core(edges, 2)
+
+
+@slow
+@given(edges=EDGES)
+def test_hits_matches_python_model(spark, edges):
+    """2-iteration integer HITS on random directed graphs ≡ the obvious
+    Python model (exact BIGINT propagation, no float anywhere)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import hits
+
+    dedup = sorted(set(edges))
+    if not dedup:
+        return
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    got = {
+        r["node"]: (r["auth_raw"], r["hub_raw"])
+        for r in hits(df, iterations=2).collect()
+    }
+    nodes = {n for e in dedup for n in e}
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(2):
+        a = {n: 0 for n in nodes}
+        for s, d in dedup:
+            a[d] += h[s]
+        h = {n: 0 for n in nodes}
+        for s, d in dedup:
+            h[s] += a[d]
+    assert got == {n: (a[n], h[n]) for n in nodes}
+
+
+@slow
+@given(edges=EDGES, seed_mod=st.integers(min_value=2, max_value=5))
+def test_bfs_distances_match_python_bfs(spark, edges, seed_mod):
+    """Multi-source BFS on random graphs ≡ Python BFS from the same seeds,
+    truncated at the hop budget."""
+    from collections import deque
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import bfs_distances
+
+    dedup = sorted(set(edges))
+    nodes = {n for e in dedup for n in e}
+    seeds = sorted(n for n in nodes if n % seed_mod == 0)
+    if not dedup or not seeds:
+        return
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+    max_hops = 4
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, sdf, max_hops=max_hops).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for x, y in dedup:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if want[n] >= max_hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = want[n] + 1
+                q.append(m)
+    assert got == want
