@@ -165,6 +165,7 @@ FORCED_BC_OK = {
     "graph_modularity",          # 1-row edge-count scalar
     "privacy_t_closeness",       # domain totals (sensitive domains are small by definition) + 1-row total
     "dq_mutual_information",     # 1-row total + two 1-row entropy scalars
+    "sim_ann_multiprobe_topk",   # bounded query-probe set (1+planes rows/query), sim_ann shape
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
