@@ -139,6 +139,7 @@ HEADLINE = [
     "tw_cusum_drift",
     "sim_ann_multiprobe_topk",
     "text_compression_ratio",
+    "dq_zipf_fit",
 ]
 
 

@@ -3010,3 +3010,100 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio_micro long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-fit diagnostic over the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000  # fit over the top-K tokens: bounds the rank window
+
+ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+  FROM tf ORDER BY c DESC, tok ASC LIMIT {_ZIPF_TOP}
+),
+pts AS (
+  -- per-point logs quantized ONCE to micro units; all later sums exact
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+  CAST(floor(
+    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+    * 1000000 + 0.5) AS BIGINT) AS zipf_slope_micro
+FROM s
+"""
+
+
+@register("dq_zipf_fit", ZIPF_ORACLE)
+def dq_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: least-squares slope
+    of log(frequency) on log(rank) over the top-{k} tokens. Natural text
+    sits near −1; templated/synthetic corpora flatten toward 0 and
+    token-salad steepens — the distribution-level QA next to the per-doc
+    quality cuts ([[text_char_entropy]], [[text_repetition_ratio]]).
+
+    Exactness: per-point log(rank)/log(count) are quantized ONCE to micro
+    units, so the regression moments are exact BIGINT sums under any
+    aggregation order; the slope is one quantized division of exact
+    integers (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²).
+
+    Scale posture: token counts are one map-side-combinable aggregation;
+    the top-K cut is TakeOrderedAndProject (never a vocabulary sort), and
+    the ONLY window runs over those ≤{k} rows — constant, not
+    vocabulary-sized. At 100 TB this is a token count plus a K-row fit."""
+    toks = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        tf.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+            ),
+        )
+    )
+    pts = top.select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("zipf_slope_micro"),
+    )

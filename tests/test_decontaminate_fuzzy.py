@@ -116,3 +116,44 @@ def test_compression_ratio_parity_and_ordering(spark, sf_dir):
             for r in text_compression_ratio(spark, "x").collect()
         }
     assert out[1] < out[2], "repetitive junk must compress better than prose"
+
+
+def test_zipf_fit_python_recompute_and_range(spark, sf_dir):
+    """Recompute the quantized regression from pandas token counts and
+    compare exactly; the fixture corpus must fit a negative slope."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        _ZIPF_TOP,
+        dq_zipf_fit,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(t.strip().split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+    pts = [
+        (
+            int(math.floor(math.log(r) * 1e6 + 0.5)),
+            int(math.floor(math.log(c) * 1e6 + 0.5)),
+        )
+        for r, (_, c) in enumerate(top, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want = int(
+        math.floor(
+            float(n * sxy - sx * sy) / float(n * sxx - sx * sx) * 1e6 + 0.5
+        )
+    )
+    r = dq_zipf_fit(spark, sf_dir).collect()[0]
+    assert r["n_points"] == n
+    assert r["zipf_slope_micro"] == want
+    assert r["zipf_slope_micro"] < 0

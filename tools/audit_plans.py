@@ -187,6 +187,10 @@ GLOBAL_WINDOW_OK = {
     # per-source rate table (one row per corpus source, a handful) — the
     # window input is the metadata frame, not the corpus
     "tp_weighted_sample",
+    # global rank AFTER limit(_ZIPF_TOP) — a ≤1000-row frame by
+    # construction (the tp_shuffle_order precedent); the vocabulary-sized
+    # top-K cut itself is TakeOrderedAndProject, not this window
+    "dq_zipf_fit",
 }
 
 
