@@ -140,6 +140,7 @@ HEADLINE = [
     "sim_ann_multiprobe_topk",
     "text_compression_ratio",
     "dq_zipf_fit",
+    "stream_psi_monitor",
 ]
 
 

@@ -380,3 +380,86 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         STF.sessionize_with_timeout(stream, gap_sec=1800), "sswt", "append"
     )
     return spark.table(name)
+
+
+@register("stream_psi_monitor")  # rows-only: per-epoch streaming DQ emission
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift gate: the corpus arrives as up-to-4 doc_id
+    micro-batches (deterministic pmod staging; hash assignment may fold
+    two buckets into one file, which is immaterial — each epoch scores
+    independently); each ``foreachBatch`` bins the BATCH's
+    document-length histogram and emits its Laplace-smoothed PSI against
+    the static BASELINE histogram (the promoted release's profile, a
+    10-bin broadcast constant) — the per-ingest-batch version of
+    [[dq_psi_drift]]'s snapshot gate: a batch whose PSI spikes is
+    quarantined before it lands. Emits one (epoch, n_rows, psi_micro)
+    row per micro-batch; all-deterministic (fixed staging, integer
+    histograms, one quantized PSI expression per epoch), pinned against
+    a per-slice Python replay in tests/test_streaming.py.
+
+    Scale posture: per batch, ONE map-side-combinable 10-bin histogram —
+    the monitor costs a count(*) regardless of batch size; the baseline
+    is a constant-size broadcast. State-free (each epoch scores
+    independently), so nothing accretes."""
+    import math  # noqa: PLC0415
+
+    from ntd_gtfs_to_socrata_spark.queries.relational import _PSI_BINS, _PSI_W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / _PSI_W).cast("long"), F.lit(_PSI_BINS - 1)
+    )
+    baseline = {
+        r["bin"]: r["n"]
+        for r in docs.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    base_tot = sum(baseline.values())
+
+    import os
+    import tempfile
+    import uuid
+
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    STF._retire_previous()
+    work = tempfile.mkdtemp(prefix="stream_psi_")
+    STF._PREV_WORK.append(work)
+    staging = os.path.join(work, "staging")
+    docs.repartition(4, F.pmod(F.col("doc_id"), 4)).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    results: list[tuple[int, int, int]] = []
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        hist = {
+            r["bin"]: r["n"]
+            for r in batch_df.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(hist.values())
+        psi = 0.0
+        for b in range(_PSI_BINS):
+            pa = (hist.get(b, 0) + 1) / (n + _PSI_BINS)
+            pb = (baseline.get(b, 0) + 1) / (base_tot + _PSI_BINS)
+            psi += (pa - pb) * math.log(pa / pb)
+        results.append((epoch_id, n, int(math.floor(psi * 1e6 + 0.5))))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .queryName(f"psi_monitor_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(results), "epoch long, n_rows long, psi_micro long"
+    )

@@ -431,3 +431,47 @@ def test_stream_sessionize_subset_parity_with_batch(spark, sf_dir):
     }
     missing = must_emit - got
     assert not missing, f"unemitted old sessions: {sorted(missing)[:3]}"
+
+
+def test_stream_psi_monitor_matches_per_slice_replay(spark, sf_dir):
+    """Each emitted epoch PSI must equal a Python replay over that
+    epoch's staged parquet file against the full-corpus baseline."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.queries.relational import _PSI_BINS, _PSI_W
+    from ntd_gtfs_to_socrata_spark.queries.streaming_q import stream_psi_monitor
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    got = sorted(
+        (r["n_rows"], r["psi_micro"])
+        for r in stream_psi_monitor(spark, sf_dir).collect()
+    )
+    staging = os.path.join(STF._PREV_WORK[-1], "staging")
+    parts = sorted(
+        f for f in os.listdir(staging) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    full = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def hist(df):
+        bins = (df["n_chars"] // _PSI_W).clip(upper=_PSI_BINS - 1)
+        return bins.value_counts().to_dict(), len(df)
+
+    base, base_tot = hist(full)
+    # epoch ids depend on the file source's pickup order (same-mtime
+    # ties) — each epoch scores independently, so compare as multisets
+    want = []
+    for p in parts:
+        df = pd.read_parquet(os.path.join(staging, p), columns=["n_chars"])
+        if len(df) == 0:
+            continue
+        h, n = hist(df)
+        psi = 0.0
+        for b in range(_PSI_BINS):
+            pa = (h.get(b, 0) + 1) / (n + _PSI_BINS)
+            pb = (base.get(b, 0) + 1) / (base_tot + _PSI_BINS)
+            psi += (pa - pb) * math.log(pa / pb)
+        want.append((n, int(math.floor(psi * 1e6 + 0.5))))
+    assert got == sorted(want)
