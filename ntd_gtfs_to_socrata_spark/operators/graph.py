@@ -495,6 +495,11 @@ def hits(
     """
     from pyspark.sql import functions as F
 
+    if iterations < 1:
+        # iterations=0 would leave auth undefined (advisor r8): reject the
+        # degenerate call instead of raising a confusing TypeError later.
+        raise ValueError(f"hits requires iterations >= 1, got {iterations}")
+
     e = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()

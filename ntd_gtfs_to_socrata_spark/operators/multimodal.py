@@ -299,10 +299,23 @@ def parse_header(b) -> tuple:
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 break
-            marker = b[i + 1]
+            # runs of 0xFF are legal fill/padding before a marker — skip
+            # them instead of treating 0xFF as a marker id (advisor r8)
+            j = i + 1
+            while j < len(b) and b[j] == 0xFF:
+                j += 1
+            if j + 1 > len(b):
+                break
+            marker = b[j]
+            i = j - 1  # so i+1 is the marker byte below
+            if marker == 0xDA:
+                # SOS: entropy-coded data follows — no SOF seen, stop
+                break
             if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                 i += 2
                 continue
+            if i + 4 > len(b):
+                break
             (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
             if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 10 <= len(b):
                 depth = b[i + 4]

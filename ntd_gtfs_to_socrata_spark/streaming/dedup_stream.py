@@ -81,10 +81,11 @@ LAST_RUN: dict = {}
 
 def _retire_previous() -> None:
     spark = SparkSession.getActiveSession()
-    while _PREV_TABLES:
-        t = _PREV_TABLES.pop()
-        if spark is not None:
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if spark is not None:
+        # only forget names we actually DROP — popping with no session
+        # would leak warehouse tables permanently (advisor r8)
+        while _PREV_TABLES:
+            spark.sql(f"DROP TABLE IF EXISTS {_PREV_TABLES.pop()}")
     while _PREV_WORK:
         shutil.rmtree(_PREV_WORK.pop(), ignore_errors=True)
 

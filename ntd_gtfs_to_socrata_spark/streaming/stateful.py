@@ -90,6 +90,20 @@ def _retire_previous() -> None:
 atexit.register(_retire_previous)
 
 
+def _trim_tail(tail: list, span: int) -> list:
+    """Keep only the last ``span - 1`` values — the carry-over state for a
+    bounded-window EWMA. span=1 carries NOTHING: a naive ``tail[-0:]``
+    would return the whole list and grow state with history (advisor r8).
+
+    NOT ``tail[len(tail) - (span - 1):]``: for len(tail) < span - 1 that
+    start index goes negative and Python wraps it back from the end,
+    silently DROPPING elements whenever (span-1)/2 < len(tail) < span-1
+    (e.g. len 8, span 16 → tail[-7:] keeps 7 of 8). The negative-start
+    form ``tail[-(span - 1):]`` clamps to the full list instead — caught
+    by the bit-exact stream-vs-batch EWMA parity test."""
+    return tail[-(span - 1) :] if span > 1 else []
+
+
 def running_ewma(events: DataFrame, span: int = 16) -> DataFrame:
     """Per-user bounded-window EWMA as a CUSTOM STATEFUL streaming
     operator: state carries the last ``span - 1`` values per user across
@@ -133,7 +147,7 @@ def running_ewma(events: DataFrame, span: int = 16) -> DataFrame:
                 acc += x * 2.0 ** -(s - 1 - j)
             out_eid.append(int(eid))
             out_ewma.append(acc / (2.0 - 2.0 ** -(s - 1)))
-        state.update((tail[-(span - 1) :],))
+        state.update((_trim_tail(tail, span),))
         yield pd.DataFrame(
             {"user_id": key[0], "event_id": out_eid, "ewma": out_ewma}
         )

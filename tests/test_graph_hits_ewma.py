@@ -423,3 +423,34 @@ def test_cusum_hand_computed(spark, sf_dir):
         for r in tw_cusum_drift(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hits_rejects_nonpositive_iterations(spark):
+    """iterations=0 must raise ValueError, not a TypeError from joining
+    None (advisor r8)."""
+    import pytest
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
+
+
+def test_ewma_state_tail_bounded_for_span_one():
+    """span=1 carries EMPTY state; tail[-0:] would carry the full history
+    (advisor r8). span>=2 keeps exactly span-1 values."""
+    from ntd_gtfs_to_socrata_spark.streaming.stateful import _trim_tail
+
+    assert _trim_tail([1.0, 2.0, 3.0], 1) == []
+    assert _trim_tail([], 1) == []
+    assert _trim_tail([1.0, 2.0, 3.0], 2) == [3.0]
+    assert _trim_tail([1.0, 2.0, 3.0], 3) == [2.0, 3.0]
+    assert _trim_tail([1.0], 16) == [1.0]
+    # the negative-wrap trap: len(tail) strictly between (span-1)/2 and
+    # span-1 is where tail[len(tail)-(span-1):] silently drops elements
+    eight = [float(i) for i in range(8)]
+    assert _trim_tail(eight, 16) == eight
+    assert _trim_tail([float(i) for i in range(20)], 16) == [
+        float(i) for i in range(5, 20)
+    ]

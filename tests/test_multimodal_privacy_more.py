@@ -132,3 +132,32 @@ def test_make_image_payload_roundtrip(spark, sf_dir):
         assert p["width"] == r["nb"] % 640 + 1
         assert p["height"] == r["nb"] % 480 + 1
         assert p["format"] == ("png" if r["doc_id"] % 2 == 0 else "jpeg")
+
+
+def test_parse_header_jpeg_fill_bytes_and_sos_stop():
+    """Real-world JPEG quirks (advisor r8): runs of 0xFF fill bytes before
+    a marker are legal padding and must be skipped, and the walk must stop
+    at SOS (0xDA) — entropy-coded data follows, so a stream with no SOF
+    before SOS returns ok=False instead of misparsing pixel bytes."""
+    import struct
+
+    from ntd_gtfs_to_socrata_spark.operators.multimodal import (
+        JPEG_SOI,
+        parse_header,
+    )
+
+    # fill bytes 0xFF 0xFF before SOF0: must still parse the frame header
+    sof0 = (
+        b"\xff\xff\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 10, 20)
+        + bytes([1, 0x11, 0])
+    )
+    assert parse_header(JPEG_SOI + sof0) == ("jpeg", 20, 10, 8, 1, True)
+
+    # SOS with no prior SOF: stop the walk, errors-as-data
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x3f\x00\x00"
+    assert parse_header(JPEG_SOI + sos + b"\x12\x34\xff\xc0") == (
+        "jpeg", None, None, None, None, False,
+    )

@@ -475,3 +475,26 @@ def test_stream_psi_monitor_matches_per_slice_replay(spark, sf_dir):
             psi += (pa - pb) * math.log(pa / pb)
         want.append((n, int(math.floor(psi * 1e6 + 0.5))))
     assert got == sorted(want)
+
+
+def test_retire_previous_keeps_table_names_without_session(monkeypatch):
+    """With no active session, _retire_previous must NOT forget bucketed
+    state table names — popping without DROP leaks warehouse tables
+    permanently (advisor r8). Work dirs are still removed (plain rmtree)."""
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from ntd_gtfs_to_socrata_spark.streaming import dedup_stream as DS
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    d = tempfile.mkdtemp(prefix="retire_test_")
+    monkeypatch.setattr(DS, "_PREV_TABLES", ["fake_state_tbl_a", "fake_state_tbl_b"])
+    monkeypatch.setattr(DS, "_PREV_WORK", [d])
+    DS._retire_previous()
+    # names survive for the next session's cleanup; the dir is gone
+    assert DS._PREV_TABLES == ["fake_state_tbl_a", "fake_state_tbl_b"]
+    assert DS._PREV_WORK == []
+    import os
+
+    assert not os.path.exists(d)
