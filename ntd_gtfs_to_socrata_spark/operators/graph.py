@@ -377,26 +377,33 @@ def k_core(
     the surviving nodes with their within-core degree.
 
     Input is an UNDIRECTED pair list (one row per pair); it is symmetrized
-    here so degree = count of incident edges. Each round is one node-keyed
-    degree aggregation + two semi-join filters on the low-degree key set —
-    the same bounded-state loop contract as ``connected_components``
-    (``localCheckpoint`` truncates lineage; the fixpoint probe — edge
-    count unchanged, equivalent to "low set empty" since every low node
-    carries an edge — rides the checkpoint job as an ``observe()``
-    metric, one job per round). Peeling removes at least one node per
-    non-terminal round, so ``node_count`` rounds always suffice — the
-    DEFAULT bound (``max_iterations=None``) is derived from the node
-    count (one control-plane scalar), making exhaustion unreachable. A
-    long simple path is the worst case: k=2 peels only the two endpoints
-    per round, so an n-node chain needs ~n/2 rounds — the r6 ADVICE case
-    that overran the old fixed default of 30. Pass an explicit
-    ``max_iterations`` only to enforce an external round budget (e.g. the
-    oracle's unroll depth); exhaustion then RAISES — a partial peel is a
-    wrong k-core, never returned.
+    here so degree = count of incident edges. Degrees are maintained
+    INCREMENTALLY (r8 verdict task 2): the full edge set is aggregated
+    ONCE up front; each peel round then aggregates only the DELTA edge
+    set — edges from a surviving node into a just-removed one — and
+    subtracts those counts from the maintained degree table. Per-round
+    shuffle volume is therefore proportional to the edges REMOVED that
+    round (Σ over rounds = |E|, the sum telescopes), not to the surviving
+    edge set × rounds — the term that made the non-incremental loop
+    super-linear on deep graphs (9.9× wall at 10× data in the r8 sf1
+    sweep; rounds grow with graph depth).
 
-    Scale posture: every shuffle is keyed on a node id over the current
-    survivor edge set, which only SHRINKS; no window, no collect of
-    anything but the per-round empty-check scalar.
+    Loop contract as ``connected_components``: ``localCheckpoint``
+    truncates lineage; the fixpoint probe (low set empty) rides the low
+    checkpoint job as an ``observe()`` metric. Peeling removes at least
+    one node per non-terminal round, so ``node_count`` rounds always
+    suffice — the DEFAULT bound (``max_iterations=None``) is derived from
+    the node count (one control-plane scalar), making exhaustion
+    unreachable. A long simple path is the worst case: k=2 peels only the
+    two endpoints per round, so an n-node chain needs ~n/2 rounds — the
+    r6 ADVICE case that overran the old fixed default of 30. Pass an
+    explicit ``max_iterations`` only to enforce an external round budget
+    (e.g. the oracle's unroll depth); exhaustion then RAISES — a partial
+    peel is a wrong k-core, never returned.
+
+    Scale posture: every shuffle is keyed on a node id over the delta
+    edge set (shrinking) or the node-sized degree table; no window, no
+    collect of anything but the per-round empty-check scalar.
     """
     from pyspark.sql import functions as F
 
@@ -418,41 +425,59 @@ def k_core(
     )
     from pyspark.sql import Observation
 
+    # the ONE full-edge-set aggregation; every later round touches only
+    # delta edges and the node-sized degree table
+    deg = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     if max_iterations is None:
         # one round per node is a hard upper bound (each non-terminal
         # round removes >= 1 node); +1 for the terminal fixpoint check
-        max_iterations = e.select("s").distinct().count() + 1
-    # fixpoint = edge count unchanged across a peel round: every node in
-    # the low set has >= 1 incident edge (it came from the degree table),
-    # so "no edges removed" <=> "low was empty". The count rides the
-    # checkpoint job as an observe() metric — one job per round instead
-    # of a degree/isEmpty probe job plus the peel/checkpoint job.
-    prev_n = e.count()
+        max_iterations = deg.count() + 1
     for i in range(max_iterations):
-        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        # low is embedded twice below (two anti-joins); materialize it
-        # once so the degree aggregation runs one job per round instead
-        # of relying on AQE exchange reuse to collapse the copies
-        # (advisor r7 — the re-execution pattern measured elsewhere)
-        low = deg.filter(F.col("deg") < k).select("s").localCheckpoint(eager=True)
         obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
-        e2 = (
-            e.join(low, "s", "left_anti")
-            .join(low.select(F.col("s").alias("d")), "d", "left_anti")
+        # low is embedded three times below (two anti-joins + the delta
+        # semi-join); materialize it once (advisor r7 pattern); its
+        # emptiness probe rides the checkpoint job as an observe metric
+        low = (
+            deg.filter(F.col("deg") < k)
+            .select("s")
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = obs.get["n"]
-        if n == prev_n:
-            return (
-                e.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .select(
-                    F.col("s").alias("node"),
-                    F.col("deg").cast("long").alias("core_degree"),
-                )
+        if obs.get["n"] == 0:
+            return deg.select(
+                F.col("s").alias("node"),
+                F.col("deg").cast("long").alias("core_degree"),
             )
-        e, prev_n = e2, n
+        low_d = low.select(F.col("s").alias("d"))
+        # delta degree loss: edges whose DEST was just removed but whose
+        # source survives lose the source one incident edge. Aggregates
+        # ONLY the removed edges — never the surviving set.
+        lost = (
+            e.join(low_d, "d", "semi")
+            .join(low, "s", "left_anti")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        deg = (
+            deg.join(low, "s", "left_anti")
+            .join(lost, "s", "left")
+            .select(
+                "s",
+                (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias("deg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # shrink the surviving edge set (map-side with a broadcast low;
+        # needed so later delta joins see only surviving edges)
+        e = (
+            e.join(low, "s", "left_anti")
+            .join(low_d, "d", "left_anti")
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(
         f"k_core did not reach a fixpoint within the caller-imposed bound of "
         f"{max_iterations} peeling rounds (peeling needs at most one round "
