@@ -474,7 +474,13 @@ def test_stream_psi_monitor_matches_per_slice_replay(spark, sf_dir):
             pb = (base.get(b, 0) + 1) / (base_tot + _PSI_BINS)
             psi += (pa - pb) * math.log(pa / pb)
         want.append((n, int(math.floor(psi * 1e6 + 0.5))))
-    assert got == sorted(want)
+    want = sorted(want)
+    # PSI now folds in the JVM plan (r8 verdict task 3): JVM ln and C-libm
+    # math.log may round an intermediate differently by one ulp, which can
+    # flip the micro-unit floor at a .5 boundary — allow exactly that.
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gp), (_, wp) in zip(got, want):
+        assert abs(gp - wp) <= 1, (gp, wp)
 
 
 def test_retire_previous_keeps_table_names_without_session(monkeypatch):
