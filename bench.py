@@ -141,6 +141,9 @@ HEADLINE = [
     "text_compression_ratio",
     "dq_zipf_fit",
     "stream_psi_monitor",
+    # r9 additions: real BMP pixel decode (stub surface empty for BMP)
+    "mm_bmp_decode",
+    "mm_bmp_scene_cut",
 ]
 
 

@@ -161,3 +161,78 @@ def test_parse_header_jpeg_fill_bytes_and_sos_stop():
     assert parse_header(JPEG_SOI + sos + b"\x12\x34\xff\xc0") == (
         "jpeg", None, None, None, None, False,
     )
+
+
+def test_bmp_parse_real_byte_layouts():
+    """_parse_bmp reads real BMP layouts: hand-built bottom-up and
+    TOP-DOWN (negative height) files, plus malformed variants (short,
+    wrong magic, 8-bpp, compressed, truncated pixel array)."""
+    import struct
+
+    import numpy as np
+
+    from ntd_gtfs_to_socrata_spark.operators.multimodal import _parse_bmp
+
+    def build(w, h, pixels, top_down=False):
+        stride = ((w * 3 + 3) // 4) * 4
+        hh = -h if top_down else h
+        hdr = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        body = bytearray()
+        for r in range(h):
+            row = bytearray()
+            for px in pixels[r]:
+                row += bytes(px)  # already BGR triples
+            row += b"\x00" * (stride - w * 3)
+            body += row
+        return hdr + info + bytes(body)
+
+    # 2x2: file rows bottom-up, so image row 0 = file row 1
+    file_rows = [
+        [(1, 2, 3), (4, 5, 6)],      # file row 0 = image BOTTOM
+        [(7, 8, 9), (10, 11, 12)],   # file row 1 = image TOP
+    ]
+    w, h, img = _parse_bmp(build(2, 2, file_rows))
+    assert (w, h) == (2, 2)
+    assert img[0].tolist() == [[7, 8, 9], [10, 11, 12]]  # top row
+    assert img[1].tolist() == [[1, 2, 3], [4, 5, 6]]
+
+    # top-down: image order equals file order
+    w, h, img = _parse_bmp(build(2, 2, file_rows, top_down=True))
+    assert img[0].tolist() == [[1, 2, 3], [4, 5, 6]]
+
+    good = build(2, 2, file_rows)
+    assert _parse_bmp(b"") is None
+    assert _parse_bmp(b"XX" + good[2:]) is None
+    assert _parse_bmp(good[:40]) is None            # short header
+    assert _parse_bmp(good[:-3]) is None            # truncated pixels
+    bad_bpp = bytearray(good); bad_bpp[28] = 8
+    assert _parse_bmp(bytes(bad_bpp)) is None
+    bad_comp = bytearray(good); bad_comp[30] = 1    # BI_RLE8
+    assert _parse_bmp(bytes(bad_comp)) is None
+
+
+def test_bmp_payload_is_valid_bmp_and_formula_exact(spark, sf_dir):
+    """End-to-end: JVM-built BMPs parse as real files and every decoded
+    channel sum equals the construction formula, doc by doc."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    nb = {
+        r["doc_id"]: r["nb"]
+        for r in docs.select("doc_id", F.octet_length("text").alias("nb")).collect()
+    }
+    dec = MM.decode_bmp(MM.make_bmp_payload(docs)).collect()
+    assert len(dec) == len(nb)
+    for r in dec:
+        n = nb[r["doc_id"]]
+        w, h = n % 8 + 1, n % 6 + 1
+        sums = {0: 0, 1: 0, 2: 0}
+        for rr in range(h):
+            for j in range(w * 3):
+                sums[j % 3] += (r["doc_id"] + 13 * rr + 7 * j) % 256
+        assert (r["width"], r["height"], r["ok"]) == (w, h, True)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sums[2], sums[1], sums[0])
