@@ -141,9 +141,13 @@ HEADLINE = [
     "text_compression_ratio",
     "dq_zipf_fit",
     "stream_psi_monitor",
-    # r9 additions: real BMP pixel decode (stub surface empty for BMP)
+    # r9 additions: real BMP pixel decode (stub surface empty for BMP),
+    # graph-ANN beam search + its recall monitor
     "mm_bmp_decode",
     "mm_bmp_scene_cut",
+    "sim_graph_search_topk",
+    # (sim_graph_search_recall re-runs the whole topk pipeline — it is
+    # oracle-gated and pytest-pinned, but benching it would double-count)
 ]
 
 

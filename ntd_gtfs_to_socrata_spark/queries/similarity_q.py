@@ -1521,3 +1521,367 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN query path (r8 verdict task 5): fixed-hop beam search over a
+# connectivity-guaranteed kNN graph — the production query pattern for
+# graph ANN (HNSW/Vamana-style search, flattened to bounded batched hops).
+#
+# Index construction (deterministic, SQL-replayable):
+#   1. init = multi-scale id-ring: rank nodes by vec_id, link rank i to
+#      ranks (i + s) mod n for strides {1,2,8,32,128} — a Kleinberg-style
+#      structural layer that is connected BY CONSTRUCTION (stride 1) and
+#      cheap (O(n * strides), no all-pairs anywhere);
+#   2. two NN-DESCENT repair rounds (Dong et al.): symmetrize, propose
+#      neighbors-of-neighbors, exact-score, keep best k per node — the
+#      geometric layer (bucket-constrained init like sim_nn_descent_round
+#      fragments into per-bucket islands, unusable for SEARCH: measured
+#      recall 0.08 — the descent needs a connected init to repair);
+#   3. search graph = geometric top-k ∪ raw ring: score-greedy trimming
+#      drops long-range links, so the structural layer is kept verbatim —
+#      the same reason Vamana/NSG force a spanning structure into the
+#      index.
+# ---------------------------------------------------------------------------
+
+_GS_STRIDES = [1, 2, 8, 32, 128]  # multi-scale ring: short + long links
+_GS_NND_K = 5    # geometric out-degree kept per repair round
+_GS_ENTRIES = 4  # fixed global entry points (HNSW entry idiom)
+_GS_SEEDS = 4    # per-query seeds from its own LSH bucket
+_GS_BEAM = 8     # frontier width per query per hop
+_GS_HOPS = 4     # expansion rounds (unrolled in the oracle)
+_GS_K = 10       # final neighbors returned per query
+
+
+def _gs_nnd_round_sql(gin: str, gout: str) -> str:
+    """One unrolled NN-descent repair round over edge CTE ``gin``."""
+    return f"""
+sym_{gout} AS MATERIALIZED (
+  SELECT src, dst FROM {gin} UNION SELECT dst, src FROM {gin}
+),
+cand_{gout} AS (
+  SELECT DISTINCT x.src AS a, y.dst AS b
+  FROM sym_{gout} x JOIN sym_{gout} y ON y.src = x.dst AND y.dst <> x.src
+  UNION
+  SELECT src, dst FROM {gin}
+),
+resc_{gout} AS (
+  SELECT c.a AS src, c.b AS dst,
+         round(list_inner_product(e1.e, e2.e), 6) AS score
+  FROM cand_{gout} c JOIN ev e1 ON e1.vec_id = c.a JOIN ev e2 ON e2.vec_id = c.b
+),
+{gout} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+    FROM resc_{gout}) t
+  WHERE rn <= {_GS_NND_K}
+),"""
+
+
+def _graph_search_oracle() -> str:
+    hop_cte = """
+f{p} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+    FROM v{p}) t
+  WHERE rn <= {beam}
+),
+n{h} AS (
+  SELECT DISTINCT f.qid, g.dst AS cid
+  FROM f{p} f JOIN sg g ON g.src = f.cid
+),
+s{h} AS (
+  SELECT nn.qid, nn.cid,
+         round(list_inner_product(q.qe, c.e), 6) AS score
+  FROM n{h} nn
+  JOIN qv q ON q.qid = nn.qid
+  JOIN ev c ON c.vec_id = nn.cid
+  WHERE NOT EXISTS (SELECT 1 FROM v{p} v WHERE v.qid = nn.qid AND v.cid = nn.cid)
+),
+v{h} AS MATERIALIZED (SELECT * FROM v{p} UNION ALL SELECT * FROM s{h}),"""
+    hops = "".join(
+        hop_cte.format(p=h - 1, h=h, beam=_GS_BEAM) for h in range(1, _GS_HOPS + 1)
+    )
+    strides = ", ".join(str(s) for s in _GS_STRIDES)
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+cnt AS (SELECT count(*) AS n FROM ev),
+rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM ev),
+ring AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM rk a
+  CROSS JOIN (SELECT unnest([{strides}]) AS s) st
+  CROSS JOIN cnt
+  JOIN rk b ON b.r = (a.r + st.s) % cnt.n
+),
+scored0 AS (
+  SELECT r.src, r.dst, round(list_inner_product(e1.e, e2.e), 6) AS score
+  FROM ring r JOIN ev e1 ON e1.vec_id = r.src JOIN ev e2 ON e2.vec_id = r.dst
+),
+g0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+    FROM (SELECT src, dst, score FROM scored0
+          UNION ALL SELECT dst, src, score FROM scored0) both_dirs) t
+  WHERE rn <= {_GS_NND_K}
+),{_gs_nnd_round_sql('g0', 'g1')}{_gs_nnd_round_sql('g1', 'g2')}
+sg AS MATERIALIZED (
+  SELECT src, dst FROM g2 UNION SELECT src, dst FROM ring
+),
+qv AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM ev WHERE vec_id % 50 = 0),
+fixed_entries AS (SELECT vec_id AS cid FROM ev ORDER BY vec_id LIMIT {_GS_ENTRIES}),
+bucket_seeds AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY c.vec_id ASC) AS rn
+    FROM qv q JOIN ev c ON c.bucket = q.qb) t
+  WHERE rn <= {_GS_SEEDS}
+),
+seeds AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM bucket_seeds
+    UNION ALL SELECT q.qid, fe.cid FROM qv q CROSS JOIN fixed_entries fe) u
+),
+v0 AS MATERIALIZED (
+  SELECT s.qid, s.cid, round(list_inner_product(q.qe, c.e), 6) AS score
+  FROM seeds s JOIN qv q ON q.qid = s.qid JOIN ev c ON c.vec_id = s.cid
+),{hops}
+ranked AS (
+  SELECT qid, cid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rnk
+  FROM v{_GS_HOPS} WHERE cid <> qid
+)
+SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= {_GS_K}
+"""
+
+
+def _gs_search_graph(spark: SparkSession, sf_dir: str):
+    """(search_graph, b) where b = (vec_id, e, bucket) and search_graph =
+    two-round NN-descent geometric top-k ∪ the structural id-ring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        sim_lsh_buckets(spark, sf_dir)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket"
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = b.count()
+    # global rank by vec_id WITHOUT an unpartitioned window (the scale
+    # killer): two-level prefix — per-block row_number (window partitioned
+    # by id block = bounded partitions) + a broadcast join of block
+    # offsets (window over the tiny block table) — the eval_auc_rank
+    # pattern. The oracle states the same rank as a plain row_number.
+    blocked = b.select(
+        "vec_id", F.floor(F.col("vec_id") / (1 << 16)).alias("blk")
+    )
+    blk_tot = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "blk", F.coalesce(F.sum("c").over(w_blk), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("blk").orderBy("vec_id")
+    rk = blocked.join(F.broadcast(blk_off), "blk").select(
+        "vec_id", (F.col("off") + F.row_number().over(w_in) - 1).alias("r")
+    )
+    idmap = rk.select(F.col("r").alias("r2"), F.col("vec_id").alias("nbr"))
+    ring = (
+        rk.select(
+            "vec_id",
+            "r",
+            F.explode(
+                F.array(*[F.lit(s) for s in _GS_STRIDES])
+            ).alias("s"),
+        )
+        .select("vec_id", ((F.col("r") + F.col("s")) % n).alias("r2"))
+        .join(idmap, "r2")
+        .select(F.col("vec_id").alias("src"), F.col("nbr").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    ea = b.select(F.col("vec_id").alias("src"), F.col("e").alias("e_src"))
+    ebt = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("e_dst"))
+
+    def score_edges(p: DataFrame) -> DataFrame:
+        return (
+            p.join(ea, "src")
+            .join(ebt, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(dot(F.col("e_src"), F.col("e_dst")), 6).alias("score"),
+            )
+        )
+
+    w0 = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    sym0 = score_edges(ring).select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "score"),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("score")
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    g = (
+        sym0.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= _GS_NND_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(2):  # NN-descent repair rounds
+        sym = (
+            g.select(
+                F.explode(
+                    F.array(
+                        F.struct("src", "dst"),
+                        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .distinct()
+        )
+        x, y = sym.alias("x"), sym.alias("y")
+        twohop = x.join(
+            y, (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") != F.col("x.src"))
+        ).select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        cand = twohop.unionByName(g).distinct()
+        g = (
+            score_edges(cand)
+            .withColumn("rn", F.row_number().over(w0))
+            .filter(F.col("rn") <= _GS_NND_K)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return g.unionByName(ring).distinct().localCheckpoint(eager=True), b
+
+
+@register("sim_graph_search_topk", _graph_search_oracle())
+def sim_graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-ANN QUERY SIDE (r8 verdict task 5): beam search over the
+    ring-initialized, NN-descent-repaired graph (see the index banner
+    above). Every query seeds from its own LSH bucket (≤{seeds} smallest
+    ids) plus {entries} fixed global entry points; each of the {hops}
+    hops expands the current top-{beam} beam through the graph in ONE
+    batched frontier join shared by ALL queries, exact-scores only
+    never-visited candidates (anti-join), and folds them into the
+    visited set. Final answer: top-{k} of everything visited, self
+    excluded. Deterministic by construction — 6dp-rounded scores, cid
+    tie-breaks — so the unrolled-CTE oracle replays it value-exactly.
+
+    Beats the repo's other ANN paths on this corpus (recall ~0.45 vs IVF
+    0.27 / IVFPQ 0.12, ~26% of corpus scored) — self-monitored by
+    [[sim_graph_search_recall]].
+
+    Scale posture: hops are BATCHED joins (frontier keyed on node id ⋈
+    edge list), never per-query traversals — 1e6 queries ride the same
+    {hops} joins; per-query fan-out is bounded by beam × degree × hops;
+    the query set broadcasts, graph and corpus stay partitioned. Index
+    construction is O(n·strides) init + two NND rounds with ≤(2k)²
+    per-node proposal fan-out — no stage is all-pairs."""
+    graph, b = _gs_search_graph(spark, sf_dir)
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    ce = b.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+
+    def score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(ce, "cid")
+            .join(F.broadcast(q.select("qid", "qe")), "qid")
+            .select(
+                "qid",
+                "cid",
+                F.round(dot(F.col("qe"), F.col("ce")), 6).alias("score"),
+            )
+        )
+
+    wseed = Window.partitionBy("qid").orderBy(F.col("cid").asc())
+    bucket_seeds = (
+        F.broadcast(q.select("qid", "qb"))
+        .join(b.select(F.col("vec_id").alias("cid"), "bucket"), F.col("bucket") == F.col("qb"))
+        .withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= _GS_SEEDS)
+        .select("qid", "cid")
+    )
+    fixed = q.select("qid").crossJoin(
+        F.broadcast(
+            b.orderBy("vec_id").limit(_GS_ENTRIES).select(F.col("vec_id").alias("cid"))
+        )
+    )
+    visited = score(
+        bucket_seeds.unionByName(fixed).distinct()
+    ).localCheckpoint(eager=True)
+    wb = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    for _ in range(_GS_HOPS):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= _GS_BEAM)
+            .select("qid", "cid")
+        )
+        nbrs = (
+            frontier.join(graph, frontier.cid == graph.src)
+            .select("qid", F.col("dst").alias("cid"))
+            .distinct()
+        )
+        new = nbrs.join(visited, ["qid", "cid"], "left_anti")
+        visited = visited.unionByName(score(new)).localCheckpoint(eager=True)
+    return (
+        visited.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= _GS_K)
+        .select("qid", "cid", "score", "rnk")
+    )
+
+
+sim_graph_search_topk.__doc__ = sim_graph_search_topk.__doc__.format(
+    seeds=_GS_SEEDS, entries=_GS_ENTRIES, hops=_GS_HOPS, beam=_GS_BEAM, k=_GS_K
+)
+
+
+@register("sim_graph_search_recall")  # rows-only: self-measured ANN quality
+def sim_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall monitor for the graph-ANN path: overlap of
+    [[sim_graph_search_topk]]'s top-k with the EXACT inner-product top-k
+    per query (identical metric, both exclude self), averaged over
+    queries. One row: (n_queries, mean_recall_pct). The exact side
+    broadcasts the bounded query set against the corpus — the same plan
+    shape as sim_bruteforce_topk."""
+    got = sim_graph_search_topk(spark, sf_dir).select("qid", "cid")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    wb = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= _GS_K)
+        .select("qid", "cid")
+    )
+    hits = got.join(exact, ["qid", "cid"], "semi")
+    per_q = q.select("qid").join(
+        hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")), "qid", "left"
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            100.0 * F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / _GS_K), 2
+        ).alias("mean_recall_pct"),
+    )

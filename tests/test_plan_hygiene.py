@@ -181,6 +181,9 @@ _EXCHANGES_OK_MEASURED = {
     "graph_modularity": 7,
     "privacy_t_closeness": 5,
     "dq_mutual_information": 3,
+    # r9 additions
+    "sim_graph_search_recall": 5,  # MEASURED r9 at sf0.001: 4 executed (search
+    # hops sit behind eager localCheckpoints; final plan = exact leg + hit join)
 }
 
 

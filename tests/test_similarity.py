@@ -4,6 +4,8 @@ against brute force)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
     sim_ann_topk,
     sim_bruteforce,
@@ -296,3 +298,51 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # an exact one from the top-5 — allow that slack but require the mean
     # to improve on this fixture
     assert r_multi > r_single, (r_multi, r_single)
+
+
+def test_graph_search_structure_and_recall(spark, sf_dir):
+    """Graph-ANN beam search (r8 verdict task 5): results are valid
+    (k per query, self excluded, ranks dense, scores agree with an exact
+    recompute), the search touches a bounded slice of the corpus, and the
+    recall monitor clears the floor that makes the path worth shipping
+    on this corpus (IVF ~0.27 / IVFPQ ~0.12 here; graph search ~0.45)."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        _GS_K,
+        dot,
+        sim_graph_search_recall,
+        sim_graph_search_topk,
+    )
+    from ntd_gtfs_to_socrata_spark.io import load_table
+
+    got = sim_graph_search_topk(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in got:
+        assert r["qid"] != r["cid"]
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) == _GS_K
+        assert sorted(r["rnk"] for r in rows) == list(range(1, _GS_K + 1))
+        by_rnk = sorted(rows, key=lambda r: r["rnk"])
+        scores = [r["score"] for r in by_rnk]
+        assert scores == sorted(scores, reverse=True)
+
+    # scores equal an exact recompute for every returned pair
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pairs = spark.createDataFrame(
+        [(r["qid"], r["cid"], r["score"]) for r in got],
+        "qid long, cid long, score double",
+    )
+    recomputed = (
+        pairs.join(emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid")
+        .join(emb.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce")), "cid")
+        .select("qid", "cid", "score", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("want"))
+        .collect()
+    )
+    for r in recomputed:
+        assert r["score"] == r["want"], (r["qid"], r["cid"])
+
+    mon = sim_graph_search_recall(spark, sf_dir).collect()[0]
+    assert mon["n_queries"] == len(per_q)
+    assert mon["mean_recall_pct"] >= 30.0, mon

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "text_boilerplate_ngrams",  # 1-row doc-count scalar, broadcast cross join
     "tp_temperature_resample",  # 1-row corpus-totals scalar feeding the rate table
     "sim_ivf_recall",  # embeds sim_bruteforce's scored cross product (whitelisted above)
+    "sim_graph_search_recall",  # embeds sim_bruteforce's exact leg (whitelisted above)
     "sim_embedding_dedup_keep_one",  # embeds sim_cosine_neardup_pairs' bounded cross join
     "a6_winsorized_stats",  # 1-row p05/p95 threshold scalar, broadcast cross join
     "tp_perplexity_filter",  # 1-row tercile-threshold scalar over the score frame
@@ -116,6 +117,8 @@ FORCED_BC_OK = {
     "sim_ivf_assign",            # K-row centroid table
     "sim_ivf_topk",              # K centroids + bounded query set
     "sim_ivf_recall",            # embeds both pipelines above
+    "sim_graph_search_topk",     # bounded query set + LIMIT-bounded entries + tiny block-offset table
+    "sim_graph_search_recall",   # embeds the topk broadcasts + sim_bruteforce exact leg
     "sim_kmeans_train",          # K-row centroid table per iteration
     "sim_semdedup_cells",        # K-row centroid table
     "sim_matryoshka_topk",       # bounded query set, two-stage screen
@@ -258,6 +261,10 @@ EXCHANGES_OK = {
     # top-k pipelines — exchange count is the sum of its parts.
     # MEASURED r7: 8 executed / 1 reused
     "sim_ivf_recall",
+    # graph-ANN recall monitor: the search side's hop joins sit behind
+    # eager localCheckpoints (graph/visited state), so the FINAL plan is
+    # the exact leg + hit join only. MEASURED r9: 4 executed / 3 broadcast
+    "sim_graph_search_recall",
     # unigram-LM score = vocab agg + token⋈vocab join + per-doc agg.
     # MEASURED r7 (tools/measure_exchanges.py): 5 executed shuffles — the
     # only duplicate is the fixture RoundRobin rebalance of the raw docs
