@@ -20,10 +20,11 @@ from __future__ import annotations
 # NOTE: Spark 4's successor API (``transformWithStateInPandas`` — ValueState/
 # ListState/MapState + timers) is present in this PySpark build but its
 # state-server protocol requires ``google.protobuf``, which this container
-# does not ship (verified: the driver worker crashes with ImportError on
-# protobuf descriptor import). ``applyInPandasWithState`` below is the
-# supported custom-state surface here; the operator bodies port 1:1 once
-# protobuf is available.
+# does not ship (re-verified r9: the driver worker crashes with ImportError
+# on protobuf descriptor import). ``stateful_v2.py`` carries the ported
+# operators behind a ``tws_available()`` gate — same arithmetic, same
+# batch-parity oracles, exercised by tests the moment protobuf appears;
+# ``applyInPandasWithState`` below is the runnable surface here.
 
 import atexit
 import os

@@ -504,3 +504,54 @@ def test_retire_previous_keeps_table_names_without_session(monkeypatch):
     import os
 
     assert not os.path.exists(d)
+
+
+def test_tws_ewma_parity_or_documented_gate(spark, sf_dir):
+    """transformWithStateInPandas port (stateful_v2): when the
+    google.protobuf runtime is present the v2 EWMA must be BIT-EXACT
+    equal to the batch window query (same oracle as stream_ewma); in
+    this container the runtime is absent, so the gate itself is pinned —
+    the probe must say unavailable AND the failure must be the documented
+    state-server ImportError, not something new."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+    from ntd_gtfs_to_socrata_spark.streaming import stateful_v2 as V2
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_ewma_smoothed
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    staging = STF.stage_time_sliced(spark, purchases, n_slices=4)
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = V2.running_ewma_tws(stream)
+
+    if not V2.tws_available():
+        with pytest.raises(Exception) as exc_info:
+            EW.run_available_now_to_memory(out, "tws_gate_probe", "update")
+        msg = str(exc_info.value)
+        # the protobuf ImportError surfaces as the state-server driver
+        # worker crashing before init (full traceback goes to driver logs)
+        assert (
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in msg
+            or "google.protobuf" in msg
+            or "TransformWithStateInPySpark driver worker exited" in msg
+        ), msg[:500]
+        return
+
+    EW.run_available_now_to_memory(out, "tws_ewma", "update")
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.table("tws_ewma").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in tw_ewma_smoothed(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-exact, not isclose
