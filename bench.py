@@ -171,6 +171,7 @@ def main() -> None:
             raise SystemExit(f"unknown queries: {unknown}")
         names = wanted
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     warm_errors: dict[str, str] = {}
     # Warm codegen/JIT per plan at the smallest SF (plans are identical, so
@@ -228,6 +229,7 @@ def main() -> None:
             continue
         med = statistics.median(passes)
         timings[name] = round(med, 3)
+        spread[name] = [round(min(passes), 3), round(max(passes), 3)]
         total += med
 
     out = {
@@ -235,6 +237,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-query [min, max] over the timed passes (r8 verdict task 7):
+        # the measured noise band compare_bench gates regressions against,
+        # so shared-host drift stops costing a manual worktree A/B
+        "spread": spread,
         "n_queries": len(timings),
         "sf": sf,
         # how many headline queries the total does NOT cover — consumers
