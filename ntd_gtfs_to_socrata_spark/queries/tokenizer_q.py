@@ -239,3 +239,90 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_len").alias("n_bpe_tokens"),
         )
     )
+
+
+def train_bpe_merges_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 50,
+    sample_vocab: int = 100_000,
+) -> DataFrame:
+    """PRODUCTION-SCALE BPE training path (r8 verdict task 8): the
+    distributed ``train_bpe_merges`` is exact but pays one Spark job per
+    merge round — at a real 50k-merge vocab that is 50k jobs, a wall no
+    amount of per-job efficiency fixes because BPE's merge choice is
+    inherently sequential. The standard production answer (every major
+    tokenizer trains this way) is: ONE distributed pass reduces the
+    corpus to the frequency-weighted vocab, a bounded SAMPLE of that
+    vocab (the ``sample_vocab`` most frequent tokens — deterministic:
+    count desc, token asc) is collected, and the sequential merge loop
+    runs driver-side over the vocab-sized sample with NO per-round jobs.
+
+    Same semantics as the distributed trainer (adjacent-pair counts
+    weighted by token frequency; leftmost non-overlapping merge fold;
+    tie-break count desc, left asc, right asc), same output schema —
+    so when the sample covers the full vocab the two trainers are EQUAL
+    row-for-row (pinned in tests/test_entity_res_tokenizer.py), and at
+    scale the sample's frequency cutoff is the only approximation, the
+    one every practical BPE implementation makes.
+
+    Scale posture: corpus touched once (two map-side-combined shuffles,
+    reduce volume = vocab cardinality); the collect is top-N-bounded
+    (Heaps' law makes the FULL vocab millions of rows at 100 TB — the
+    cap keeps the driver transfer fixed regardless); the merge loop is
+    O(n_merges * sample_tokens) driver CPU with zero cluster occupancy."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    vocab_rows = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(sample_vocab)
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in vocab_rows:
+        key = tuple(r["tok"])
+        vocab[key] = vocab.get(key, 0) + r["n"]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        (left, right), n_occ = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, n_occ))
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, n_occurrences bigint",
+    )
+
+
+@register("bpe_train_merges_sampled")
+def bpe_train_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 merge rounds via the sampled driver-side trainer (rows-only:
+    iterative argmax, not SQL-expressible). On the fixture the sample cap
+    exceeds the full vocab, so rounds 1-3 equal the distributed
+    ``bpe_train_merges`` exactly (pinned in tests) — the entry documents
+    the production path: one corpus pass + driver-side merge loop, no
+    job-per-merge wall."""
+    return train_bpe_merges_sampled(spark, sf_dir, n_merges=50)

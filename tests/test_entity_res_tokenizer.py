@@ -259,3 +259,42 @@ def test_bpe_token_counts_match_python_segmentation(spark):
         for r in bpe_token_counts(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_sampled_trainer_equals_distributed_on_full_vocab(spark, sf_dir):
+    """With the sample cap above the fixture's full vocab size, the
+    driver-side sampled trainer must produce EXACTLY the distributed
+    trainer's merge table (same pair weighting, same leftmost
+    non-overlapping fold, same tie-breaks) — the cross-check that makes
+    the frequency cutoff the ONLY approximation at scale."""
+    from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import (
+        train_bpe_merges,
+        train_bpe_merges_sampled,
+    )
+
+    dist = [tuple(r) for r in train_bpe_merges(spark, sf_dir, n_merges=3).collect()]
+    samp = [
+        tuple(r)
+        for r in train_bpe_merges_sampled(
+            spark, sf_dir, n_merges=3, sample_vocab=10_000_000
+        ).collect()
+    ]
+    assert dist == samp
+    assert len(dist) == 3
+
+
+def test_sampled_trainer_50_merges_runs_and_is_consistent(spark, sf_dir):
+    """The 50-merge production path: ranks are dense, merge counts are
+    non-increasing is NOT required (BPE counts can rise as symbols fuse),
+    but every merge must be derivable: its pair count is positive and its
+    merged symbol is left+right."""
+    from ntd_gtfs_to_socrata_spark.queries.tokenizer_q import (
+        train_bpe_merges_sampled,
+    )
+
+    rows = train_bpe_merges_sampled(spark, sf_dir, n_merges=50).collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 10  # fixture corpus supports at least 10 merges
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["n_occurrences"] > 0
