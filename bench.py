@@ -148,6 +148,10 @@ HEADLINE = [
     "sim_graph_search_topk",
     # (sim_graph_search_recall re-runs the whole topk pipeline — it is
     # oracle-gated and pytest-pinned, but benching it would double-count)
+    "eval_ks_two_sample",
+    "tw_funnel_stages",
+    "sim_range_search",
+    "bpe_train_merges_sampled",
 ]
 
 

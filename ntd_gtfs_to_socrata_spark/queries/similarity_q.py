@@ -1885,3 +1885,101 @@ def sim_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / _GS_K), 2
         ).alias("mean_recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search (r9): ALL neighbors within a similarity threshold —
+# the retrieval mode dedup/recall jobs need (top-k truncates; radius does
+# not), over the same multi-probe LSH candidate generation.
+# ---------------------------------------------------------------------------
+
+_RANGE_T = 0.25  # cosine threshold
+
+
+def _range_search_oracle() -> str:
+    flips = ", ".join(f"xor(qb, {1 << p})" for p in range(N_PLANES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, e AS qe, nrm AS qn, bucket AS qb FROM b WHERE vec_id % 50 = 0
+),
+probes AS (
+  SELECT qid, qe, qn, unnest([CAST(qb AS BIGINT), {flips}]) AS pb FROM q
+),
+scored AS (
+  SELECT DISTINCT qid, b.vec_id AS cid, b.label,
+         round(list_inner_product(qe, b.e) / (qn * b.nrm), 6) AS cosine
+  FROM probes p JOIN b ON b.bucket = p.pb AND p.qid <> b.vec_id
+)
+SELECT qid, cid, label, cosine FROM scored WHERE cosine >= {_RANGE_T}
+"""
+
+
+@register("sim_range_search", _range_search_oracle())
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS SEARCH: every candidate with cosine ≥ {t} per query — the
+    companion mode to the top-k paths (a fixed k silently truncates dense
+    neighborhoods; dedup/compliance retrieval must see ALL of them).
+    Candidates come from the multi-probe LSH generation (own bucket +
+    all Hamming-1 probes — sim_ann_multiprobe_topk's recall trade) and
+    are exact-cosine filtered; no window at all, since radius search has
+    no per-query rank.
+
+    Scale posture: probe join is bucket-keyed (the query side explodes to
+    1+N_PLANES bucket probes; the corpus side stays partitioned by
+    bucket), scoring is map-side; output size is data-dependent by
+    definition — the caller bounds it with the threshold, not a k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        sim_lsh_buckets(spark, sf_dir)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+            "bucket",
+        )
+    )
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "qid",
+        "qe",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("qb").cast("long"),
+                *[
+                    F.col("qb").cast("long").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("pb"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(b, (F.col("bucket") == F.col("pb")) & (F.col("qid") != F.col("vec_id")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "label",
+            F.round(dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    return scored.filter(F.col("cosine") >= _RANGE_T)
+
+
+sim_range_search.__doc__ = sim_range_search.__doc__.format(t=_RANGE_T)

@@ -692,3 +692,109 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.lit(1.0) - prod) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
     return per.select("problem_id", "n", "c", pak.alias("pass_at_k_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (r9): distribution-drift testing between
+# cohorts — the nonparametric sibling of dq_psi_drift's binned divergence.
+# ---------------------------------------------------------------------------
+
+_KS_SCALE = 10  # value quantization: one bin per 0.1
+_KS_BLOCK = 1024  # bins per prefix-sum block (the eval_auc_rank pattern)
+
+KS_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(floor(value * {_KS_SCALE}) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+bins AS (
+  SELECT bin, SUM(a) AS na, SUM(1 - a) AS nb FROM s GROUP BY bin
+),
+cum AS (
+  SELECT bin,
+         SUM(na) OVER (ORDER BY bin) AS ca,
+         SUM(nb) OVER (ORDER BY bin) AS cb
+  FROM bins
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM bins)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       CAST(MAX(abs(ca * tb - cb * ta)) AS BIGINT) AS d_numerator,
+       CAST(floor(MAX(abs(ca * tb - cb * ta)) * 1000000.0 / (ta * tb) + 0.5)
+            AS BIGINT) AS d_micro
+FROM cum, tot
+GROUP BY ta, tb
+"""
+
+
+@register("eval_ks_two_sample", KS_ORACLE)
+def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV statistic between the purchase and
+    view value distributions: D = max_x |ECDF_a(x) − ECDF_b(x)| over
+    0.1-quantized value bins. The textbook formulation sorts the pooled
+    sample (a global sort); here the corpus reduces to one bin-keyed
+    aggregation and the running CDFs use the TWO-LEVEL PREFIX SUM from
+    eval_auc_rank — per-block cumulative windows (bounded partitions) +
+    a broadcast block-offset table — so no unpartitioned window touches
+    data. EXACT: D's argmax runs on the INTEGER cross products
+    |ca·tb − cb·ta| (no division until the final 1-row micro-unit
+    quantization), so engines cannot disagree on the max.
+
+    Scale posture: one map-side-combinable bin aggregation (reduce volume
+    = bin cardinality, independent of corpus rows) + control-plane block
+    windows; 10⁹ events cost a scan."""
+    s = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.floor(F.col("value") * _KS_SCALE).cast("long").alias("bin"),
+        (F.col("event_type") == "purchase").cast("int").alias("a"),
+    )
+    # the bin table feeds THREE consumers (block totals, the cumulative
+    # pass, the 1-row totals scalar) — materialize once so the corpus
+    # scan + aggregation run a single time (the tp_perplexity lesson)
+    bins = s.groupBy("bin").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum(1 - F.col("a")).cast("long").alias("nb"),
+    ).localCheckpoint(eager=True)
+    blocked = bins.withColumn("block", F.floor(F.col("bin") / _KS_BLOCK))
+    blk_tot = blocked.groupBy("block").agg(
+        F.sum("na").alias("blk_na"), F.sum("nb").alias("blk_nb")
+    )
+    w_blk = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "block",
+        F.coalesce(F.sum("blk_na").over(w_blk), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("blk_nb").over(w_blk), F.lit(0)).alias("off_b"),
+    )
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = blocked.join(F.broadcast(blk_off), "block").select(
+        "bin",
+        "na",
+        "nb",
+        (F.col("off_a") + F.sum("na").over(w_in)).alias("ca"),
+        (F.col("off_b") + F.sum("nb").over(w_in)).alias("cb"),
+    )
+    totals = bins.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))  # 1-row totals scalar
+        .groupBy("ta", "tb")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+            .cast("long")
+            .alias("d_numerator")
+        )
+        .select(
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            "d_numerator",
+            F.floor(
+                F.col("d_numerator") * 1000000.0 / (F.col("ta") * F.col("tb")) + 0.5
+            ).cast("long").alias("d_micro"),
+        )
+    )

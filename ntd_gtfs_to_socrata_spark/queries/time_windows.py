@@ -1139,3 +1139,101 @@ def tw_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.select("event_type", F.explode(folded).alias("o"))
         .select("event_type", "o.day", "o.n", "o.cusum_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (r9): ordered-stage conversion counting — the product
+# analytics operator every event warehouse ships (view -> click ->
+# purchase, each stage within a window of the previous).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000  # each stage within 7 days of prior
+
+FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.us > s1.t1
+    AND e.us <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+    AND e.us <= s2.t2 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT stage, n_users, CAST(floor(n_users * 1000000.0 / first_n + 0.5) AS BIGINT) AS conv_micro
+FROM (
+  SELECT 1 AS stage, (SELECT count(*) FROM s1) AS n_users,
+         (SELECT count(*) FROM s1) AS first_n
+  UNION ALL
+  SELECT 2, (SELECT count(*) FROM s2), (SELECT count(*) FROM s1)
+  UNION ALL
+  SELECT 3, (SELECT count(*) FROM s3), (SELECT count(*) FROM s1)
+) t
+ORDER BY stage
+"""
+
+
+@register("tw_funnel_stages", FUNNEL_ORACLE)
+def tw_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-STAGE FUNNEL over the events stream: stage 1 anchors at
+    each user's first 'view'; stage k+1 requires the stage-k event type
+    STRICTLY AFTER the user's stage-k time and within a 7-day window of
+    it; output is one row per stage with the surviving user count and
+    micro-quantized conversion vs stage 1. First-touch attribution
+    (min-ts per stage) keeps the semantics deterministic — no
+    arbitrary-row pick.
+
+    Scale posture: per stage, ONE map-side-combinable conditional min
+    aggregation keyed on user_id joined to the previous stage's
+    user-keyed anchor frame — never a per-user sorted event array
+    (unbounded per key at 100 TB) and never a window over the corpus;
+    stage frames shrink monotonically. The final 3-row union is
+    control-plane."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    stage_frames = []
+    prev = None
+    for i, et in enumerate(_FUNNEL_STAGES):
+        if prev is None:
+            cur = (
+                e.filter(F.col("event_type") == et)
+                .groupBy("user_id")
+                .agg(F.min("us").alias("t"))
+            )
+        else:
+            cur = (
+                e.filter(F.col("event_type") == et)
+                .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                .filter(
+                    (F.col("us") > F.col("t_prev"))
+                    & (F.col("us") <= F.col("t_prev") + _FUNNEL_WINDOW_US)
+                )
+                .groupBy("user_id")
+                .agg(F.min("us").alias("t"))
+            )
+        cur = cur.localCheckpoint(eager=True)
+        stage_frames.append(cur)
+        prev = cur
+    counts = [df.count() for df in stage_frames]  # 3 control-plane scalars
+    first_n = counts[0]
+    rows = [
+        (i + 1, c, int((c * 1_000_000 + first_n // 2) // first_n) if first_n else 0)
+        for i, c in enumerate(counts)
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, n_users bigint, conv_micro bigint"
+    ).orderBy("stage")

@@ -454,3 +454,57 @@ def test_ewma_state_tail_bounded_for_span_one():
     assert _trim_tail([float(i) for i in range(20)], 16) == [
         float(i) for i in range(5, 20)
     ]
+
+
+def test_funnel_ordering_semantics_hand_truth(spark):
+    """Funnel stages require the NEXT stage strictly AFTER the previous
+    anchor and within the window: same-timestamp events do not convert,
+    out-of-order purchases do not convert, in-window ordered ones do."""
+    import datetime as dt
+
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import (
+        _FUNNEL_WINDOW_US,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, sec):
+        return (uid, typ, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        # user 1: full ordered funnel inside the window
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: click BEFORE view -> stops at stage 1
+        ev(2, "click", 0), ev(2, "view", 10),
+        # user 3: click at the SAME instant as view -> not strictly after
+        ev(3, "view", 0), ev(3, "click", 0),
+        # user 4: click outside the 7-day window
+        ev(4, "view", 0), ev(4, "click", _FUNNEL_WINDOW_US // 1_000_000 + 1),
+        # user 5: view+click, purchase before click -> stage 2 only
+        ev(5, "purchase", 5), ev(5, "view", 10), ev(5, "click", 20),
+    ]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_funnel_stages
+
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    work = tempfile.mkdtemp(prefix="funnel_fixture_")
+    # write a minimal events fixture dir the query can load
+    df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(work + "/events.parquet")
+    got = {r["stage"]: r["n_users"] for r in tw_funnel_stages(spark, work).collect()}
+    # stage 1: users 1,3,4,5 have a view... user 2 also views (at sec 10)
+    assert got[1] == 5
+    # stage 2: user 1 (click after view), user 5 (click 20 > view 10);
+    # NOT user 2 (no click after view), 3 (same instant), 4 (outside window)
+    assert got[2] == 2
+    # stage 3: only user 1 (user 5's purchase precedes its click)
+    assert got[3] == 1

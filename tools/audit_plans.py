@@ -74,6 +74,7 @@ BNLJ_OK = {
     "graph_modularity",  # 1-row edge-count scalar, broadcast cross join
     "privacy_t_closeness",  # 1-row corpus-total scalar, broadcast cross join
     "dq_mutual_information",  # 1-row total + 1-row entropy scalars, broadcast cross joins
+    "eval_ks_two_sample",  # 1-row (ta, tb) totals scalar, broadcast cross join
 }
 
 # Forced-broadcast allowlist: queries that carry an explicit F.broadcast()
@@ -130,6 +131,8 @@ FORCED_BC_OK = {
     "a6_count_min_heavy_hitters",  # d*w-row CMS counter table (constant by construction)
     "bpe_token_counts",          # trained-vocab segmentation table (fixed artifact)
     "sq_correlated_scalar",      # per-key avg threshold frame (decorrelated scalar agg)
+    "eval_ks_two_sample",        # block-offset table + 1-row totals scalar
+    "sim_range_search",          # bounded query set x 9 probe rows
     "j8c_incremental_join_delta",  # batch-bounded delta frames (CDC batch size)
     # --- K-row centroid / codebook tables (cont.) ---
     "sim_pq_topk",               # N_SUB*N_CODES codebook + ADC lookup table
@@ -187,6 +190,8 @@ GLOBAL_WINDOW_OK = {
     # BLOCK table (control plane), not the bin table — the whole point of
     # the two-level decomposition (see eval_auc_rank docstring)
     "eval_auc_rank",
+    # same two-level decomposition, same block table (KS sibling)
+    "eval_ks_two_sample",
     # per-source rate table (one row per corpus source, a handful) — the
     # window input is the metadata frame, not the corpus
     "tp_weighted_sample",
