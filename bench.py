@@ -152,6 +152,11 @@ HEADLINE = [
     "tw_funnel_stages",
     "sim_range_search",
     "bpe_train_merges_sampled",
+    # r9 additions (cont.): rank statistics + soft dedup + decay scoring
+    "eval_mann_whitney",
+    "eval_spearman",
+    "tw_exp_decay_score",
+    "dedup_soft_weight",
 ]
 
 

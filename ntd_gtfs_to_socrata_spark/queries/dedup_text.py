@@ -3107,3 +3107,85 @@ def dq_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zipf_slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup weighting (r9): down-WEIGHT near-duplicates instead of dropping
+# them (SoftDeDup / "quality-weighted sampling" — keep every doc but give a
+# k-member near-dup cluster total sampling mass 1, i.e. weight 1/k each).
+# ---------------------------------------------------------------------------
+
+SOFT_WEIGHT_ORACLE = f"""
+WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+sized AS (
+  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+),
+szs AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM sized GROUP BY component_id
+)
+SELECT s.doc_id, s.component_id, z.cluster_size,
+       CAST(floor(1000000.0 / z.cluster_size + 0.5) AS BIGINT) AS weight_micro
+FROM sized s JOIN szs z USING (component_id)
+"""
+
+
+@register("dedup_soft_weight", SOFT_WEIGHT_ORACLE)
+def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dedup_keep_one_per_cluster's binary
+    keep/drop verdict, every document stays in the corpus with sampling
+    weight 1/|cluster| (micro-quantized), so a k-member near-dup cluster
+    contributes total mass 1 to the training mix — the down-weighting
+    alternative to removal that preserves rare in-cluster variation
+    (paraphrases, minor edits) while neutralizing over-representation.
+
+    Composition: the same df-capped candidate pairs → connected
+    components as the keep-one pipeline, then cluster sizes are ONE
+    aggregation on the component map and the weight is a map-side
+    expression — the extra cost over keep-one is a component-keyed count
+    plus one join.
+
+    Scale posture: the corpus-sized side is touched by one LEFT join
+    against the component map and one join against the (clusters-sized)
+    size table; no forced broadcast on either — on real web corpora the
+    component map is billions of rows, AQE sizes the joins at runtime
+    (the dedup_keep_one rule)."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component_id").alias("comp")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sized = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("component_id"),
+    )
+    # cluster size as a PARTITIONED count window: one component-keyed
+    # shuffle instead of groupBy + re-join (2 exchanges saved); no
+    # orderBy, so no within-partition sort either
+    w = Window.partitionBy("component_id")
+    return sized.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        F.floor(1000000.0 / F.col("cluster_size") + 0.5)
+        .cast("long")
+        .alias("weight_micro"),
+    )

@@ -798,3 +798,267 @@ def eval_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("d_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (r9): the rank-sum sibling of eval_ks_two_sample — tests
+# LOCATION shift between two cohorts where KS tests any distribution
+# difference. Exercises tie-corrected average ranks, which the KS bin
+# machinery does not need.
+# ---------------------------------------------------------------------------
+
+_MW_SCALE = 10  # value quantization: one bin per 0.1 (ties are the point)
+_MW_BLOCK = 1024  # bins per prefix-sum block (the eval_auc_rank pattern)
+
+MW_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(floor(value * {_MW_SCALE}) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+bins AS (
+  SELECT bin, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(1 - a) AS BIGINT) AS nb
+  FROM s GROUP BY bin
+),
+cum AS (
+  SELECT na, nb, na + nb AS n,
+         COALESCE(SUM(na + nb) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbefore
+  FROM bins
+),
+agg AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+         CAST(SUM(na * (2 * cbefore + n + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(n * n * n - n) AS BIGINT) AS tie
+  FROM cum
+)
+SELECT ta AS n_a, tb AS n_b,
+       r2a - ta * (ta + 1) AS u2,
+       CAST(floor(
+         (r2a - ta * (ta + 1) - ta * tb)
+         / (2.0 * sqrt(ta * tb / 12.0
+             * ((ta + tb + 1) - tie / ((ta + tb) * (ta + tb - 1.0)))))
+         * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM agg
+"""
+
+
+@register("eval_mann_whitney", MW_ORACLE)
+def eval_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test (purchase vs view values): tests a
+    location shift where KS tests any distributional difference. The
+    textbook form ranks the pooled sorted sample — a global sort; here
+    ranks collapse to bin statistics: every value in a tie-bin takes the
+    AVERAGE rank ``cbefore + (n+1)/2`` (``cbefore`` = pooled count in
+    strictly-smaller bins), so one bin-keyed aggregation plus the
+    two-level block prefix sum (eval_auc_rank pattern — per-block bounded
+    cumulative windows + a broadcast block-offset table) replaces the
+    sort entirely.
+
+    EXACT: doubled ranks ``r2 = 2·cbefore + n + 1`` keep the half-integer
+    average ranks in BIGINTs, so ``u2 = 2U = Σ na·r2 − ta(ta+1)`` is
+    integer and engines cannot disagree; the tie-corrected normal z
+    (Σ(t³−t) correction) is one deterministic double expression on the
+    final 1-row frame, micro-quantized. Long-arithmetic bounds: r2a ≤
+    ta·(2N+1), tie ≤ N³ — exact to N ≈ 2·10⁶ pooled rows per tie-bin
+    worst case; past that, widen bins (the statistic is bin-granular by
+    construction).
+
+    Scale posture: one map-side-combinable bin aggregation (reduce volume
+    = bin cardinality, not corpus rows) + control-plane block windows +
+    a 1-row fold; 10⁹ events cost a scan."""
+    s = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.floor(F.col("value") * _MW_SCALE).cast("long").alias("bin"),
+        (F.col("event_type") == "purchase").cast("int").alias("a"),
+    )
+    bins = s.groupBy("bin").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum(1 - F.col("a")).cast("long").alias("nb"),
+    ).localCheckpoint(eager=True)  # feeds block totals + cumulative pass
+    blocked = bins.withColumn("block", F.floor(F.col("bin") / _MW_BLOCK))
+    blk_tot = blocked.groupBy("block").agg(
+        F.sum(F.col("na") + F.col("nb")).alias("blk_n")
+    )
+    w_blk = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "block", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)).alias("off_n")
+    )
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_bin = F.col("na") + F.col("nb")
+    cum = blocked.join(F.broadcast(blk_off), "block").select(
+        "na",
+        "nb",
+        n_bin.alias("n"),
+        (
+            F.col("off_n")
+            + F.coalesce(F.sum(n_bin).over(w_in), F.lit(0))
+        ).alias("cbefore"),
+    )
+    agg = cum.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.sum(
+            F.col("na") * (2 * F.col("cbefore") + F.col("n") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(
+            F.col("n") * F.col("n") * F.col("n") - F.col("n")
+        ).cast("long").alias("tie"),
+    )
+    ta, tb, r2a, tie = F.col("ta"), F.col("tb"), F.col("r2a"), F.col("tie")
+    nn = ta + tb
+    u2 = r2a - ta * (ta + 1)
+    sigma2 = 2.0 * F.sqrt(
+        ta * tb / F.lit(12.0)
+        * ((nn + 1) - tie / (nn * (nn - F.lit(1.0))))
+    )
+    return agg.select(
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        u2.alias("u2"),
+        F.floor((u2 - ta * tb) / sigma2 * 1000000 + 0.5)
+        .cast("long")
+        .alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (r9): monotone association between two
+# per-document metrics without assuming linearity — the screening stat for
+# "does quality score track length?" style corpus diagnostics.
+# ---------------------------------------------------------------------------
+
+_SP_BLOCK = 1024  # distinct metric values per prefix-sum block
+
+SPEARMAN_ORACLE = """
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS y
+  FROM documents
+),
+rx AS (
+  SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS r2x
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY x)
+),
+ry AS (
+  SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS r2y
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY y)
+),
+ranked AS (
+  SELECT r2x, r2y FROM m JOIN rx USING (x) JOIN ry USING (y)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+         CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+         CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n AS n_docs,
+       CAST(floor(
+         (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+         * 1000000 + 0.5) AS BIGINT) AS rho_micro
+FROM agg
+"""
+
+
+@register("eval_spearman", SPEARMAN_ORACLE)
+def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between document length (chars) and
+    token count — Pearson on tie-averaged ranks, the nonparametric
+    association screen. The textbook form sorts the corpus twice; here
+    the corpus is aggregated EXACTLY ONCE, into the (x, y) PAIR-COUNT
+    table, and every downstream frame is metric-DOMAIN-sized: the
+    marginal count tables derive from the pair table, each rank map is a
+    two-level block prefix sum over its marginal (the eval_mann_whitney
+    machinery — average rank of a tie-group = pooled count of
+    strictly-smaller values + (group size + 1)/2), and the five moment
+    sums fold over the pair table weighted by cnt. No corpus-sized
+    materialization, join, or window anywhere past the first shuffle
+    (the first cut localCheckpointed the full (x, y) projection and
+    joined ranks back to it — a corpus-sized write that the pair-table
+    form deletes).
+
+    EXACT: doubled ranks keep tie-averages integer; all moment sums are
+    BIGINT (Σ ≤ n·(2n+1)² — exact to n ≈ 2·10⁶ docs; beyond that
+    quantize the metric domain into rank buckets, same machinery). rho
+    is one deterministic double expression on the final 1-row frame,
+    micro-quantized.
+
+    Scale posture: one map-side-combinable corpus aggregation (reduce
+    volume = distinct (x, y) pairs); everything after moves domain-sized
+    rank maps (AQE broadcasts them into the pair-table joins at runtime)
+    or 1-row moment frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = (
+        docs.select(
+            F.length("text").cast("long").alias("x"),
+            F.size(toks).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds both marginals + the sxy fold
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        """(col, cnt, r2<col>) — doubled tie-averaged rank per distinct
+        value, blocked prefix sum over the DOMAIN-sized marginal."""
+        cnts = pairs.groupBy(col).agg(F.sum("cnt").cast("long").alias("cnt"))
+        blocked = cnts.withColumn("block", F.floor(F.col(col) / _SP_BLOCK))
+        blk_tot = blocked.groupBy("block").agg(F.sum("cnt").alias("blk_n"))
+        w_blk = Window.orderBy("block").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        blk_off = blk_tot.select(
+            "block",
+            F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)).alias("off_n"),
+        )
+        w_in = (
+            Window.partitionBy("block")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return blocked.join(F.broadcast(blk_off), "block").select(
+            col,
+            "cnt",
+            (
+                2 * (F.col("off_n") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    # all five moments fold in ONE aggregation over the rank-joined pair
+    # table — each rank map is consumed exactly once
+    joined = pairs.join(rank_map("x").select("x", "r2x"), "x").join(
+        rank_map("y").select("y", "r2y"), "y"
+    )
+    agg = joined.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("r2x")).cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("r2y")).cast("long").alias("sy"),
+        F.sum(F.col("cnt") * F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("cnt") * F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("cnt") * F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * F.lit(1.0) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        n.alias("n_docs"),
+        F.floor(rho * 1000000 + 0.5).cast("long").alias("rho_micro"),
+    )

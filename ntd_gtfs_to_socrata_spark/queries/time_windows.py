@@ -1237,3 +1237,77 @@ def tw_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage int, n_users bigint, conv_micro bigint"
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed engagement score (r9): the recency-weighted
+# aggregate behind "active user" scores and feature-store decay features.
+# ---------------------------------------------------------------------------
+
+_DECAY_HORIZON = 30  # days; weight doubles every day closer to the corpus end
+_DECAY_TOPK = 20
+
+DECAY_ORACLE = f"""
+WITH t AS (SELECT max(CAST(ts AS DATE)) AS t_end FROM events),
+w AS (
+  SELECT e.user_id,
+         CAST(round(e.value * 100) AS BIGINT)
+           * (CAST(1 AS BIGINT) << ({_DECAY_HORIZON} - datediff('day', CAST(e.ts AS DATE), t.t_end)))
+           AS term,
+         1 AS one
+  FROM events e, t
+  WHERE datediff('day', CAST(e.ts AS DATE), t.t_end) < {_DECAY_HORIZON + 1}
+)
+SELECT user_id,
+       CAST(SUM(term) AS BIGINT) AS score_units,
+       CAST(SUM(one) AS BIGINT) AS n_recent
+FROM w GROUP BY user_id
+ORDER BY score_units DESC, user_id
+LIMIT {_DECAY_TOPK}
+"""
+
+
+@register("tw_exp_decay_score", DECAY_ORACLE)
+def tw_exp_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by EXPONENTIALLY TIME-DECAYED engagement: each event
+    contributes value · 2^(horizon − age_days), so yesterday's activity
+    counts double the day before's — the standard recency weighting for
+    activity scores and feature-store decay features, normally quoted as
+    Σ v·e^(−λ·Δt).
+
+    EXACT: base-2 decay on integer day ages makes every weight a power of
+    two and the event value is cents (two-decimal fixture), so each term
+    and the per-user sum are BIGINTs — partial-agg order cannot flip bits
+    and both engines agree exactly (e^-λt would hit libm differences).
+    Term bound: 10⁴·2³⁰ ≈ 10¹³ per event, ~10⁶ recent events per user
+    before 2⁶³ — document-checked, not enforced.
+
+    Scale posture: one map-side-combinable user aggregation over a
+    date-pruned scan (the horizon filter prunes partitions on a
+    date-partitioned lake layout); top-k is TakeOrderedAndProject (k-row,
+    no global sort materialization); the corpus-end date is a 1-row
+    scalar broadcast. Ties are broken by user_id so the emitted SET is
+    deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    t_end = events.agg(F.max(F.to_date("ts")).alias("t_end"))
+    age = F.datediff(F.col("t_end"), F.to_date("ts"))
+    # shiftleft's python wrapper takes a literal bit count — build the
+    # column-valued shift in SQL expression form instead
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_HORIZON} - datediff(t_end, to_date(ts)))"
+    )
+    return (
+        events.crossJoin(F.broadcast(t_end))  # 1-row corpus-end scalar
+        .filter(age <= _DECAY_HORIZON)
+        .select(
+            "user_id",
+            (F.round(F.col("value") * 100).cast("long") * weight).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("term").cast("long").alias("score_units"),
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+        )
+        .orderBy(F.desc("score_units"), "user_id")
+        .limit(_DECAY_TOPK)
+    )

@@ -1,0 +1,133 @@
+"""Hand-truth models for the r9 rank statistics, decay scoring, and soft
+dedup weighting — semantic properties beyond the DuckDB oracle's value
+hash (model equivalence, perfect-correlation limits, mass conservation)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.queries.dedup_text import dedup_soft_weight
+from ntd_gtfs_to_socrata_spark.queries.stats_q import (
+    _MW_SCALE,
+    eval_mann_whitney,
+    eval_spearman,
+)
+from ntd_gtfs_to_socrata_spark.queries.time_windows import (
+    _DECAY_HORIZON,
+    _DECAY_TOPK,
+    tw_exp_decay_score,
+)
+
+
+def _avg_ranks_2x(values: list[int]) -> dict[int, int]:
+    """value -> doubled tie-averaged rank (exact integer)."""
+    cnt = Counter(values)
+    out, cbefore = {}, 0
+    for v in sorted(cnt):
+        out[v] = 2 * cbefore + cnt[v] + 1
+        cbefore += cnt[v]
+    return out
+
+
+def test_mann_whitney_matches_python_model(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_type", "value").collect()
+    a = [math.floor(r["value"] * _MW_SCALE) for r in ev if r["event_type"] == "purchase"]
+    b = [math.floor(r["value"] * _MW_SCALE) for r in ev if r["event_type"] == "view"]
+    r2 = _avg_ranks_2x(a + b)
+    ta, tb = len(a), len(b)
+    r2a = sum(r2[v] for v in a)
+    u2 = r2a - ta * (ta + 1)
+    n = ta + tb
+    tie = sum(c**3 - c for c in Counter(a + b).values())
+    sigma = math.sqrt(ta * tb / 12.0 * ((n + 1) - tie / (n * (n - 1.0))))
+    z_micro = math.floor((u2 - ta * tb) / (2.0 * sigma) * 1000000 + 0.5)
+
+    row = eval_mann_whitney(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (ta, tb)
+    assert row["u2"] == u2
+    assert abs(row["z_micro"] - z_micro) <= 1  # model sums floats in a different order
+
+
+def test_mann_whitney_identical_samples_z_zero(spark, sf_dir, tmp_path):
+    # both cohorts drawn from the SAME values => U = ta*tb/2 exactly, z = 0
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value", "props")
+    both = ev.withColumn("event_type", F.lit("purchase")).unionByName(
+        ev.withColumn("event_type", F.lit("view"))
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    both.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    row = eval_mann_whitney(spark, str(d)).collect()[0]
+    assert row["n_a"] == row["n_b"]
+    assert row["u2"] == row["n_a"] * row["n_b"]  # 2U = na*nb => U = na*nb/2
+    assert row["z_micro"] == 0
+
+
+def test_spearman_matches_python_model(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    xs = [len(r["text"]) for r in docs]
+    ys = [len([t for t in r["text"].strip().split()]) for r in docs]
+    rx, ry = _avg_ranks_2x(xs), _avg_ranks_2x(ys)
+    n = len(xs)
+    sx = sum(rx[v] for v in xs)
+    sy = sum(ry[v] for v in ys)
+    sxx = sum(rx[v] ** 2 for v in xs)
+    syy = sum(ry[v] ** 2 for v in ys)
+    sxy = sum(rx[a] * ry[b] for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+    row = eval_spearman(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n
+    assert abs(row["rho_micro"] - math.floor(rho * 1000000 + 0.5)) <= 1
+    # length and token count must correlate strongly on any text corpus
+    assert row["rho_micro"] > 800000
+
+
+def test_spearman_perfect_monotone_is_one(spark, tmp_path):
+    # y strictly increases with x (all distinct) => rho == 1 exactly
+    rows = [(i, "w " * (i + 1)) for i in range(50)]  # n_chars strictly grows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    row = eval_spearman(spark, str(d)).collect()[0]
+    assert row["rho_micro"] == 1000000
+
+
+def test_exp_decay_matches_python_model(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    t_end = max(r["ts"].date() for r in ev)
+    scores: dict[int, int] = defaultdict(int)
+    counts: dict[int, int] = defaultdict(int)
+    for r in ev:
+        age = (t_end - r["ts"].date()).days
+        if age <= _DECAY_HORIZON:
+            scores[r["user_id"]] += round(r["value"] * 100) * (1 << (_DECAY_HORIZON - age))
+            counts[r["user_id"]] += 1
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_DECAY_TOPK]
+    got = tw_exp_decay_score(spark, sf_dir).collect()
+    assert [(r["user_id"], r["score_units"]) for r in got] == want
+    assert all(r["n_recent"] == counts[r["user_id"]] for r in got)
+
+
+def test_soft_weight_mass_conservation_and_singletons(spark, sf_dir):
+    rows = dedup_soft_weight(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    by_comp: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_comp[r["component_id"]].append(r)
+    for comp, members in by_comp.items():
+        k = members[0]["cluster_size"]
+        assert len(members) == k
+        # every member carries weight floor(1e6/k + .5); total cluster mass
+        # is 1e6 up to k/2 micro of rounding
+        assert all(r["weight_micro"] == math.floor(1e6 / k + 0.5) for r in members)
+        assert abs(sum(r["weight_micro"] for r in members) - 1_000_000) <= k
+    singles = [r for r in rows if r["cluster_size"] == 1]
+    assert singles and all(r["weight_micro"] == 1_000_000 for r in singles)
+    assert any(r["cluster_size"] > 1 for r in rows)  # fixture has near-dups

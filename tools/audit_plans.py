@@ -58,6 +58,7 @@ BNLJ_OK = {
     "sim_matryoshka_topk",  # broadcast query-set × corpus screen, sim_bruteforce shape
     "tp_dsir_importance",  # 1-row corpus-constants scalar, broadcast cross join
     "dedup_lsh_recall",  # three 1-row metric aggregates cross-joined (control plane)
+    "tw_exp_decay_score",  # 1-row corpus-end-date scalar, broadcast cross join
     "dq_anomaly_daily_counts",  # 1-row median/MAD scalars over the tiny daily series
     "er_blocking_quality",  # 1-row candidate-stats × 1-row true-pair-count crossJoin
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
@@ -132,6 +133,9 @@ FORCED_BC_OK = {
     "bpe_token_counts",          # trained-vocab segmentation table (fixed artifact)
     "sq_correlated_scalar",      # per-key avg threshold frame (decorrelated scalar agg)
     "eval_ks_two_sample",        # block-offset table + 1-row totals scalar
+    "eval_mann_whitney",         # block-offset table (KS sibling, same shape)
+    "eval_spearman",             # two block-offset tables (rank maps join unhinted)
+    "tw_exp_decay_score",        # 1-row corpus-end-date scalar
     "sim_range_search",          # bounded query set x 9 probe rows
     "j8c_incremental_join_delta",  # batch-bounded delta frames (CDC batch size)
     # --- K-row centroid / codebook tables (cont.) ---
@@ -192,6 +196,9 @@ GLOBAL_WINDOW_OK = {
     "eval_auc_rank",
     # same two-level decomposition, same block table (KS sibling)
     "eval_ks_two_sample",
+    # same block-offset prefix sum — MW rank bins / Spearman rank maps
+    "eval_mann_whitney",
+    "eval_spearman",
     # per-source rate table (one row per corpus source, a handful) — the
     # window input is the metadata frame, not the corpus
     "tp_weighted_sample",
@@ -259,6 +266,14 @@ def global_window_lines(physical: str) -> list[str]:
 # deliberately-expensive composition queries: each embeds whole pipelines
 # whose exchange counts are already audited individually
 EXCHANGES_OK = {
+    # Spearman: the CORPUS is shuffled exactly once (the (x,y) pair-count
+    # aggregation); the other exchanges are the two rank maps' blocked
+    # prefix sums + the 1-row moment fold, all over metric-DOMAIN-sized
+    # frames (distinct lengths / token counts, not docs). MEASURED r9:
+    # 11 executed / 0 reused / 4 broadcast — see the docstring for why
+    # the corpus-join form (fewer exchanges, corpus-sized checkpoint)
+    # was rejected.
+    "eval_spearman",
     # w4_set_ops exercises the native set operators; its single-pass
     # rewrite is the production form. MEASURED r7: 6 executed / 3 reused
     "w4_set_ops",
