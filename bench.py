@@ -157,6 +157,7 @@ HEADLINE = [
     "eval_spearman",
     "tw_exp_decay_score",
     "dedup_soft_weight",
+    "sim_mmr_diversify",
 ]
 
 

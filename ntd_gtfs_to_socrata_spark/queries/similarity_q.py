@@ -1983,3 +1983,173 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_range_search.__doc__ = sim_range_search.__doc__.format(t=_RANGE_T)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (r9): re-rank retrieval results for RELEVANCE and
+# DIVERSITY jointly (Carbonell & Goldstein 1998) — the standard fix for
+# "the top-k are 5 near-identical passages" in RAG serving.
+# ---------------------------------------------------------------------------
+
+_MMR_C = 20  # candidate pool per query (relevance top-C)
+_MMR_K = 5  # results selected per query
+# lambda = 0.7 as the exact fraction 7/10: score10 = 7*rel - 3*max_sim
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection: step 1 = argmax relevance; step i = argmax
+    7*rel - 3*(max sim to the i-1 already-selected), ties to lower cid."""
+    steps = []
+    union = "SELECT qid, cid FROM sel1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(
+            f"pen{i} AS (\n"
+            f"  SELECT p.qid, p.ca AS cid, max(p.sim) AS pen\n"
+            f"  FROM pairs p JOIN ({union}) s ON p.qid = s.qid AND p.cb = s.cid\n"
+            f"  GROUP BY p.qid, p.ca\n), "
+            f"sc{i} AS (\n"
+            f"  SELECT c.qid, c.cid, 7 * c.rel - 3 * pe.pen AS score10,\n"
+            f"         row_number() OVER (PARTITION BY c.qid\n"
+            f"           ORDER BY 7 * c.rel - 3 * pe.pen DESC, c.cid ASC) AS rn\n"
+            f"  FROM cands c\n"
+            f"  JOIN pen{i} pe ON c.qid = pe.qid AND c.cid = pe.cid\n"
+            f"  LEFT JOIN ({union}) s ON c.qid = s.qid AND c.cid = s.cid\n"
+            f"  WHERE s.cid IS NULL\n), "
+            f"sel{i} AS (\n"
+            f"  SELECT qid, cid, {i} AS step, score10 FROM sc{i} WHERE rn = 1\n)"
+        )
+        union = f"{union} UNION ALL SELECT qid, cid FROM sel{i}"
+    chained = ",\n".join(steps)
+    final = " UNION ALL ".join(
+        f"SELECT qid, cid, step, score10 FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings
+),
+ranked AS (
+  SELECT qid, cid, ce, cn,
+         CAST(floor(round(list_inner_product(qe, ce) / (qn * cn), 6) * 1000000
+                    + 0.5) AS BIGINT) AS rel,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(list_inner_product(qe, ce) / (qn * cn), 6) DESC,
+                    cid ASC) AS rnk
+  FROM q JOIN c ON qid <> cid
+),
+cands AS (SELECT qid, cid, ce, cn, rel FROM ranked WHERE rnk <= {_MMR_C}),
+pairs AS (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         CAST(floor(round(list_inner_product(a.ce, b.ce) / (a.cn * b.cn), 6)
+                    * 1000000 + 0.5) AS BIGINT) AS sim
+  FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid <> b.cid
+),
+sel1 AS (
+  SELECT qid, cid, 1 AS step, 7 * rel AS score10
+  FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+          ORDER BY rel DESC, cid ASC) AS rn FROM cands)
+  WHERE rn = 1
+),
+{chained}
+{final}
+"""
+
+
+@register("sim_mmr_diversify", _mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein, SIGIR
+    1998): from each query's relevance top-20 candidates, greedily select
+    5 results maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected (lambda = 0.7) — relevance alone returns near-
+    duplicate passages; MMR trades a little relevance for coverage.
+
+    The greedy loop is UNROLLED: k-1 bounded dataframe stages, each one
+    penalty aggregation over the candidate pair table + an anti-join on
+    the selected set + a qid-partitioned argmax window. Every frame past
+    the candidate stage is (queries x C)- or (queries x C^2)-sized —
+    bounded per query by construction, linear in the query batch.
+
+    EXACT: relevance and pairwise similarity quantize to micro-units
+    AFTER the shared round(cosine, 6) convention, so the selection
+    argmax compares integers (score10 = 7*rel - 3*pen, lambda as the
+    exact fraction 7/10) and ties break on cid — engines cannot diverge
+    mid-greedy (one flipped pick would cascade).
+
+    Scale posture: candidate generation is the sim_bruteforce shape
+    (broadcast query set, corpus stays partitioned, WindowGroupLimit
+    keeps C rows per query through the shuffle); swap in the bucketed
+    ANN candidates for the 100 TB path — the MMR stages are agnostic to
+    where candidates came from. The k-step loop moves candidate-pool
+    frames only; each step is localCheckpointed so plans stay flat."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    c = ensure_min_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    cos = F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6)
+    scored = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        "ce",
+        "cn",
+        F.floor(cos * 1000000 + 0.5).cast("long").alias("rel"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    cands = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_C)
+        .select("qid", "cid", "ce", "cn", "rel")
+        .localCheckpoint(eager=True)  # feeds the pair table + every step
+    )
+    a = cands.select("qid", F.col("cid").alias("ca"), F.col("ce").alias("ea"), F.col("cn").alias("na"))
+    b = cands.select("qid", F.col("cid").alias("cb"), F.col("ce").alias("eb"), F.col("cn").alias("nb"))
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(b, ["qid"]).filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid", "ca", "cb",
+            F.floor(sim * 1000000 + 0.5).cast("long").alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # feeds k-1 penalty stages
+    )
+    slim = cands.select("qid", "cid", "rel")
+    w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("cid").asc())
+    selected = (
+        slim.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", F.lit(1).alias("step"), (7 * F.col("rel")).alias("score10"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, _MMR_K + 1):
+        pen = (
+            pairs.join(
+                selected.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        score10 = 7 * F.col("rel") - 3 * F.col("pen")
+        wi = Window.partitionBy("qid").orderBy(score10.desc(), F.col("cid").asc())
+        pick = (
+            slim.join(selected.select("qid", "cid"), ["qid", "cid"], "left_anti")
+            .join(pen, ["qid", "cid"])
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", F.lit(i).alias("step"), score10.alias("score10"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected

@@ -131,3 +131,70 @@ def test_soft_weight_mass_conservation_and_singletons(spark, sf_dir):
     singles = [r for r in rows if r["cluster_size"] == 1]
     assert singles and all(r["weight_micro"] == 1_000_000 for r in singles)
     assert any(r["cluster_size"] > 1 for r in rows)  # fixture has near-dups
+
+
+def test_mmr_matches_python_model(spark, sf_dir):
+    """Replay the greedy MMR selection in pure Python from the same
+    candidate pools and demand bit-identical picks and scores."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import (
+        _MMR_K,
+        sim_mmr_diversify,
+    )
+
+    got = sim_mmr_diversify(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos_micro(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return math.floor(round(num / (na * nb), 6) * 1000000 + 0.5)
+
+    by_q = defaultdict(list)
+    for r in got:
+        by_q[r["qid"]].append(r)
+    assert by_q and all(len(v) == _MMR_K for v in by_q.values())
+    for qid, rows in by_q.items():
+        rel = sorted(
+            ((cos_micro(emb[qid], emb[c]), -c) for c in emb if c != qid),
+            reverse=True,
+        )[:20]
+        pool = {-c: r for r, c in rel}
+        sel, want = [], []
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for c, r in pool.items():
+                if c in (s for s, _ in sel):
+                    continue
+                pen = max((cos_micro(emb[c], emb[s]) for s, _ in sel), default=0)
+                sc = 7 * r - (3 * pen if sel else 0)
+                if best is None or (sc, -c) > best[0]:
+                    best = ((sc, -c), c)
+            sel.append((best[1], best[0][0]))
+            want.append((best[1], step, best[0][0]))
+        got_q = sorted(((r["cid"], r["step"], r["score10"]) for r in rows),
+                       key=lambda t: t[1])
+        assert got_q == want, f"qid={qid}"
+
+
+def test_mmr_diversifies_at_least_one_query(spark, sf_dir):
+    """MMR must disagree with pure relevance ranking somewhere (the
+    fixture embeddings contain near-dup directions), and step scores
+    must be non-increasing per query past step 1."""
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import sim_mmr_diversify
+    from ntd_gtfs_to_socrata_spark.queries.similarity_q import sim_bruteforce
+
+    got = sim_mmr_diversify(spark, sf_dir).collect()
+    brute = sim_bruteforce(spark, sf_dir).collect()
+    top5 = defaultdict(set)
+    for r in brute:
+        if r["rnk"] <= 5:
+            top5[r["qid"]].add(r["cid"])
+    mmr5 = defaultdict(set)
+    for r in got:
+        mmr5[r["qid"]].add(r["cid"])
+    assert set(top5) == set(mmr5)
+    assert any(top5[q] != mmr5[q] for q in top5)

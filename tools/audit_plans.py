@@ -59,6 +59,7 @@ BNLJ_OK = {
     "tp_dsir_importance",  # 1-row corpus-constants scalar, broadcast cross join
     "dedup_lsh_recall",  # three 1-row metric aggregates cross-joined (control plane)
     "tw_exp_decay_score",  # 1-row corpus-end-date scalar, broadcast cross join
+    "sim_mmr_diversify",  # bounded query set x corpus screen, sim_bruteforce shape
     "dq_anomaly_daily_counts",  # 1-row median/MAD scalars over the tiny daily series
     "er_blocking_quality",  # 1-row candidate-stats × 1-row true-pair-count crossJoin
     "rag_bm25_topk",  # 1-row (N, avgdl) corpus scalars, broadcast cross join
@@ -176,6 +177,7 @@ FORCED_BC_OK = {
     "privacy_t_closeness",       # domain totals (sensitive domains are small by definition) + 1-row total
     "dq_mutual_information",     # 1-row total + two 1-row entropy scalars
     "sim_ann_multiprobe_topk",   # bounded query-probe set (1+planes rows/query), sim_ann shape
+    "sim_mmr_diversify",         # bounded query set (candidate stage, sim_bruteforce shape)
 }
 
 # global (un-partitioned) window whitelist: each is a documented exact
