@@ -158,6 +158,7 @@ HEADLINE = [
     "tw_exp_decay_score",
     "dedup_soft_weight",
     "sim_mmr_diversify",
+    "graph_closeness_centrality",
 ]
 
 

@@ -628,3 +628,70 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def bfs_distances_per_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Per-SEED BFS over an undirected pair list: (seed, node, dist) for
+    every node within ``max_hops`` of each seed — the state bfs_distances
+    collapses to nearest-seed form, kept seed-keyed so per-seed
+    statistics (closeness, reach, ego-net size) can aggregate over it.
+
+    Same loop shape as ``bfs_distances`` with the seed id carried through
+    the relax/merge keys: per round one frontier⋈edges shuffle + a
+    (seed, node)-keyed integer min. State is one row per (seed, reached
+    node) — fan-out is bounded by seeds x ego-net size, so the seed set
+    must be bounded by construction (sampled probes, trusted roots), not
+    corpus-proportional: at a corpus-scaled seed count prefer
+    ``bfs_distances``'s nearest-seed collapse.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct("s", "d"),
+                    F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("seed"),
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist, e.s == dist.node)
+            .groupBy("seed", F.col("d").alias("node2"))
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+            .withColumnRenamed("seed", "seed2")
+        )
+        dist = (
+            dist.join(
+                relaxed,
+                (dist.seed == F.col("seed2")) & (dist.node == F.col("node2")),
+                "full",
+            )
+            .select(
+                F.coalesce(F.col("seed"), F.col("seed2")).alias("seed"),
+                F.coalesce(F.col("node"), F.col("node2")).alias("node"),
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2147483647)),
+                    F.coalesce(F.col("nd"), F.lit(2147483647)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist

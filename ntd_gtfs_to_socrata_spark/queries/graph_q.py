@@ -911,3 +911,96 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness centrality of the seed documents (r9)
+# ---------------------------------------------------------------------------
+
+_CLOSE_HOPS = 4
+_CLOSE_SEED_MOD = 97
+
+
+def _closeness_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment_oracle
+
+    steps = []
+    for t in range(_CLOSE_HOPS):
+        steps.append(
+            f"d{t + 1} AS (\n"
+            f"  SELECT coalesce(p.seed, r.seed) AS seed,\n"
+            f"         coalesce(p.node, r.node) AS node,\n"
+            f"         least(coalesce(p.dist, 2147483647),\n"
+            f"               coalesce(r.nd, 2147483647)) AS dist\n"
+            f"  FROM d{t} p FULL JOIN (\n"
+            f"    SELECT p2.seed, e.d AS node, min(p2.dist) + 1 AS nd\n"
+            f"    FROM edges e JOIN d{t} p2 ON p2.node = e.s\n"
+            f"    GROUP BY p2.seed, e.d\n"
+            f"  ) r ON r.seed = p.seed AND r.node = p.node\n)"
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH ce AS MATERIALIZED ({_containment_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM ce
+  UNION
+  SELECT dst AS s, src AS d FROM ce
+),
+d0 AS (
+  SELECT doc_id AS seed, doc_id AS node, CAST(0 AS INT) AS dist
+  FROM documents WHERE doc_id % {_CLOSE_SEED_MOD} = 0
+),
+{chained}
+SELECT seed AS doc_id,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       CAST(SUM(CASE WHEN dist > 0
+                 THEN CAST(floor(1000000.0 / dist) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS harmonic_micro
+FROM d{_CLOSE_HOPS} GROUP BY seed
+"""
+
+
+@register("graph_closeness_centrality", _closeness_oracle())
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CLOSENESS of the seed documents (doc_id % {mod} == 0)
+    over the undirected df-capped containment graph: C(s) = sum over
+    reached nodes of 1/d(s, v), within a fixed {hops}-hop budget — the
+    "how central is this vetted source in the duplication network"
+    ranking; harmonic form handles disconnected graphs where classic
+    closeness (1 / sum of d) is undefined.
+
+    Per-seed BFS keeps (seed, node, dist) state (operators/graph.py::
+    bfs_distances_per_seed) — per round one frontier⋈edges shuffle + a
+    (seed, node)-keyed integer min; the seed set is bounded by
+    construction (sampled probes), so state is seeds x ego-net, never
+    corpus². 1/d quantizes as floor(10^6/d) on exact integer distances,
+    so both engines sum identical BIGINTs.
+
+    Scale posture: at a corpus-proportional seed count this query is the
+    wrong tool (use bfs_distances' nearest-seed collapse); for the
+    bounded-probe form the per-round shuffle moves the frontier rim
+    only, and the unrolled-CTE oracle replays the exact fixpoint."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.operators.graph import bfs_distances_per_seed
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _containment
+
+    edges = _containment(spark, sf_dir, df_cap=AUDIT_DF_CAP).select("src", "dst")
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _CLOSE_SEED_MOD == 0)
+        .select("doc_id")
+    )
+    per_seed = bfs_distances_per_seed(edges, seeds, max_hops=_CLOSE_HOPS)
+    reached = F.when(F.col("dist") > 0, 1).otherwise(0)
+    inv = F.when(
+        F.col("dist") > 0, F.floor(F.lit(1000000.0) / F.col("dist")).cast("long")
+    ).otherwise(F.lit(0))
+    return per_seed.groupBy(F.col("seed").alias("doc_id")).agg(
+        F.sum(reached).cast("long").alias("n_reached"),
+        F.sum(inv).cast("long").alias("harmonic_micro"),
+    )
+
+
+graph_closeness_centrality.__doc__ = graph_closeness_centrality.__doc__.format(
+    mod=_CLOSE_SEED_MOD, hops=_CLOSE_HOPS
+)

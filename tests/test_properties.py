@@ -633,3 +633,45 @@ def test_bfs_distances_match_python_bfs(spark, edges, seed_mod):
                 want[m] = want[n] + 1
                 q.append(m)
     assert got == want
+
+
+@slow
+@given(edges=EDGES, seed_mod=st.integers(min_value=2, max_value=5))
+def test_per_seed_bfs_and_closeness_match_python(spark, edges, seed_mod):
+    """Per-seed BFS on random graphs ≡ an independent Python BFS from
+    EACH seed; harmonic closeness folds exactly as floor(1e6/d) sums."""
+    from collections import deque
+
+    from ntd_gtfs_to_socrata_spark.operators.graph import bfs_distances_per_seed
+
+    dedup = sorted(set(edges))
+    nodes = {n for e in dedup for n in e}
+    seeds = sorted(n for n in nodes if n % seed_mod == 0)
+    if not dedup or not seeds:
+        return
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+    max_hops = 4
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in bfs_distances_per_seed(df, sdf, max_hops=max_hops).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for x, y in dedup:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want: dict[tuple[int, int], int] = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            n = q.popleft()
+            if dist[n] >= max_hops:
+                continue
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    q.append(m)
+        for n, d in dist.items():
+            want[(s, n)] = d
+    assert got == want
