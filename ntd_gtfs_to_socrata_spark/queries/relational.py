@@ -24,9 +24,13 @@ from ntd_gtfs_to_socrata_spark.queries import register
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 2) AS avg_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -41,17 +45,32 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filter pushed to the parquet scan, partial+final
     hash aggregation, whole-stage codegen throughout — the canonical
-    scan-bound query at 100 TB."""
+    scan-bound query at 100 TB.
+
+    EXACT money sums (r9 sf1-gate hardening): Q1's groups are
+    corpus-sized (1/4 of lineitem each), so partial-agg order noise on
+    double sums grows with scale and eventually crosses the cent
+    boundary round(x, 2) guards (q9 crossed it at sf1). Each money term
+    quantizes per row at its exact decimal width (price 2dp -> 1e2,
+    disc_price 4dp -> 1e4, charge 6dp -> 1e6) — a deterministic
+    single-row double op — then sums as BIGINT (charge_e6 stays under
+    2^63 to ~sf1500). sum_qty (integer-valued) and the avgs (noise
+    shrinks as 1/n) keep the round convention."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base_e2 = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_e4 = F.floor(disc_price * 10000 + 0.5).cast("long")
+    charge_e6 = F.floor(
+        disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5
+    ).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.sum(base_e2).cast("long") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_e4).cast("long") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_e6).cast("long") / 1000000.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -120,7 +139,9 @@ def q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -171,7 +192,17 @@ def q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            # exact money sum (r9 sf1-gate hardening, the q1/q9 pattern):
+            # per-nation groups are corpus-sized, so quantize per row
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("long")
+                ).cast("long")
+                / 10000.0
+            ).alias(
                 "revenue"
             )
         )
@@ -183,7 +214,8 @@ def q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -206,7 +238,18 @@ def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            # exact money sum (r9 sf1-gate hardening): ONE group over the
+            # whole filtered fact — the largest-n sum in the registry
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+                    ).cast("long")
+                ).cast("long")
+                / 10000.0
+            ).alias("revenue")
+        )
     )
 
 
@@ -216,9 +259,12 @@ def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_ORACLE = """
 SELECT round(
-         100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+         100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE), 4) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
   AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -234,11 +280,21 @@ def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    # exact money ratio (r9 sf1-gate hardening): both legs quantize per
+    # row to 1e-4 units and sum as BIGINT; the ratio divides two exact
+    # integers cast to double (sums stay under 2^53 to ~sf100)
+    disc_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    promo_e4 = F.when(F.col("p_type").like("PROMO%"), disc_e4).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo_e4).cast("double") / F.sum(disc_e4).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
     )
 
 
@@ -458,7 +514,8 @@ def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 A6_CUBE_ORACLE = """
 SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
        o_orderstatus, o_orderpriority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
@@ -472,7 +529,12 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total"),
         )
         .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
     )
@@ -481,7 +543,8 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 A6_GROUPING_SETS_ORACLE = """
 SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
        o_orderstatus, o_orderpriority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -501,7 +564,12 @@ def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total"),
         )
         .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
     )
@@ -1229,22 +1297,9 @@ def sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     who writes SQL, not DataFrames, gets the same Catalyst plan (the
     DataFrame DSL and SQL parse to the same logical operators)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_api_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 2) AS avg_qty,
-               round(avg(l_extendedprice), 2) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM sql_api_lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-        """
-    )
+    # shares Q1_ORACLE, so the SQL must carry Q1's exact-money-sum
+    # quantization verbatim (only the table name differs)
+    return spark.sql(Q1_ORACLE.replace("FROM lineitem", "FROM sql_api_lineitem"))
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,8 @@ def sq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQ_NOT_EXISTS_ORACLE = """
 SELECT c_mktsegment, count(*) AS n_inactive,
-       round(sum(c_acctbal), 2) AS total_bal
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_bal
 FROM customer
 WHERE c_acctbal > 0
   AND NOT EXISTS (
@@ -79,7 +80,12 @@ def sq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_inactive"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total_bal"),
         )
     )
 
@@ -89,7 +95,9 @@ def sq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SQ_IN_ORACLE = """
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
 FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
@@ -114,7 +122,12 @@ def sq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )
 
@@ -124,7 +137,8 @@ def sq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SQ_SCALAR_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 700.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
@@ -155,7 +169,14 @@ def sq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 700.0
+            ).alias("avg_yearly")
+        )
     )
 
 

@@ -62,11 +62,13 @@ def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_e4) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS volume_e4
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders   ON o_orderkey = l_orderkey
@@ -113,9 +115,16 @@ def q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact money sum (r9 sf1-gate hardening, the q1/q9 pattern)
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue")
         )
     )
 
@@ -126,11 +135,13 @@ def q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_e4 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(volume_e4) AS DOUBLE), 4) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS volume_e4,
          n2.n_name AS nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -171,7 +182,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact money ratio (r9 sf1-gate hardening): per-row e4 quantization,
+    # BIGINT sums, ratio of two exact integers cast to double
+    volume_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -183,8 +198,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", volume_e4).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(volume_e4).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -196,11 +213,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       CAST(SUM(amount_e4) AS BIGINT) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(year(l_shipdate) AS INT) AS o_year,
-         l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
+         CAST(floor((l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) * 10000 + 0.5)
+              AS BIGINT) AS amount_e4
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -218,7 +238,15 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit expression spanning two tables, grouped by supplier nation and
     ship year. The %red% infix can't push to parquet as a range — it runs
     as a post-scan filter on the (broadcast) dimension, which is the right
-    place: filter the 1-in-N dim, not the fact."""
+    place: filter the 1-in-N dim, not the fact.
+
+    EXACT money sum: profit MIXES signs (revenue - cost), so partial-agg
+    order noise amplifies by cancellation — at sf1 it crossed the cent
+    boundary the round(x, 2) convention guards (the one divergence of the
+    full r9 sf1 gate). Each row's amount quantizes to 1e-4 units (the
+    expression carries <= 4 decimals exactly) as a deterministic
+    single-row double op, the sum is a BIGINT, and one division per GROUP
+    recovers dollars — engines cannot disagree at any scale."""
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -230,6 +258,7 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    amount_e4 = F.floor(amount * 10000 + 0.5).cast("long")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -238,7 +267,7 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.sum(amount_e4).cast("long") / 10000.0).alias("sum_profit"))
     )
 
 
@@ -515,7 +544,8 @@ def q16_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 700.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_size < 5
   AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -548,7 +578,14 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_branded.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 700.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -691,7 +728,9 @@ def q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q22_ORACLE = """
-SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
@@ -725,7 +764,12 @@ def q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # exact money sum (r9 sf1-gate hardening): acctbal mixes signs
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("totacctbal"),
         )
     )
 

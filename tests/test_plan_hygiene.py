@@ -184,6 +184,9 @@ _EXCHANGES_OK_MEASURED = {
     # r9 additions
     "sim_graph_search_recall": 5,  # MEASURED r9 at sf0.001: 4 executed (search
     # hops sit behind eager localCheckpoints; final plan = exact leg + hit join)
+    "eval_spearman": 11,  # MEASURED r9 at sf0.001 AND sf0.01: 11 executed — the
+    # corpus is shuffled ONCE (pair-count agg); the rest move domain-sized
+    # rank maps / 1-row moment frames (see the docstring + audit allowlist)
 }
 
 
