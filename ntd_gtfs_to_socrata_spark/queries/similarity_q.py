@@ -2035,16 +2035,24 @@ c AS (
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
   FROM embeddings
 ),
-ranked AS (
-  SELECT qid, cid, ce, cn,
-         CAST(floor(round(list_inner_product(qe, ce) / (qn * cn), 6) * 1000000
-                    + 0.5) AS BIGINT) AS rel,
-         row_number() OVER (PARTITION BY qid
-           ORDER BY round(list_inner_product(qe, ce) / (qn * cn), 6) DESC,
-                    cid ASC) AS rnk
+scored AS (
+  -- materialize the cosine BEFORE ranking and rank the bare column: an
+  -- ORDER BY that references the array columns drags them through the
+  -- (queries x corpus)-row window sort and spills tens of GB at sf1
+  SELECT qid, cid, round(list_inner_product(qe, ce) / (qn * cn), 6) AS cosine
   FROM q JOIN c ON qid <> cid
 ),
-cands AS (SELECT qid, cid, ce, cn, rel FROM ranked WHERE rnk <= {_MMR_C}),
+ranked AS (
+  SELECT qid, cid,
+         CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, cid ASC) AS rnk
+  FROM scored
+),
+cands AS (
+  SELECT r.qid, r.cid, c.ce, c.cn, r.rel
+  FROM ranked r JOIN c USING (cid) WHERE r.rnk <= {_MMR_C}
+),
 pairs AS (
   SELECT a.qid, a.cid AS ca, b.cid AS cb,
          CAST(floor(round(list_inner_product(a.ce, b.ce) / (a.cn * b.cn), 6)

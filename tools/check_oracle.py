@@ -26,6 +26,12 @@ from ntd_gtfs_to_socrata_spark.session import get_spark
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # an in-memory duckdb 1.0 connection ships with
+    # max_temp_directory_size=0 (spill DISABLED): heavy oracles at sf1+
+    # die with a misleading "No space left on device". Point the temp at
+    # /tmp with a real budget so oracle-side spill works.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
