@@ -159,6 +159,8 @@ HEADLINE = [
     "dedup_soft_weight",
     "sim_mmr_diversify",
     "graph_closeness_centrality",
+    "eval_mcnemar",
+    "tw_retention_cohorts",
 ]
 
 

@@ -1062,3 +1062,82 @@ def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_docs"),
         F.floor(rho * 1000000 + 0.5).cast("long").alias("rho_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (r9): do two filters DISAGREE more than chance in
+# one direction? — the significance companion to eval_cohen_kappa's
+# agreement magnitude over the same 2x2 contingency.
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        GOPHER_ORACLE,
+        QC_ORACLE,
+    )
+
+    return f"""
+WITH a AS ({QC_ORACLE}),
+b AS ({GOPHER_ORACLE}),
+j AS (
+  SELECT a.keep AS ka, b.keep AS kb
+  FROM a JOIN b ON b.doc_id = a.doc_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n01
+  FROM j
+)
+SELECT n10, n01,
+  CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(
+         CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+         / CAST(n10 + n01 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+  END AS chi2_micro
+FROM c
+"""
+
+
+@register("eval_mcnemar", _mcnemar_oracle())
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCNEMAR'S test on the paired keep verdicts of the learned quality
+    classifier ([[text_quality_classifier]]) vs the Gopher rule bundle
+    ([[text_gopher_rules]]): only the DISCORDANT cells matter — does one
+    filter systematically keep documents the other drops? Kappa
+    (eval_cohen_kappa) measures agreement magnitude; McNemar's chi2 with
+    continuity correction ((|n10-n01|-1)^2 / (n10+n01)) tests whether
+    the disagreement is one-sided beyond chance — the paired-eval
+    statistic for 'is filter B actually stricter, or just noisy?'.
+
+    EXACT: the two discordant counts are integer sums; the statistic is
+    one deterministic double expression on the final 1-row frame,
+    micro-quantized; the degenerate no-disagreement case pins to 0 on
+    both engines.
+
+    Scale posture: two map-only rater expressions joined on doc_id and
+    folded to a 2-counter row — map-side-combinable; at 100 TB this is
+    the cost of two scans (one if the raters fuse into a single select)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        text_gopher_rules,
+        text_quality_classifier,
+    )
+
+    a = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ka")
+    )
+    b = text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kb")
+    )
+    c = a.join(b, "doc_id").agg(
+        F.sum((F.col("ka") & ~F.col("kb")).cast("long")).alias("n10"),
+        F.sum((~F.col("ka") & F.col("kb")).cast("long")).alias("n01"),
+    )
+    d = F.col("n10") + F.col("n01")
+    diff = F.abs(F.col("n10") - F.col("n01")) - 1
+    chi2 = F.when(d == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (diff * diff).cast("double") / d.cast("double") * 1000000 + 0.5
+        ).cast("long")
+    )
+    return c.select("n10", "n01", chi2.alias("chi2_micro"))

@@ -1311,3 +1311,67 @@ def tw_exp_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_units"), "user_id")
         .limit(_DECAY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (r9): the week-over-week retention triangle
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cw
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+j AS (
+  SELECT f.cw, CAST(datediff('day', f.cw, a.wk) // 7 AS BIGINT) AS off
+  FROM a JOIN f USING (user_id)
+),
+c AS (SELECT cw, off, CAST(count(*) AS BIGINT) AS n_active FROM j GROUP BY cw, off),
+s AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cw)
+SELECT CAST(floor(epoch(c.cw)) AS BIGINT) AS cohort_week,
+       c.off AS week_offset, c.n_active, s.cohort_size,
+       CAST(floor(c.n_active * 1000000.0 / s.cohort_size + 0.5) AS BIGINT)
+         AS retention_micro
+FROM c JOIN s USING (cw)
+"""
+
+
+@register("tw_retention_cohorts", RETENTION_ORACLE)
+def tw_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY COHORT RETENTION triangle: users grouped by the ISO week of
+    their first event (the cohort), and for each later week the fraction
+    of the cohort still active — the growth-analytics staple, and in a
+    training-data pipeline the 'is this source drying up?' signal over
+    document arrival times.
+
+    Plan shape: one user-keyed min (cohort assignment), one distinct on
+    (user, week) (map-side combinable — the raw event volume collapses
+    to user x active-weeks before any join), then a user-keyed join that
+    co-partitions with the distinct; the cohort x offset matrix is
+    weeks², metadata-sized. Retention quantizes as floor(n·1e6/size+0.5)
+    on exact integer counts (n, size < 2^26 keeps the product exact in
+    doubles), so both engines emit identical micro-units.
+
+    Scale posture: everything shuffles on user_id (two co-keyed
+    exchanges over corpus-derived frames whose size is bounded by
+    users x weeks, not events); no window over data, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    j = active.join(firsts, "user_id").select(
+        "cw",
+        (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("long").alias("off"),
+    )
+    c = j.groupBy("cw", "off").agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    s = firsts.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    return c.join(s, "cw").select(
+        F.unix_timestamp("cw").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        "n_active",
+        "cohort_size",
+        F.floor(
+            F.col("n_active") * 1000000.0 / F.col("cohort_size") + 0.5
+        ).cast("long").alias("retention_micro"),
+    )

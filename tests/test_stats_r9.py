@@ -198,3 +198,54 @@ def test_mmr_diversifies_at_least_one_query(spark, sf_dir):
         mmr5[r["qid"]].add(r["cid"])
     assert set(top5) == set(mmr5)
     assert any(top5[q] != mmr5[q] for q in top5)
+
+
+def test_mcnemar_consistent_with_kappa_contingency(spark, sf_dir):
+    """McNemar's discordant cells must equal kappa's n10/n01 (same raters,
+    same join), and the continuity-corrected statistic must replay in
+    Python exactly."""
+    from ntd_gtfs_to_socrata_spark.queries.stats_q import (
+        eval_cohen_kappa,
+        eval_mcnemar,
+    )
+
+    k = eval_cohen_kappa(spark, sf_dir).collect()[0]
+    m = eval_mcnemar(spark, sf_dir).collect()[0]
+    assert (m["n10"], m["n01"]) == (k["n10"], k["n01"])
+    b, c = m["n10"], m["n01"]
+    want = 0 if b + c == 0 else math.floor((abs(b - c) - 1) ** 2 / (b + c) * 1e6 + 0.5)
+    assert m["chi2_micro"] == want
+
+
+def test_retention_cohorts_match_python_model(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    def week(ts):
+        d = ts.date()
+        return d - __import__("datetime").timedelta(days=d.weekday())
+    first = {}
+    active = set()
+    for r in ev:
+        w = week(r["ts"])
+        u = r["user_id"]
+        first[u] = min(first.get(u, w), w)
+        active.add((u, w))
+    sizes = Counter(first.values())
+    cells = Counter(
+        (first[u], (w - first[u]).days // 7) for u, w in active
+    )
+    got = tw_retention_cohorts(spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        import datetime
+        cw = datetime.datetime.fromtimestamp(
+            r["cohort_week"], datetime.timezone.utc
+        ).date()
+        n = cells[(cw, r["week_offset"])]
+        assert r["n_active"] == n
+        assert r["cohort_size"] == sizes[cw]
+        assert r["retention_micro"] == math.floor(n * 1e6 / sizes[cw] + 0.5)
+        if r["week_offset"] == 0:
+            # every user is active in their own cohort week
+            assert r["retention_micro"] == 1_000_000
