@@ -54,9 +54,11 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATIC_ORACLE = """
-SELECT e.event_id, e.user_id, round(t.lifetime_value, 2) AS lifetime_value
+SELECT e.event_id, e.user_id, t.lifetime_value
 FROM events e
-JOIN (SELECT user_id, sum(value) AS lifetime_value
+JOIN (SELECT user_id,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS lifetime_value
       FROM events GROUP BY user_id) t
   ON e.user_id = t.user_id
 WHERE e.event_type = 'purchase'
@@ -78,13 +80,20 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("lifetime_value"))
+        .agg(
+            # exact money sum (r9 sf1-gate hardening): e2-quantized BIGINT
+            (
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("lifetime_value")
+        )
     )
     stream = EW.read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     enriched = stream.join(F.broadcast(dim), "user_id").select(
-        "event_id", "user_id", F.round("lifetime_value", 2).alias("lifetime_value")
+        "event_id", "user_id", "lifetime_value"
     )
     name = _run_to_table(enriched, "sse", "append")
     return spark.table(name)
@@ -203,7 +212,8 @@ WITH agg AS (
            AS window_start,
          event_type,
          count(*) AS n,
-         round(sum(value), 2) AS sum_value
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value
   FROM events
   GROUP BY window_start, event_type
 ),
@@ -231,7 +241,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -254,7 +264,8 @@ WITH assigned AS (
 agg AS (
   SELECT CAST(floor(epoch(s)) AS BIGINT) AS window_start,
          count(*) AS n,
-         round(sum(value), 2) AS sum_value
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value
   FROM assigned GROUP BY window_start
 ),
 wm AS (
@@ -279,7 +290,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),

@@ -28,7 +28,8 @@ TUMBLING_ORACLE = """
 SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS window_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value
 FROM events
 GROUP BY window_start, event_type
 """
@@ -42,7 +43,7 @@ def tw_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -64,7 +65,8 @@ WITH assigned AS (
 )
 SELECT CAST(floor(epoch(s)) AS BIGINT) AS window_start,
        count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value
 FROM assigned
 GROUP BY window_start
 """
@@ -78,7 +80,7 @@ def tw_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "n",
@@ -500,7 +502,7 @@ def dq_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAP_FILL_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         count(*) AS n, round(sum(value), 2) AS day_value
+         count(*) AS n, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS day_value
   FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
 ),
 span AS (
@@ -540,7 +542,7 @@ def tw_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("day_value"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("day_value"),
         )
     )
     span = daily.groupBy("user_id").agg(
@@ -578,7 +580,7 @@ SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS bar_s
        round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                             || lpad(CAST(event_id AS VARCHAR), 12, '0')), 2) AS close,
        count(*) AS n_events,
-       round(sum(value), 2) AS volume
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS volume
 FROM events WHERE event_type = 'purchase'
 GROUP BY bar_start
 """
@@ -613,7 +615,7 @@ def tw_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.max_by("value", tskey), 2).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double") / 100.0).alias("volume"),
         )
     )
 
@@ -1339,11 +1341,11 @@ FROM c JOIN s USING (cw)
 
 @register("tw_retention_cohorts", RETENTION_ORACLE)
 def tw_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEEKLY COHORT RETENTION triangle: users grouped by the ISO week of
-    their first event (the cohort), and for each later week the fraction
-    of the cohort still active — the growth-analytics staple, and in a
-    training-data pipeline the 'is this source drying up?' signal over
-    document arrival times.
+    """WEEKLY COHORT RETENTION triangle with RATES: extends the
+    counts-only ``cohort_retention`` (which caps at offset 4 and leaves
+    the rate to the consumer) with the cohort-size denominator and the
+    micro-quantized retention fraction — the directly-consumable form,
+    over the full offset range.
 
     Plan shape: one user-keyed min (cohort assignment), one distinct on
     (user, week) (map-side combinable — the raw event volume collapses

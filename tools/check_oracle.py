@@ -29,9 +29,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # an in-memory duckdb 1.0 connection ships with
     # max_temp_directory_size=0 (spill DISABLED): heavy oracles at sf1+
     # die with a misleading "No space left on device". Point the temp at
-    # /tmp with a real budget so oracle-side spill works.
+    # /tmp with a real budget so oracle-side spill works. Also pin
+    # memory_limit well under the 80%-of-RAM default: when Spark JVMs
+    # run concurrently the default is phantom memory — allocations fail
+    # and DuckDB offloads EVERYTHING, blowing the temp budget instead of
+    # degrading gracefully.
+    con.execute("SET memory_limit='40GiB'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
-    con.execute("SET max_temp_directory_size='40GiB'")
+    con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
