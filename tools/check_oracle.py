@@ -29,12 +29,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # an in-memory duckdb 1.0 connection ships with
     # max_temp_directory_size=0 (spill DISABLED): heavy oracles at sf1+
     # die with a misleading "No space left on device". Point the temp at
-    # /tmp with a real budget so oracle-side spill works. Also pin
-    # memory_limit well under the 80%-of-RAM default: when Spark JVMs
-    # run concurrently the default is phantom memory — allocations fail
-    # and DuckDB offloads EVERYTHING, blowing the temp budget instead of
-    # degrading gracefully.
-    con.execute("SET memory_limit='40GiB'")
+    # /tmp with a real budget so oracle-side spill works. memory_limit
+    # stays near the default: the recursive-closure CC oracles
+    # materialize O(sum component^2) reach pairs at sf1 and genuinely
+    # need ~90 GiB in RAM (graph_canonical_by_rank passed at 1036 s with
+    # the 100 GiB default and zero spill; a 40 GiB cap forced >60 GiB of
+    # offload and died). Corollary: run the sf1 gate ALONE — concurrent
+    # Spark JVMs turn the limit into phantom memory.
+    con.execute("SET memory_limit='90GiB'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
