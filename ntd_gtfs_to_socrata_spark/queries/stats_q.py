@@ -834,11 +834,15 @@ agg AS (
 )
 SELECT ta AS n_a, tb AS n_b,
        r2a - ta * (ta + 1) AS u2,
-       CAST(floor(
-         (r2a - ta * (ta + 1) - ta * tb)
-         / (2.0 * sqrt(ta * tb / 12.0
-             * ((ta + tb + 1) - tie / ((ta + tb) * (ta + tb - 1.0)))))
-         * 1000000 + 0.5) AS BIGINT) AS z_micro
+       CASE WHEN ta = 0 OR tb = 0 THEN CAST(0 AS BIGINT)
+            WHEN (ta + tb + 1) - tie / ((ta + tb) * (ta + tb - 1.0)) <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+              (r2a - ta * (ta + 1) - ta * tb)
+              / (2.0 * sqrt(ta * tb / 12.0
+                  * ((ta + tb + 1) - tie / ((ta + tb) * (ta + tb - 1.0)))))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS z_micro
 FROM agg
 """
 
@@ -913,16 +917,20 @@ def eval_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta, tb, r2a, tie = F.col("ta"), F.col("tb"), F.col("r2a"), F.col("tie")
     nn = ta + tb
     u2 = r2a - ta * (ta + 1)
-    sigma2 = 2.0 * F.sqrt(
-        ta * tb / F.lit(12.0)
-        * ((nn + 1) - tie / (nn * (nn - F.lit(1.0))))
-    )
+    # degenerate-case pins (the eval_mcnemar convention): an empty cohort
+    # or all-one-tie-bin variance would otherwise divide by zero, where
+    # Spark yields NULL and DuckDB errors/Inf — the engines must agree on
+    # a fixed 0 instead. CaseWhen short-circuits, so the variance term is
+    # never evaluated with nn <= 1.
+    var_term = (nn + 1) - tie / (nn * (nn - F.lit(1.0)))
+    sigma2 = 2.0 * F.sqrt(ta * tb / F.lit(12.0) * var_term)
     return agg.select(
         ta.alias("n_a"),
         tb.alias("n_b"),
         u2.alias("u2"),
-        F.floor((u2 - ta * tb) / sigma2 * 1000000 + 0.5)
-        .cast("long")
+        F.when((ta == 0) | (tb == 0), F.lit(0).cast("long"))
+        .when(var_term <= 0, F.lit(0).cast("long"))
+        .otherwise(F.floor((u2 - ta * tb) / sigma2 * 1000000 + 0.5).cast("long"))
         .alias("z_micro"),
     )
 
@@ -965,10 +973,20 @@ agg AS (
   FROM ranked
 )
 SELECT n AS n_docs,
-       CAST(floor(
-         (n * sxy - sx * sy)
-         / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
-         * 1000000 + 0.5) AS BIGINT) AS rho_micro
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS rho_micro
 FROM agg
 """
 
@@ -990,11 +1008,13 @@ def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined ranks back to it — a corpus-sized write that the pair-table
     form deletes).
 
-    EXACT: doubled ranks keep tie-averages integer; all moment sums are
-    BIGINT (Σ ≤ n·(2n+1)² — exact to n ≈ 2·10⁶ docs; beyond that
-    quantize the metric domain into rank buckets, same machinery). rho
-    is one deterministic double expression on the final 1-row frame,
-    micro-quantized.
+    EXACT: doubled ranks keep tie-averages integer; the moment SUMS are
+    BIGINT (Σ ≤ 4n³ — exact to n ≈ 1.3·10⁶ docs; beyond that quantize
+    the metric domain into rank buckets, same machinery). The final
+    1-row rho fold is DOUBLE on both engines: n·sxx-class PRODUCTS are
+    O(n⁴) and would wrap int64 at ~5·10⁴ docs, while identical BIGINTs
+    convert to identical doubles, so engine agreement is preserved.
+    Zero variance (a constant metric) pins rho to 0 on both engines.
 
     Scale posture: one map-side-combinable corpus aggregation (reduce
     volume = distinct (x, y) pairs); everything after moves domain-sized
@@ -1055,12 +1075,21 @@ def eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    rho = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * F.lit(1.0) * (n * syy - sy * sy)
-    )
+    # final fold in DOUBLE: the BIGINT moment sums are exact and identical
+    # on both engines, and int64->double conversion is deterministic
+    # round-to-nearest, so the engines still agree — while n*sxx-class
+    # products (O(n^4) in doc count) stay finite instead of wrapping int64
+    # at ~5e4 docs (the z/chi2 fold convention). Zero-variance (either
+    # metric constant) pins rho to 0 on both engines instead of a 0/0.
+    nd, sxd, syd = n.cast("double"), sx.cast("double"), sy.cast("double")
+    sxxd, syyd, sxyd = sxx.cast("double"), syy.cast("double"), sxy.cast("double")
+    den = (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    rho = (nd * sxyd - sxd * syd) / F.sqrt(den)
     return agg.select(
         n.alias("n_docs"),
-        F.floor(rho * 1000000 + 0.5).cast("long").alias("rho_micro"),
+        F.when(den <= 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(rho * 1000000 + 0.5).cast("long"))
+        .alias("rho_micro"),
     )
 
 

@@ -30,13 +30,27 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # max_temp_directory_size=0 (spill DISABLED): heavy oracles at sf1+
     # die with a misleading "No space left on device". Point the temp at
     # /tmp with a real budget so oracle-side spill works. memory_limit
-    # stays near the default: the recursive-closure CC oracles
-    # materialize O(sum component^2) reach pairs at sf1 and genuinely
-    # need ~90 GiB in RAM (graph_canonical_by_rank passed at 1036 s with
-    # the 100 GiB default and zero spill; a 40 GiB cap forced >60 GiB of
-    # offload and died). Corollary: run the sf1 gate ALONE — concurrent
-    # Spark JVMs turn the limit into phantom memory.
-    con.execute("SET memory_limit='90GiB'")
+    # stays near the default ON A 128 GB BOX: the recursive-closure CC
+    # oracles materialize O(sum component^2) reach pairs at sf1 and
+    # genuinely need ~90 GiB in RAM there (graph_canonical_by_rank passed
+    # at 1036 s with the 100 GiB default and zero spill; a 40 GiB cap
+    # forced >60 GiB of offload and died). On smaller machines a
+    # hardcoded 90 GiB would OVERRIDE duckdb's safer 80%-of-RAM default
+    # and invite OS OOM kills, so cap at min(90GiB, 80% of physical RAM);
+    # ORACLE_MEMORY_LIMIT overrides both. Corollary: run the sf1 gate
+    # ALONE — concurrent Spark JVMs turn the limit into phantom memory.
+    import os
+
+    mem_limit = os.environ.get("ORACLE_MEMORY_LIMIT")
+    if not mem_limit:
+        try:
+            ram_gib = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+            )
+            mem_limit = f"{min(90, int(ram_gib * 0.8))}GiB"
+        except (ValueError, OSError):
+            mem_limit = "90GiB"
+    con.execute(f"SET memory_limit='{mem_limit}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
