@@ -908,24 +908,69 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_T = 0.4  # cosine threshold, tuned to the synthetic embedding space
 
-# SemDeDup cell count scales as ceil(sqrt(n)) with a floor of N_CELLS —
-# the classic IVF balance (nlist ~ sqrt(N)): assignment costs n*cells
-# dots, in-cell pairwise costs ~n*cell_size/2, and sqrt scaling makes
-# BOTH O(n^1.5). A FIXED cell count (the original shape) let cell sizes
-# grow linearly with the corpus, so pairwise work grew quadratically —
-# measured 31x wall-time for a 10x corpus before this change. The oracle
-# derives the identical count from the data via a scalar subquery
-# (ceil(sqrt()) on an exact BIGINT count is engine-portable: IEEE double
-# sqrt is correctly rounded, so both engines see the same value).
+# SemDeDup cell count scales as ceil(n / TARGET_CELL_SIZE) with a floor
+# of N_CELLS: CONSTANT expected cell size means total in-cell pairwise
+# work Σcell² ≈ (n/S)·S² = n·S — LINEAR in the corpus, the SemDeDup
+# paper's actual operating regime (Abbas et al. run ~50k fixed-size
+# clusters on LAION, not sqrt(n)). History of this policy: a FIXED cell
+# count let cell sizes grow linearly → quadratic pairwise (measured 31x
+# wall for 10x data); the r6 fix scaled cells as ceil(sqrt(n)), which
+# bounds pairwise at O(n^1.5) but still grows cell sizes as sqrt(n) —
+# measured 10.8x on the 10x sf0.1→sf1 step, ~1000x the quadratic term
+# at 100x data. Constant cell size kills the super-linear term outright.
+#   The naive cost this transfers to is ASSIGNMENT: nearest-of-K with
+# K = n/S is n²/S dots if every vector scores every centroid. So
+# assignment is HIERARCHICAL (the IVF-HNSW / two-level k-means idea):
+# ceil(sqrt(K)) "super-centroids" route each vector to a super-cell
+# first (n·sqrt(K) dots), then it scores only that super-cell's ~sqrt(K)
+# centroids (n·sqrt(K) more) — O(n·sqrt(n/S)) total, n^1.25 FLOPs on a
+# map-side fold that never shuffles a scored row. At true 100 TB scale
+# the two-level routing generalizes to more levels (or any ANN coarse
+# assigner): the cell-scoped pairwise stage — the actual dedup — stays
+# linear regardless.
+#   The oracle derives the identical counts from the data via scalar
+# subqueries (ceil() on exact BIGINT counts and a correctly-rounded IEEE
+# double sqrt are engine-portable, so both engines see the same values).
+_SEMDEDUP_CELL_SIZE = 64  # target vectors per cell (S above)
+
 _SEMDEDUP_CELLS_SQL = (
-    f"(SELECT greatest({N_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+    f"(SELECT greatest({N_CELLS}, CAST(ceil(count(*) / {_SEMDEDUP_CELL_SIZE}.0) AS BIGINT))"
+    " FROM embeddings)"
 )
+_SEMDEDUP_SUPERS_SQL = f"(SELECT CAST(ceil(sqrt(n_cells)) AS BIGINT) FROM ncells)"
 
 SEMDEDUP_ORACLE = f"""
-WITH cent AS (
+WITH ncells AS (
+  SELECT greatest({N_CELLS}, CAST(ceil(count(*) / {_SEMDEDUP_CELL_SIZE}.0) AS BIGINT)) AS n_cells
+  FROM embeddings
+),
+cent AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-  FROM embeddings WHERE vec_id < {_SEMDEDUP_CELLS_SQL}
+  FROM embeddings, ncells WHERE vec_id < ncells.n_cells
+),
+sup AS (
+  SELECT centroid_id AS sup_id, ce AS se, cn AS sn
+  FROM cent WHERE centroid_id < {_SEMDEDUP_SUPERS_SQL}
+),
+c2s AS (
+  SELECT centroid_id, sup_id FROM (
+    SELECT c.centroid_id, s.sup_id,
+           row_number() OVER (PARTITION BY c.centroid_id
+                              ORDER BY round(list_inner_product(c.ce, s.se) / (c.cn * s.sn), 6) DESC,
+                                       s.sup_id ASC) AS rnk
+    FROM cent c CROSS JOIN sup s
+  ) WHERE rnk = 1
+),
+v2s AS (
+  SELECT vec_id, sup_id FROM (
+    SELECT v.vec_id, s.sup_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(list_inner_product(v.embedding::DOUBLE[], s.se)
+                                             / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * s.sn), 6) DESC,
+                                       s.sup_id ASC) AS rnk
+    FROM embeddings v CROSS JOIN sup s
+  ) WHERE rnk = 1
 ),
 assign_scored AS (
   SELECT v.vec_id, c.centroid_id,
@@ -933,7 +978,10 @@ assign_scored AS (
                             ORDER BY round(list_inner_product(v.embedding::DOUBLE[], c.ce)
                                            / (sqrt(list_inner_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) * c.cn), 6) DESC,
                                      c.centroid_id ASC) AS rnk
-  FROM embeddings v CROSS JOIN cent c
+  FROM embeddings v
+  JOIN v2s ON v2s.vec_id = v.vec_id
+  JOIN c2s ON c2s.sup_id = v2s.sup_id
+  JOIN cent c ON c.centroid_id = c2s.centroid_id
 ),
 assigned AS (
   SELECT a.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS ve,
@@ -959,53 +1007,115 @@ FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 @register("sim_semdedup_cells", SEMDEDUP_ORACLE)
 def sim_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup SCOPED TO QUANTIZER
-    CELLS — assign every vector to its nearest coarse centroid (the
-    sim_ivf_assign map-only stage), then compare pairs ONLY within a
-    cell and drop any vector with cosine ≥ t to a lower-id cell-mate
-    (deterministic min-id survivorship). The cell scoping is the entire
-    scale story: pairwise work is Σ cell_size² instead of corpus², and
-    cells are the unit of distribution — the paper's observation that
-    semantic duplicates share a cluster makes the recall loss acceptable.
-    Threshold 0.4 is tuned to the synthetic embedding space (max in-cell
-    cosine ≈ 0.49; real text embeddings use ~0.95+).
+    CELLS — route every vector to a coarse cell, then compare pairs ONLY
+    within a cell and drop any vector with cosine ≥ t to a lower-id
+    cell-mate (deterministic min-id survivorship). The cell scoping is
+    the entire scale story: pairwise work is Σ cell_size² instead of
+    corpus², and cells are the unit of distribution — the paper's
+    observation that semantic duplicates share a cluster makes the
+    recall loss acceptable. Threshold 0.4 is tuned to the synthetic
+    embedding space (max in-cell cosine ≈ 0.49; real text embeddings
+    use ~0.95+).
 
-    Scale posture: centroid broadcast + map-only assignment, then ONE
+    Cell policy (see the module comment above SEMDEDUP_ORACLE): cell
+    count = ceil(n / CELL_SIZE) — CONSTANT expected cell size, so the
+    pairwise stage is LINEAR in the corpus (the prior ceil(sqrt(n))
+    policy grew cells as sqrt(n) ⇒ n^1.5 pairwise, measured 10.8x wall
+    on the 10x sf0.1→sf1 step). Assignment to n/S centroids is kept
+    sub-quadratic by TWO-LEVEL routing: sqrt(K) super-centroids pick a
+    super-cell per vector, which then scores only that super-cell's
+    centroids — O(n·sqrt(n/S)) dots total.
+
+    Scale posture: both routing stages are broadcast-join + map-side
+    max_by folds (partial aggregation — no scored row ever shuffles;
+    the reduce moves ≤ one row per vector per map partition), then ONE
     shuffle on centroid_id for the in-cell self-join; at 100 TB the
     corpus is written bucketed by cell so even that shuffle disappears
-    (io.write_bucketed). No cross-cell pair is ever generated. The cell
-    count scales as ceil(sqrt(n)) (floor N_CELLS) so cell sizes — and
-    with them the per-cell pairwise work — grow as sqrt(corpus), never
-    linearly; the corpus count is a one-scalar control-plane job (the
-    k-means-centroid collect contract)."""
+    (io.write_bucketed), and the routing tree gains levels (or any ANN
+    coarse assigner) once K outgrows a broadcast. No cross-cell pair is
+    ever generated. The corpus count is a one-scalar control-plane job
+    (the k-means-centroid collect contract). The assignment is
+    localCheckpointed: three consumers (hi/lo pair sides + the final
+    keep join) would otherwise re-run the routing per consumer."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = max(N_CELLS, math.ceil(math.sqrt(emb.count())))
+    n_cells = max(N_CELLS, math.ceil(emb.count() / _SEMDEDUP_CELL_SIZE))
+    n_super = math.ceil(math.sqrt(n_cells))
     cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
         l2_norm(F.col("embedding")).alias("centroid_norm"),
     )
+    sups = cents.filter(F.col("centroid_id") < n_super).select(
+        F.col("centroid_id").alias("sup_id"),
+        F.col("centroid").alias("se"),
+        F.col("centroid_norm").alias("sn"),
+    )
+
+    def route(df: DataFrame, key: str, vec: str, norm: str, cand: DataFrame,
+              cand_key: str, cand_vec: str, cand_norm: str) -> DataFrame:
+        """argmax-cosine routing: broadcast the candidate table, score
+        map-side, fold with max(struct(cos, -cand_key)) — an exact
+        row_number()=1 replacement whose partial aggregation keeps the
+        scored rows on the mappers (ties: higher rounded cosine, then
+        SMALLER candidate id, matching the oracle's ORDER BY)."""
+        scored = df.join(F.broadcast(cand)).select(
+            key,
+            vec,
+            norm,
+            F.struct(
+                F.round(
+                    dot(F.col(vec), F.col(cand_vec)) / (F.col(norm) * F.col(cand_norm)), 6
+                ).alias("cos"),
+                (-F.col(cand_key)).alias("neg_id"),
+            ).alias("sc"),
+        )
+        return (
+            scored.groupBy(key)
+            .agg(
+                F.max("sc").alias("best"),
+                F.first(vec).alias(vec),   # constant within the group
+                F.first(norm).alias(norm),
+            )
+            .select(
+                key, vec, norm, (-F.col("best.neg_id")).alias(cand_key)
+            )
+        )
+
+    # level 1: centroid -> super-centroid (K-row control-plane table)
+    c2s = route(
+        cents, "centroid_id", "centroid", "centroid_norm",
+        sups, "sup_id", "se", "sn",
+    ).select("sup_id", "centroid_id", "centroid", "centroid_norm")
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ve"),
         l2_norm(F.col("embedding")).alias("vn"),
     )
-    scored = v.join(F.broadcast(cents)).select(
+    # level 2: vector -> super-cell (n·sqrt(K) dots, map-side fold)
+    v2s = route(v, "vec_id", "ve", "vn", sups, "sup_id", "se", "sn")
+    # level 3: vector -> nearest centroid WITHIN its super-cell
+    in_cell = v2s.join(F.broadcast(c2s), "sup_id").select(
         "vec_id",
         "ve",
         "vn",
-        "centroid_id",
-        F.round(
-            dot(F.col("ve"), F.col("centroid")) / (F.col("vn") * F.col("centroid_norm")),
-            6,
-        ).alias("cos"),
+        F.struct(
+            F.round(
+                dot(F.col("ve"), F.col("centroid")) / (F.col("vn") * F.col("centroid_norm")), 6
+            ).alias("cos"),
+            (-F.col("centroid_id")).alias("neg_id"),
+        ).alias("sc"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
     assigned = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id", "ve", "vn")
+        in_cell.groupBy("vec_id")
+        .agg(
+            F.max("sc").alias("best"),
+            F.first("ve").alias("ve"),
+            F.first("vn").alias("vn"),
+        )
+        .select("vec_id", (-F.col("best.neg_id")).alias("centroid_id"), "ve", "vn")
+        .localCheckpoint(eager=True)  # 3 consumers: hi, lo, final keep join
     )
     # DataFrame aliases (not column renames off the same lineage): the
     # rename form makes Catalyst miss the centroid_id equi-key and plan a

@@ -164,7 +164,7 @@ _EXCHANGES_OK_MEASURED = {
     "rag_bm25_topk": 6,
     "eval_auc_rank": 6,
     "release_pipeline_counts": 5,
-    "sim_semdedup_cells": 2,
+    "sim_semdedup_cells": 3,  # r10 two-level routing: 2 map-side-combined groupBys + cell self-join (broadcasts don't count)
     "dedup_cluster_report": 5,
     "dedup_containment_closure": 2,
     "dedup_prefix_filter_jaccard": 5,

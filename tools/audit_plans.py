@@ -351,10 +351,10 @@ EXCHANGES_OK = {
     # caches (cachescan >= 3, tests/test_plan_hygiene.py); the cache
     # lifecycle bounds live persists to one build per session
     "release_pipeline_counts",
-    # assignment window + one cell-keyed SMJ + dup-count agg + the final
-    # left join back; the assigned subtree re-lists per static branch
-    # (hi/lo self-join + outer join). MEASURED r7: 2 executed / 2 REUSED
-    # — AQE reuse of the assignment exchange does materialize
+    # two map-side-combined routing groupBys (super-cell + in-cell argmax
+    # folds — each moves <= one row per vector per map partition) + the
+    # cell-keyed self-join/agg over the localCheckpointed assignment;
+    # broadcasts don't count. MEASURED r10: 3 executed / 1 reused / 2 bc
     "sim_semdedup_cells",
     # pairs behind a persisted stage boundary (stagecache) feeding BOTH
     # the CC operator and the edge_stats agg — the static explain

@@ -24,11 +24,13 @@ import sys
 
 
 # Queries whose cost law is super-linear BY DESIGN, with the documented
-# exponent: allowed ratio = data_ratio ** exponent * slack. SemDeDup's
-# sqrt-cells scheme balances assignment vs in-cell pairwise work at
-# O(n^1.5) total (SCALE.md "Semantic dedup") — flagging it at the linear
-# bar would just re-discover its design every round.
-EXPECTED_EXPONENT = {"sim_semdedup_cells": 1.5}
+# exponent: allowed ratio = data_ratio ** exponent * slack. Currently
+# EMPTY: SemDeDup's r6 sqrt-cells scheme was O(n^1.5) and carried a 1.5
+# here until r10 moved it to constant-size cells + two-level routing
+# (linear pairwise, n^1.25 FLOPs on map-side folds — measured 1.6x wall
+# on the 10x sf0.1→sf1 step), so it now holds the linear bar like
+# everything else.
+EXPECTED_EXPONENT: dict[str, float] = {}
 
 
 def load(path: str) -> dict:
