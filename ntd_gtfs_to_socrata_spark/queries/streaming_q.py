@@ -37,12 +37,19 @@ def stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).select("user_id", "event_type", "event_id")
 
 
-@register("stream_stateful_user_totals")  # rows-only: applyInPandasWithState
+@register("stream_stateful_user_totals")  # rows-only: custom stateful op
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState): per-user running
-    (count, sum) state; final state per user returned."""
+    """Custom stateful operator: per-user running (count, sum) state;
+    final state per user returned. Routed through the stateful_v2
+    dispatcher — transformWithStateInPandas (the current-generation API)
+    when the runtime supports it, applyInPandasWithState otherwise; both
+    paths share the same arithmetic and parity tests."""
+    from ntd_gtfs_to_socrata_spark.streaming.stateful_v2 import (
+        default_running_user_totals,
+    )
+
     stream = EW.read_events_stream(spark, sf_dir)
-    name = _run_to_table(ST.running_user_totals(stream), "srut", "update")
+    name = _run_to_table(default_running_user_totals(stream), "srut", "update")
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -356,8 +363,14 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     strength — and because the alpha=1/2 arithmetic is order-fixed and
     power-of-two exact on both paths, the parity is BIT-exact, not
     rounded (pinned in tests/test_streaming.py): the strongest
-    determinism statement on the streaming surface."""
+    determinism statement on the streaming surface. Routed through the
+    stateful_v2 dispatcher (transformWithStateInPandas when the runtime
+    supports it, applyInPandasWithState otherwise — identical folds, so
+    the oracle is engine-facility-independent)."""
     from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+    from ntd_gtfs_to_socrata_spark.streaming.stateful_v2 import (
+        default_running_ewma,
+    )
 
     purchases = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -368,7 +381,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    name = _run_to_table(STF.running_ewma(stream), "sewma", "update")
+    name = _run_to_table(default_running_ewma(stream), "sewma", "update")
     return spark.table(name)
 
 

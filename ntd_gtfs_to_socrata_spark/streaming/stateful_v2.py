@@ -133,3 +133,118 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def idle_evicting_user_totals_tws(
+    events: DataFrame, idle_ms: int = 60_000
+) -> DataFrame:
+    """Per-user running (count, sum) with TIMER-BASED idle eviction — the
+    tWS facility `applyInPandasWithState` only approximates with state
+    timeouts: every input batch re-arms a per-key processing-time timer
+    `idle_ms` ahead; if no input arrives before it fires,
+    `handleExpiredTimer` emits a final tombstone row (`evicted=true`,
+    the key's last totals) and CLEARS the state — bounded memory on an
+    unbounded keyspace, with an auditable eviction record instead of
+    silent state loss.
+
+    Scale posture: state is (long, double) per LIVE key only — eviction
+    makes the store's footprint track the active-key working set, not
+    the all-time key cardinality; timers live in the state store next to
+    the values, partitioned the same way.
+
+    Requires the tWS runtime (`tws_available()`); `timeMode` must be
+    `ProcessingTime` so `timerValues.getCurrentProcessingTimeInMs()` and
+    timer expiry are defined."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class IdleEvictTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._n = handle.getValueState("n", "n long")
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._n.update((n,))
+            self._total.update((total,))
+            # re-arm the idle timer: drop any previously registered timer
+            # for this key, then schedule one idle_ms past now — the key
+            # is evicted only if NO batch arrives in the window
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + idle_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "evicted": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = self._n.get()[0] if self._n.exists() else 0
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            self._n.clear()
+            self._total.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "evicted": [True],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        IdleEvictTotalsProcessor(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double, evicted boolean"
+        ),
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Default dispatch (r9 verdict task 7): transformWithStateInPandas is the
+# CURRENT-generation stateful API and should be the path production code
+# reaches first; applyInPandasWithState remains the tested fallback where
+# the tWS state-server runtime (google.protobuf) is absent — as in this
+# container (see the module docstring's environment gate).
+# ---------------------------------------------------------------------------
+
+
+def default_running_ewma(events: DataFrame, span: int = 16) -> DataFrame:
+    """The repo's default per-user streaming EWMA: the tWS port when the
+    runtime supports it, else the applyInPandasWithState original. Both
+    share the bit-exact `tw_ewma_smoothed` batch oracle, so the dispatch
+    can never change a result — only which engine facility computes it."""
+    if tws_available():
+        return running_ewma_tws(events, span)
+    from ntd_gtfs_to_socrata_spark.streaming.stateful import running_ewma
+
+    return running_ewma(events, span)
+
+
+def default_running_user_totals(events: DataFrame) -> DataFrame:
+    """The repo's default per-user running totals: tWS when available,
+    else applyInPandasWithState (same arithmetic, same parity tests)."""
+    if tws_available():
+        return running_user_totals_tws(events)
+    from ntd_gtfs_to_socrata_spark.streaming.stateful import running_user_totals
+
+    return running_user_totals(events)
