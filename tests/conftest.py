@@ -18,17 +18,31 @@ def pytest_addoption(parser: pytest.Parser) -> None:
         default=False,
         help="run tests marked slow (full-registry / long-running gates)",
     )
+    parser.addoption(
+        "--runcluster",
+        action="store_true",
+        default=False,
+        help=(
+            "run tests marked cluster (local-cluster[2,2,2048] smoke tier: "
+            "multi-JVM executor serialization / Python worker distribution)"
+        ),
+    )
 
 
 def pytest_collection_modifyitems(
     config: pytest.Config, items: list[pytest.Item]
 ) -> None:
-    if config.getoption("--runslow"):
-        return
-    skip_slow = pytest.mark.skip(reason="slow gate; run with --runslow")
+    gates = []
+    if not config.getoption("--runslow"):
+        gates.append(("slow", pytest.mark.skip(reason="slow gate; run with --runslow")))
+    if not config.getoption("--runcluster"):
+        gates.append(
+            ("cluster", pytest.mark.skip(reason="cluster gate; run with --runcluster"))
+        )
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip_slow)
+        for kw, marker in gates:
+            if kw in item.keywords:
+                item.add_marker(marker)
 
 
 @pytest.fixture(scope="session")
