@@ -29,28 +29,23 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # an in-memory duckdb 1.0 connection ships with
     # max_temp_directory_size=0 (spill DISABLED): heavy oracles at sf1+
     # die with a misleading "No space left on device". Point the temp at
-    # /tmp with a real budget so oracle-side spill works. memory_limit
-    # stays near the default ON A 128 GB BOX: the recursive-closure CC
-    # oracles materialize O(sum component^2) reach pairs at sf1 and
-    # genuinely need ~90 GiB in RAM there (graph_canonical_by_rank passed
-    # at 1036 s with the 100 GiB default and zero spill; a 40 GiB cap
-    # forced >60 GiB of offload and died). On smaller machines a
-    # hardcoded 90 GiB would OVERRIDE duckdb's safer 80%-of-RAM default
-    # and invite OS OOM kills, so cap at min(90GiB, 80% of physical RAM);
-    # ORACLE_MEMORY_LIMIT overrides both. Corollary: run the sf1 gate
-    # ALONE — concurrent Spark JVMs turn the limit into phantom memory.
+    # /tmp with a real budget so oracle-side spill works. memory_limit is
+    # NOT overridden by default: duckdb's own 80%-of-RAM default is both
+    # the safe choice on small machines (advisor r9 — a hardcoded 90 GiB
+    # would over-commit them) and the NECESSARY one on this 128 GB box —
+    # the recursive-closure CC oracles peak at ~95-100 GiB at sf1
+    # (graph_canonical_by_rank: passed at 1036 s under the 100 GiB
+    # default with zero spill in r9; r10 measured that even a 90 GiB cap
+    # — let alone 40 — forces >60 GiB of offload and dies on the temp
+    # budget). Set ORACLE_MEMORY_LIMIT to pin a value explicitly.
+    # Corollary: run the sf1 gate ALONE — concurrent Spark JVMs (or the
+    # gate process's own long-lived JVM) turn any limit into phantom
+    # memory.
     import os
 
     mem_limit = os.environ.get("ORACLE_MEMORY_LIMIT")
-    if not mem_limit:
-        try:
-            ram_gib = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
-            )
-            mem_limit = f"{min(90, int(ram_gib * 0.8))}GiB"
-        except (ValueError, OSError):
-            mem_limit = "90GiB"
-    con.execute(f"SET memory_limit='{mem_limit}'")
+    if mem_limit:
+        con.execute(f"SET memory_limit='{mem_limit}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     con.execute("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
