@@ -173,7 +173,16 @@ def _canonical_oracle() -> str:
     """CC (recursive CTE) + PageRank (unrolled CTEs) + per-component
     argmax, all declarative. Ranks are rounded to 4 decimals BEFORE the
     argmax compare on both sides so float low-bit noise cannot flip the
-    winner differently in the two engines."""
+    winner differently in the two engines.
+
+    Memory shape (r10): ``pairs``/``edges``/``deg`` are referenced by
+    every unrolled PageRank step plus the recursive reach CTE — left to
+    DuckDB's default inlining, the whole string-shingle pair pipeline is
+    re-planned per reference, which at sf1 blew a >160 GB working set
+    (LOCALGATE_r10's one oracle-resource casualty). ``AS MATERIALIZED``
+    binds each shared frame ONCE; the correlated per-row ``n_members``
+    subquery is likewise replaced by one pre-aggregated join. Same
+    output, linear oracle memory."""
     pr_steps = []
     for i in range(_PR_ITERS):
         pr_steps.append(
@@ -185,13 +194,15 @@ def _canonical_oracle() -> str:
         )
     chained = ",\n".join(pr_steps)
     return f"""
-WITH RECURSIVE pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
-deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+),
 pr0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM edges),
 {chained},
 reach(node, root) AS (
@@ -199,17 +210,20 @@ reach(node, root) AS (
   UNION
   SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
 ),
-cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
-joined AS (
+cc AS MATERIALIZED (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+joined AS MATERIALIZED (
   SELECT cc.comp, cc.node, round(p.pr, 4) AS pr
   FROM cc JOIN pr{_PR_ITERS} p ON p.node = cc.node
 ),
-best AS (SELECT comp, max(pr) AS max_pr FROM joined GROUP BY comp)
+best AS (SELECT comp, max(pr) AS max_pr FROM joined GROUP BY comp),
+members AS (SELECT comp, count(*) AS n_members FROM cc GROUP BY comp)
 SELECT j.comp AS component_id,
        min(j.node) AS canonical_doc,
        max(b.max_pr) AS canonical_pr,
-       (SELECT count(*) FROM cc c2 WHERE c2.comp = j.comp) AS n_members
-FROM joined j JOIN best b ON b.comp = j.comp AND j.pr = b.max_pr
+       max(m.n_members) AS n_members
+FROM joined j
+JOIN best b ON b.comp = j.comp AND j.pr = b.max_pr
+JOIN members m ON m.comp = j.comp
 GROUP BY j.comp
 """
 
