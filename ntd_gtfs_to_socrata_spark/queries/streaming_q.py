@@ -353,11 +353,18 @@ def _ewma_oracle() -> str:
 @register("stream_ewma", _ewma_oracle())
 def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING per-user EWMA via a custom stateful operator
-    (``streaming/stateful.py::running_ewma``): purchases arrive as 4
+    (``streaming/stateful.py::running_ewma``): purchases arrive as 3
     time-quantile micro-batches (``stage_time_sliced`` writes them
     oldest-first so the file source replays event-time order); each
     user's last span-1 values ride the state store across batches and
-    every event emits its smoothed value exactly once.
+    every event emits its smoothed value exactly once. 3 epochs is the
+    fewest covering every state path — create (epoch 0), carry-and-
+    update across a batch boundary (epoch 1), and a SECOND carry so a
+    tail written by an updated state is itself re-read (epoch 2) —
+    the same fewest-batches argument as stream_incremental_lsh_dedup
+    (r9 verdict task 6); the per-batch fixed cost (state commit +
+    micro-batch planning, ~1.6 s/epoch measured) dominates this
+    query, so epochs beyond coverage are pure overhead.
 
     Shares the batch ``tw_ewma_smoothed`` oracle at FULL value-hash
     strength — and because the alpha=1/2 arithmetic is order-fixed and
@@ -375,7 +382,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    staging = STF.stage_time_sliced(spark, purchases, n_slices=4)
+    staging = STF.stage_time_sliced(spark, purchases, n_slices=3)
     stream = (
         spark.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", 1)
@@ -393,14 +400,20 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     next session or when the watermark passes last_event + gap — the
     ``applyInPandasWithState`` facility ``session_window()`` cannot
     express (custom gap logic, exact-once append emission per session).
-    Events arrive as 4 time-quantile micro-batches; every emitted row
+    Events arrive as 3 time-quantile micro-batches — the fewest epochs
+    covering every state path: open (epoch 0), extend-or-close across a
+    batch boundary (epoch 1), and a timeout FIRING batch after the
+    watermark has passed a session's gap (epoch 2; timeouts fire on the
+    batch AFTER the watermark moves, so eviction needs a successor
+    epoch) — per-epoch fixed cost dominates, the same rationale as
+    stream_incremental_lsh_dedup's harness. Every emitted row
     equals the batch ``sessionize_lag_gap`` session with the same key
     (subset parity pinned in tests/test_streaming.py — the unemitted
     remainder is exactly the sessions still inside the final watermark)."""
     from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    staging = STF.stage_time_sliced(spark, ev, n_slices=4)
+    staging = STF.stage_time_sliced(spark, ev, n_slices=3)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
