@@ -42,19 +42,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _ngram_oracle(df_cap: int | None = None, table: str = "documents") -> str:
+    # AS MATERIALIZED on the multi-referenced CTEs: DuckDB's default
+    # inlining re-plans `exploded` (referenced 3x: kept + both pair-join
+    # sides) and `shingled` (sizes + exploded) per reference — measured
+    # 3.7x slower at sf0.1 and the root of the sf1 gate's 387 s oracle
+    # tails. Purely an optimization fence; output unchanged.
     posting_filter = f" AND count(*) <= {df_cap}" if df_cap else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM {table}
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+exploded AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 kept AS (
   SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1{posting_filter}
 ),
@@ -300,8 +305,8 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CC_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH RECURSIVE pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs_j
@@ -350,8 +355,8 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KEEP_ONE_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH RECURSIVE pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs_j
@@ -516,8 +521,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BUCKET_CAP = 256
 
 LSH_PAIRS_ORACLE = f"""
-WITH sigs AS ({MINHASH_ORACLE}),
-bands AS (
+WITH sigs AS MATERIALIZED ({MINHASH_ORACLE}),
+bands AS MATERIALIZED (
   SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sigs
   UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
   UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
@@ -589,18 +594,18 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LSH_PIPELINE_ORACLE = f"""
-WITH RECURSIVE cands AS ({LSH_PAIRS_ORACLE}),
+WITH RECURSIVE cands AS MATERIALIZED ({LSH_PAIRS_ORACLE}),
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-expl AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+expl AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 common AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cands c
@@ -615,7 +620,7 @@ verified AS (
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM verified
@@ -1576,7 +1581,7 @@ _SPAN_W = 40  # window width (chars)
 _SPAN_S = 20  # stride (chars)
 
 SPAN_ORACLE = f"""
-WITH w AS (
+WITH w AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN length(text) >= {_SPAN_W}
               THEN list_distinct(list_transform(
@@ -1585,7 +1590,7 @@ WITH w AS (
               ELSE [] END AS spans
   FROM documents
 ),
-e AS (SELECT doc_id, unnest(spans) AS span FROM w),
+e AS MATERIALIZED (SELECT doc_id, unnest(spans) AS span FROM w),
 dup AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) > 1),
 per AS (
   SELECT e.doc_id, count(*) AS n_dup
@@ -1668,7 +1673,7 @@ s AS (
                         g -> array_to_string(toks[g * {_SEG_LEN} + 1 : g * {_SEG_LEN} + {_SEG_LEN}], ' ')) AS segs
   FROM t
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT doc_id, CAST(generate_subscripts(segs, 1) - 1 AS INT) AS pos,
          unnest(segs) AS seg
   FROM s
@@ -2011,8 +2016,8 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 INCR_LSH_ORACLE = f"""
-WITH sigs AS ({MINHASH_ORACLE}),
-bands AS (
+WITH sigs AS MATERIALIZED ({MINHASH_ORACLE}),
+bands AS MATERIALIZED (
   SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sigs
   UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sigs
   UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sigs
@@ -2027,7 +2032,7 @@ cand AS (
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
@@ -2142,14 +2147,14 @@ def _containment_oracle(df_cap: int | None = None) -> str:
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+exploded AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 kept AS (
   SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1{cap}
 ),
@@ -2284,7 +2289,7 @@ shingled AS (
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
 ),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+exploded AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 dfreq AS (
   SELECT shingle, count(*) AS df FROM exploded GROUP BY shingle
 )
@@ -2412,8 +2417,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CLUSTER_REPORT_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH RECURSIVE pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs_j
@@ -2494,14 +2499,14 @@ CONTAIN_CLOSURE_ORACLE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM toks
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+exploded AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 kept AS (
   SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > 1
 ),
@@ -2512,7 +2517,7 @@ pairs AS (
   JOIN exploded b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT p.doc_a AS src, p.doc_b AS dst
   FROM pairs p
   JOIN sizes sa ON sa.doc_id = p.doc_a
@@ -3116,8 +3121,8 @@ def dq_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SOFT_WEIGHT_ORACLE = f"""
-WITH RECURSIVE pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH RECURSIVE pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs_j

@@ -115,8 +115,8 @@ def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_CLUSTER_ORACLE = f"""
-WITH RECURSIVE m AS ({_MATCH_SQL}),
-edges AS (
+WITH RECURSIVE m AS MATERIALIZED ({_MATCH_SQL}),
+edges AS MATERIALIZED (
   SELECT custkey_clean AS src, -custkey_dirty AS dst FROM m
   UNION
   SELECT -custkey_dirty AS src, custkey_clean AS dst FROM m
@@ -284,8 +284,8 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_GOLDEN_ORACLE = f"""
-WITH RECURSIVE m AS ({_MATCH_SQL}),
-edges AS (
+WITH RECURSIVE m AS MATERIALIZED ({_MATCH_SQL}),
+edges AS MATERIALIZED (
   SELECT custkey_clean AS src, -custkey_dirty AS dst FROM m
   UNION
   SELECT -custkey_dirty AS src, custkey_clean AS dst FROM m

@@ -49,8 +49,8 @@ def _pagerank_oracle() -> str:
         )
     chained = ",\n".join(steps)
     return f"""
-WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -94,7 +94,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_ORACLE = f"""
-WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+WITH pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
 e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
 SELECT count(*) AS n_triangles
 FROM e e1
@@ -138,8 +138,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEGREE_ORACLE = f"""
-WITH pairs AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
-edges AS (
+WITH pairs AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs

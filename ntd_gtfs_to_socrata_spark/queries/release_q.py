@@ -25,7 +25,7 @@ from ntd_gtfs_to_socrata_spark.queries import register
 _BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100"
 
 RELEASE_ORACLE = f"""
-WITH RECURSIVE ruled AS (
+WITH RECURSIVE ruled AS MATERIALIZED (
   SELECT doc_id, text, n_chars, toks FROM (
     SELECT doc_id, text, n_chars,
            regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -41,17 +41,17 @@ WITH RECURSIVE ruled AS (
 canon AS (
   SELECT min(doc_id) AS doc_id FROM ruled GROUP BY text
 ),
-exact AS (
+exact AS MATERIALIZED (
   SELECT r.* FROM ruled r SEMI JOIN canon c ON r.doc_id = c.doc_id
 ),
-shingled AS (
+shingled AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
   FROM exact
 ),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+exploded AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
 kept AS (
   SELECT shingle FROM exploded GROUP BY shingle
   HAVING count(*) > 1 AND count(*) <= {_NEARDUP_DF_CAP}
@@ -69,7 +69,7 @@ near AS (
   JOIN sizes sb ON sb.doc_id = p.doc_b
   WHERE CAST(p.nc AS DOUBLE) / (sa.n_sh + sb.n_sh - p.nc) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM near
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM near
@@ -79,14 +79,14 @@ reach(node, root) AS (
   UNION
   SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
 ),
-cc AS (SELECT node, min(root) AS comp FROM reach GROUP BY node),
+cc AS MATERIALIZED (SELECT node, min(root) AS comp FROM reach GROUP BY node),
 dropped AS (
   SELECT c.node AS doc_id
   FROM cc c JOIN (SELECT comp, min(node) AS keep FROM cc GROUP BY comp) m
     ON c.comp = m.comp
   WHERE c.node <> m.keep
 ),
-survivors AS (
+survivors AS MATERIALIZED (
   SELECT e.*, ({_BUCKET}) AS bucket FROM exact e
   ANTI JOIN dropped d ON e.doc_id = d.doc_id
 ),

@@ -560,17 +560,17 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 EMB_KEEP_ONE_ORACLE = """
-WITH RECURSIVE v AS (
+WITH RECURSIVE v AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
   FROM embeddings WHERE vec_id < 200
 ),
-pairs_c AS (
+pairs_c AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM v a JOIN v b ON a.vec_id < b.vec_id
   WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 6) >= 0.3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs_c
   UNION
   SELECT id_b AS src, id_a AS dst FROM pairs_c

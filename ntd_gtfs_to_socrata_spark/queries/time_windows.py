@@ -1027,7 +1027,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_SLACK_MICRO = 500_000  # k = 0.5 events of slack per day (micro units)
 
 CUSUM_ORACLE = f"""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2
@@ -1038,7 +1038,7 @@ mu AS (
            AS mu_micro
   FROM daily GROUP BY event_type
 ),
-seq AS (
+seq AS MATERIALIZED (
   SELECT d.event_type, d.day, d.n,
          d.n * 1000000 - m.mu_micro - {_CUSUM_SLACK_MICRO} AS dev,
          row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn

@@ -373,14 +373,14 @@ def _pipeline_oracle() -> str:
     )
 
     return f"""
-WITH RECURSIVE corpus AS (
+WITH RECURSIVE corpus AS MATERIALIZED (
   SELECT * FROM documents
   WHERE n_chars >= 60
     AND lang IN ('en', 'de', 'fr', 'es')
     AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
 ),
-pairs_j AS ({_ngram_oracle(df_cap=AUDIT_DF_CAP, table='corpus')}),
-edges AS (
+pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP, table='corpus')}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs_j
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM pairs_j
