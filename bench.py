@@ -161,6 +161,10 @@ HEADLINE = [
     "graph_closeness_centrality",
     "eval_mcnemar",
     "tw_retention_cohorts",
+    # r10 additions: real NN pixel resize, cluster-aware (leakage-free)
+    # train/val/test split
+    "mm_bmp_resize",
+    "tp_cluster_aware_split",
 ]
 
 

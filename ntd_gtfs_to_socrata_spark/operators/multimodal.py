@@ -527,3 +527,47 @@ def bmp_row_intensities(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         bmp_row_intensity_batch, schema=BMP_ROW_SCHEMA
     )
+
+
+# Fixed thumbnail geometry: sources span 1..8 x 1..6, so 4x3 exercises
+# BOTH directions (up-sample narrow/short images, down-sample wide/tall).
+RESIZE_W = 4
+RESIZE_H = 3
+BMP_RESIZE_SCHEMA = "doc_id long, x long, y long, r long, g long, b long"
+
+
+def bmp_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL nearest-neighbor resize over real decoded pixels: each output
+    cell (x, y) of the fixed RESIZE_W x RESIZE_H thumbnail reads source
+    pixel (floor(x*w/W), floor(y*h/H)) in image order — the standard NN
+    sampler (what PIL's Image.NEAREST computes, minus its +0.5 center
+    offset; the floor convention is pinned so the oracle can replay it).
+    Channels come back RGB from the BMP's BGR bytes. Malformed payloads
+    yield no rows (errors-as-data handled upstream by decode_bmp)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_bmp(bytes(payload or b""))
+            if parsed is None:
+                continue
+            w, h, img = parsed
+            xs = (np.arange(RESIZE_W) * w) // RESIZE_W
+            ys = (np.arange(RESIZE_H) * h) // RESIZE_H
+            small = img[np.ix_(ys, xs)]  # (H, W, 3) BGR, image order
+            for y in range(RESIZE_H):
+                for x in range(RESIZE_W):
+                    bb, gg, rr = small[y, x]
+                    out.append((doc_id, x, y, int(rr), int(gg), int(bb)))
+        yield pd.DataFrame(out, columns=["doc_id", "x", "y", "r", "g", "b"])
+
+
+def resize_bmp(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched thumbnail resize: one row per output pixel per blob
+    (W*H rows/image, bounded — the fan-out a vision-encoder preprocessor
+    feeds). Decode + resample stay in one UDF pass so pixels never cross
+    the wire at native resolution."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        bmp_resize_batch, schema=BMP_RESIZE_SCHEMA
+    )

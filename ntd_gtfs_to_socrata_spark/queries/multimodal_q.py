@@ -410,3 +410,49 @@ def mm_bmp_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("delta")) > _BMP_CUT_T)
         .select("doc_id", "y", "intensity", "delta")
     )
+
+
+# --- REAL pixel resize (nearest-neighbor thumbnail) ----------------------
+# The construction formula makes every resampled pixel SQL-replayable:
+# output cell (x, y) of the 4x3 thumbnail reads source pixel
+# sx = floor(x*w/4), sy = floor(y*h/3) in image order; image row sy lives
+# at padded FILE row (h-1-sy) (bottom-up layout), and the byte for
+# channel c of column sx is (doc_id + 13*(h-1-sy) + 7*(3*sx+c)) % 256
+# with BGR channel order (c=2 is R, matching MM_BMP_DECODE_ORACLE).
+MM_BMP_RESIZE_ORACLE = f"""
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+dims AS (SELECT doc_id, nb % 8 + 1 AS w, nb % 6 + 1 AS h FROM d),
+grid AS (SELECT doc_id, w, h, unnest(range({MM.RESIZE_W})) AS x FROM dims),
+cells AS (SELECT doc_id, w, h, x, unnest(range({MM.RESIZE_H})) AS y FROM grid),
+mapped AS (
+  SELECT doc_id, x, y,
+         CAST(floor(x * w / {MM.RESIZE_W}.0) AS BIGINT) AS sx,
+         h - 1 - CAST(floor(y * h / {MM.RESIZE_H}.0) AS BIGINT) AS fr
+  FROM cells
+)
+SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST((doc_id + 13*fr + 7*(3*sx + 2)) % 256 AS BIGINT) AS r,
+       CAST((doc_id + 13*fr + 7*(3*sx + 1)) % 256 AS BIGINT) AS g,
+       CAST((doc_id + 13*fr + 7*(3*sx + 0)) % 256 AS BIGINT) AS b
+FROM mapped
+"""
+
+
+@register("mm_bmp_resize", MM_BMP_RESIZE_ORACLE)
+def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RESIZE over real decoded pixels: the vision-preprocessor step
+    the multimodal north-star calls for. Each blob's genuine 24-bpp BMP
+    is parsed (headers, padded bottom-up BGR rows) and resampled to a
+    fixed 4x3 thumbnail with floor-convention nearest-neighbor — source
+    images span 1..8 x 1..6 so BOTH up- and down-sampling paths run.
+    Every output pixel (12 rows/image, RGB integers) is value-hash
+    checked against the construction formula, so the decoder's row flip
+    AND the resampler's index math are both load-bearing.
+
+    Scale posture: decode + resample happen in ONE Arrow-batched
+    mapInPandas pass (pixels never leave the executor at native
+    resolution — the thumbnail, not the image, is what shuffles, which
+    is the whole point at 100 TB of media); output fan-out is a bounded
+    12 rows per blob. No joins, no windows, no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_bmp(MM.make_bmp_payload(docs))

@@ -1406,3 +1406,91 @@ def tp_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 tp_decontaminate_fuzzy.__doc__ = tp_decontaminate_fuzzy.__doc__.format(
     t=_DECON_T
 )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware (leakage-free) train/validation/test split
+# ---------------------------------------------------------------------------
+
+def _cluster_split_oracle() -> str:
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        AUDIT_DF_CAP,
+        _ngram_oracle,
+    )
+
+    return f"""
+WITH RECURSIVE pairs_j AS MATERIALIZED ({_ngram_oracle(df_cap=AUDIT_DF_CAP)}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs_j
+),
+reach(node, root) AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root AS root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS MATERIALIZED (
+  SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node
+),
+grouped AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, group_id,
+         CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS INTEGER)
+           % 100 AS bucket
+  FROM grouped
+)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("tp_cluster_aware_split", _cluster_split_oracle())
+def tp_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: hash on the NEAR-DUP CLUSTER id, not the doc
+    id. [[tp_hash_split]] keyed on doc_id puts two near-duplicate
+    documents in different splits with probability ~28% per pair — eval
+    contamination by construction. Here near-dup pairs (shingle Jaccard,
+    the [[dedup_ngram_jaccard_dfcap]] edge set) are closed into
+    components; every doc inherits group_id = its component (or itself
+    when unclustered), and the 80/10/10 bucket is md5(group_id) — so a
+    whole near-dup cluster lands in ONE split, while singleton docs
+    bucket exactly like the plain hash split. The per-doc assignment
+    (not just counts) is value-hash checked against a recursive-CTE
+    fixpoint oracle.
+
+    Scale posture: the pair/CC stages are the linear banded pipeline
+    from dedup_text (posting lists, never all-pairs; O(log n) CC
+    rounds); the component map joins back to the corpus as a plain
+    keyed join AQE can split (dup-heavy web corpora can have a
+    corpus-scale map, so no forced broadcast); the bucket + split
+    labels are pure map expressions. No shuffle is added beyond the
+    one component-map join."""
+    from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        AUDIT_DF_CAP,
+        _ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    grouped = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("group_id"),
+    )
+    bucket = _bucket(F.col("group_id"))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.withColumn("split", split)

@@ -236,3 +236,55 @@ def test_bmp_payload_is_valid_bmp_and_formula_exact(spark, sf_dir):
                 sums[j % 3] += (r["doc_id"] + 13 * rr + 7 * j) % 256
         assert (r["width"], r["height"], r["ok"]) == (w, h, True)
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sums[2], sums[1], sums[0])
+
+
+def test_bmp_resize_matches_independent_nn_reference(spark, sf_dir):
+    """mm_bmp_resize vs a from-scratch reference: decode each payload
+    with _parse_bmp directly (driver-side), resample with explicit
+    per-pixel floor math (no np.ix_ fancy-indexing, no shared helper),
+    and require byte equality on every output pixel."""
+    from ntd_gtfs_to_socrata_spark.operators import multimodal as MM
+    from ntd_gtfs_to_socrata_spark.queries.multimodal_q import mm_bmp_resize
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in MM.make_bmp_payload(docs).collect()
+    }
+    expected = set()
+    for doc_id, blob in payloads.items():
+        w, h, img = MM._parse_bmp(blob)
+        for y in range(MM.RESIZE_H):
+            for x in range(MM.RESIZE_W):
+                sy = (y * h) // MM.RESIZE_H
+                sx = (x * w) // MM.RESIZE_W
+                bb, gg, rr = (int(v) for v in img[sy, sx])
+                expected.add((doc_id, x, y, rr, gg, bb))
+
+    got = {
+        tuple(r)
+        for r in mm_bmp_resize(spark, sf_dir)
+        .filter(F.col("doc_id").isin(*payloads))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_bmp_resize_fanout_is_bounded(spark, sf_dir):
+    """Exactly RESIZE_W*RESIZE_H rows per decodable image, coordinates in
+    range — the bounded fan-out contract the scale posture relies on."""
+    from ntd_gtfs_to_socrata_spark.operators import multimodal as MM
+    from ntd_gtfs_to_socrata_spark.queries.multimodal_q import mm_bmp_resize
+
+    out = mm_bmp_resize(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").count()
+    n_cells = MM.RESIZE_W * MM.RESIZE_H
+    assert per_doc.filter(F.col("count") != n_cells).count() == 0
+    bounds = out.agg(
+        F.max("x").alias("mx"),
+        F.max("y").alias("my"),
+        F.min("r").alias("mr"),
+        F.max("r").alias("xr"),
+    ).first()
+    assert bounds["mx"] == MM.RESIZE_W - 1 and bounds["my"] == MM.RESIZE_H - 1
+    assert 0 <= bounds["mr"] and bounds["xr"] <= 255

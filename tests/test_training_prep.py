@@ -87,3 +87,74 @@ def test_ffd_never_uses_more_bins_than_contiguous_packing(spark, sf_dir):
         assert sum(loads) == row["total_tokens"]
         assert row["n_bins"] <= contiguous[lang]
         assert row["waste_tokens"] == row["n_bins"] * 512 - row["total_tokens"]
+
+
+def test_cluster_aware_split_assigns_every_doc_once(spark, sf_dir):
+    from ntd_gtfs_to_socrata_spark.queries.training_prep import (
+        tp_cluster_aware_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tp_cluster_aware_split(spark, sf_dir)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    assert {r["split"] for r in out.select("split").distinct().collect()} <= {
+        "train",
+        "validation",
+        "test",
+    }
+
+
+def test_cluster_aware_split_never_straddles_a_near_dup_pair(spark, sf_dir):
+    """The leakage property itself: both endpoints of EVERY near-dup edge
+    land in the same split (tp_hash_split keyed on doc_id violates this
+    with ~28% probability per pair)."""
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import (
+        AUDIT_DF_CAP,
+        _ngram_jaccard,
+    )
+    from ntd_gtfs_to_socrata_spark.queries.training_prep import (
+        tp_cluster_aware_split,
+    )
+
+    assign = tp_cluster_aware_split(spark, sf_dir).select("doc_id", "split")
+    pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
+    straddling = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # sanity: the edge set is non-empty, so the property is non-vacuous
+    assert pairs.count() > 0
+
+
+def test_cluster_aware_split_matches_hash_split_on_singletons(spark, sf_dir):
+    """Docs in no near-dup cluster have group_id = doc_id, so their
+    bucket — and therefore their split — is EXACTLY tp_hash_split's:
+    cluster-awareness perturbs only the clustered minority."""
+    from ntd_gtfs_to_socrata_spark.queries.training_prep import (
+        _bucket,
+        tp_cluster_aware_split,
+    )
+
+    out = tp_cluster_aware_split(spark, sf_dir)
+    singles = out.filter(F.col("group_id") == F.col("doc_id"))
+    b = _bucket(F.col("doc_id"))
+    expected = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    assert singles.filter(F.col("split") != expected).count() == 0
