@@ -162,9 +162,10 @@ HEADLINE = [
     "eval_mcnemar",
     "tw_retention_cohorts",
     # r10 additions: real NN pixel resize, cluster-aware (leakage-free)
-    # train/val/test split
+    # train/val/test split, real PNG decode (stdlib inflate + unfilter)
     "mm_bmp_resize",
     "tp_cluster_aware_split",
+    "mm_png_decode",
 ]
 
 

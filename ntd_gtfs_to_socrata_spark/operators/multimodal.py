@@ -3,9 +3,13 @@
 Media (image/audio/video) are opaque ``binary`` columns plus typed
 metadata, the lakehouse-native layout for multimodal training data. The
 Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` UDFs, batch
-shapes — is real and tested; the actual codec calls are STUBBED with a
-deterministic fake (this container has no image/audio libraries), clearly
-marked below, so swapping in PIL/ffmpeg is a one-function change.
+shapes — is real and tested. Codec status: BMP pixel decode, PNG pixel
+decode (stdlib zlib inflate + real scanline unfiltering), NN resize, and
+PNG/JPEG/BMP header parsing are REAL implementations with no library
+dependency; only the lossy-codec paths (JPEG entropy decode, audio/video
+codecs) remain STUBBED with a deterministic fake (this container has no
+image/audio libraries), clearly marked below, so swapping in PIL/ffmpeg
+is a one-function change.
 
 Reference analog: the GTFS .zip payload round-trip
 (/root/reference/publish_to_catalog.py:316-320, 451-454) — bytes in a
@@ -570,4 +574,223 @@ def resize_bmp(with_payload: DataFrame) -> DataFrame:
     the wire at native resolution."""
     return with_payload.select("doc_id", "payload").mapInPandas(
         bmp_resize_batch, schema=BMP_RESIZE_SCHEMA
+    )
+
+
+# --- REAL compressed-format decode: PNG (stored-deflate construction,
+# --- stdlib-inflate + real scanline unfilter on the decode side) ---------
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, width long, height long,"
+    " sum_r long, sum_g long, sum_b long, ok boolean"
+)
+_ADLER_MOD = 65521
+
+
+def _png_chunk(ctype: bytes, data):
+    """Length + type + data + CRC32(type||data) — CRC computed JVM-side
+    with F.crc32 (java.util.zip.CRC32 == zlib's polynomial)."""
+    body = F.concat(F.lit(ctype), data)
+    return F.concat(
+        _be(F.octet_length(data), 4),
+        body,
+        _be(F.crc32(body), 4),
+    )
+
+
+def make_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL PNG — 8-byte signature,
+    IHDR (8-bit RGB), one IDAT holding a genuine zlib stream, IEND — with
+    correct CRC32s (F.crc32) and Adler32 (an aggregate fold, the actual
+    two-accumulator recurrence). The deflate payload uses a single STORED
+    block (BTYPE=00 — raw bytes are first-class deflate, so stdlib
+    ``zlib.decompress`` inflates it like any other stream) because
+    entropy CODING cannot be a Column expression; everything a decoder
+    must verify (checksums, framing, filter bytes) is real.
+
+    Scanlines alternate PNG filters: even rows None(0), odd rows Sub(1)
+    — so decode genuinely runs the left-neighbor reconstruction
+    recurrence, not a memcpy. RECONSTRUCTED byte at image row r, in-row
+    offset j is (doc_id + 17*r + 5*j*j) % 256 — the SQL-replayable
+    contract; the Sub rows' FILTERED bytes follow as the closed-form
+    delta (30*j - 45) % 256 for j >= 3.
+
+    w = nb%5+1, h = nb%4+1 (nb = octet_length(text)): tiny on the
+    fixture, but the construction is per-row Column math — a 100 TB
+    media-lake fixture never leaves the JVM."""
+    nb = F.octet_length("text")
+    w = (nb % 5 + 1).cast("long")
+    h = (nb % 4 + 1).cast("long")
+    rb = (w * 3).cast("long")  # bytes per scanline (RGB, no alpha)
+    stream_len = (h * (rb + 1)).cast("long")  # +1 filter byte per row
+
+    def raw_byte(i):
+        """Filtered-scanline-stream byte at index i (Column expr)."""
+        r = F.floor(i / (rb + 1))
+        k = i % (rb + 1)
+        j = k - 1
+        recon = (F.col("doc_id") + 17 * r + 5 * j * j) % 256
+        sub_delta = (30 * j - 45) % 256
+        return (
+            F.when(k == 0, r % 2)  # filter byte: None / Sub
+            .when((r % 2 == 0) | (j < 3), recon)
+            .otherwise(sub_delta)
+        )
+
+    idx = F.sequence(F.lit(0).cast("long"), stream_len - 1)
+    scanlines = F.aggregate(
+        idx, F.lit(b""), lambda acc, i: F.concat(acc, _be(raw_byte(i), 1))
+    )
+    # Adler32: the real rolling (a, b) recurrence as an aggregate fold.
+    adler = F.aggregate(
+        idx,
+        F.struct(
+            F.lit(1).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+        ),
+        lambda acc, i: F.struct(
+            ((acc["a"] + raw_byte(i)) % _ADLER_MOD).alias("a"),
+            ((acc["b"] + acc["a"] + raw_byte(i)) % _ADLER_MOD).alias("b"),
+        ),
+        lambda acc: acc["b"] * 65536 + acc["a"],
+    )
+    zlib_stream = F.concat(
+        F.lit(b"\x78\x01"),  # CMF/FLG (32K window, fastest preset)
+        F.lit(b"\x01"),  # BFINAL=1, BTYPE=00 (stored)
+        _le(stream_len, 2),
+        _le(65535 - stream_len, 2),  # NLEN = one's complement
+        scanlines,
+        _be(adler, 4),
+    )
+    ihdr_data = F.concat(
+        _be(w, 4),
+        _be(h, 4),
+        F.lit(b"\x08\x02\x00\x00\x00"),  # depth 8, RGB, default c/f/i
+    )
+    payload = F.concat(
+        F.lit(PNG_SIG),
+        _png_chunk(b"IHDR", ihdr_data),
+        _png_chunk(b"IDAT", zlib_stream),
+        F.lit(b"\x00\x00\x00\x00IEND\xaeB`\x82"),
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _png_unfilter(stream: bytes, w: int, h: int):
+    """Real PNG scanline reconstruction (filters 0-4 per the spec,
+    bpp=3). Returns an (h, w, 3) uint8-valued int64 ndarray in RGB image
+    order, or None on a malformed stream."""
+    import numpy as np
+
+    rb = w * 3
+    if len(stream) != h * (rb + 1):
+        return None
+    out = np.zeros((h, rb), dtype=np.int64)
+    pos = 0
+    for r in range(h):
+        ftype = stream[pos]
+        cur = bytearray(stream[pos + 1 : pos + 1 + rb])
+        pos += 1 + rb
+        prev = out[r - 1] if r > 0 else np.zeros(rb, dtype=np.int64)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for j in range(3, rb):
+                cur[j] = (cur[j] + cur[j - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(rb):
+                cur[j] = (cur[j] + int(prev[j])) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(rb):
+                left = cur[j - 3] if j >= 3 else 0
+                cur[j] = (cur[j] + (left + int(prev[j])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(rb):
+                a = cur[j - 3] if j >= 3 else 0
+                b = int(prev[j])
+                c = int(prev[j - 3]) if j >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[j] = (cur[j] + pred) & 0xFF
+        else:
+            return None
+        out[r] = np.frombuffer(bytes(cur), dtype=np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def _parse_png(b: bytes):
+    """Parse + inflate + unfilter a real PNG (8-bit RGB, non-interlaced).
+    Chunk CRCs are VERIFIED (zlib.crc32); IDAT is inflated with stdlib
+    zlib — a genuine deflate decode, whatever block types the encoder
+    chose. Returns (w, h, pixels (h, w, 3) RGB) or None."""
+    import zlib
+
+    if len(b) < 8 or b[:8] != PNG_SIG:
+        return None
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 12 <= len(b):
+        (length,) = __import__("struct").unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = __import__("struct").unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h = __import__("struct").unpack_from(">II", data, 0)
+            depth, color, comp, filt, inter = data[8:13]
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or inter != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if not w or not h or not idat:
+        return None
+    try:
+        stream = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    px = _png_unfilter(stream, w, h)
+    if px is None:
+        return None
+    return w, h, px
+
+
+def png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL COMPRESSED-FORMAT PIXEL DECODE: chunk walk with CRC checks,
+    stdlib zlib inflate, real scanline unfiltering — reduced to exact
+    integer per-channel sums. Malformed payloads return ok=False with
+    null stats (errors as data, the S4 discipline)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_png(bytes(payload or b""))
+            if parsed is None:
+                out.append((doc_id, None, None, None, None, None, False))
+                continue
+            w, h, img = parsed
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    int(img[..., 0].sum()),  # PNG is RGB order
+                    int(img[..., 1].sum()),
+                    int(img[..., 2].sum()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "ok"],
+        )
+
+
+def decode_png(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real PNG decode: dims + exact channel sums."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        png_decode_batch, schema=PNG_DECODE_SCHEMA
     )

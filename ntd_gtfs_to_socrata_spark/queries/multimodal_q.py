@@ -456,3 +456,48 @@ def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 rows per blob. No joins, no windows, no driver collect."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize_bmp(MM.make_bmp_payload(docs))
+
+
+# --- REAL PNG decode (compressed container: stdlib inflate + unfilter) ---
+# Construction contract (operators/multimodal.py make_png_payload):
+# w = nb%5+1, h = nb%4+1; RECONSTRUCTED byte at image row r, in-row
+# offset j is (doc_id + 17*r + 5*j*j) % 256, RGB channel = j%3 (0 is R).
+# The decoder cannot shortcut to this formula: it must CRC-walk the
+# chunks, inflate the zlib stream, and run the None/Sub unfilter
+# recurrence to reproduce these integers.
+MM_PNG_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+dims AS (SELECT doc_id, nb % 5 + 1 AS w, nb % 4 + 1 AS h FROM d),
+rws AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM dims),
+px AS (SELECT doc_id, w, h, r, unnest(range(w * 3)) AS j FROM rws)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN j % 3 = 0 THEN (doc_id + 17*r + 5*j*j) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1 THEN (doc_id + 17*r + 5*j*j) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 2 THEN (doc_id + 17*r + 5*j*j) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
+       TRUE AS ok
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@register("mm_png_decode", MM_PNG_DECODE_ORACLE)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-FORMAT PIXEL DECODE — the stub surface shrinks
+    again: payloads are genuine PNGs built JVM-side (correct CRC32s via
+    F.crc32, a real zlib stream — stored deflate block + Adler32 folded
+    with the actual rolling recurrence), and the Arrow-batched UDF
+    decodes them the way any PNG reader must: chunk walk with CRC
+    verification, stdlib ``zlib.decompress`` inflate, then the PNG
+    scanline unfilter recurrence (rows alternate None/Sub filters, so
+    left-neighbor reconstruction is load-bearing; the decoder implements
+    all five spec filters and the Paeth/Average/Up paths are
+    fixture-tested). Every reconstructed pixel is value-hash checked
+    against the construction formula.
+
+    Scale posture: decode is one map-side Arrow pass (no joins, no
+    windows, no shuffle); per-blob output is a single stats row, so 100
+    TB of media reduces at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png(MM.make_png_payload(docs))

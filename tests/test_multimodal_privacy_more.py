@@ -288,3 +288,123 @@ def test_bmp_resize_fanout_is_bounded(spark, sf_dir):
     ).first()
     assert bounds["mx"] == MM.RESIZE_W - 1 and bounds["my"] == MM.RESIZE_H - 1
     assert 0 <= bounds["mr"] and bounds["xr"] <= 255
+
+
+def _ref_png(w, h, pixels, filters):
+    """Independent PNG builder (pure Python, real zlib.compress — DYNAMIC
+    deflate blocks, unlike the JVM construction's stored blocks): filters
+    each scanline per `filters[r]` with the spec's forward transforms."""
+    import struct
+    import zlib
+
+    rb = w * 3
+    flat = [pixels[r][j] for r in range(h) for j in range(rb)]
+    stream = bytearray()
+    recon = [[0] * rb for _ in range(h)]
+    for r in range(h):
+        for j in range(rb):
+            recon[r][j] = flat[r * rb + j]
+    for r in range(h):
+        f = filters[r]
+        stream.append(f)
+        prev = recon[r - 1] if r > 0 else [0] * rb
+        for j in range(rb):
+            x = recon[r][j]
+            a = recon[r][j - 3] if j >= 3 else 0
+            b = prev[j]
+            c = prev[j - 3] if j >= 3 else 0
+            if f == 0:
+                raw = x
+            elif f == 1:
+                raw = x - a
+            elif f == 2:
+                raw = x - b
+            elif f == 3:
+                raw = x - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw = x - pred
+            stream.append(raw & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_five_spec_filters():
+    """The decoder against an INDEPENDENT encoder, one scanline per
+    filter type (None/Sub/Up/Average/Paeth) over a dynamic-deflate
+    stream — the construction path only emits None/Sub + stored blocks,
+    so this pins the decode paths the oracle can't reach."""
+    w, h = 4, 5
+    rb = w * 3
+    pixels = [[(31 * r + 7 * j + r * j) % 256 for j in range(rb)] for r in range(h)]
+    blob = _ref_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+    parsed = MM._parse_png(blob)
+    assert parsed is not None
+    pw, ph, img = parsed
+    assert (pw, ph) == (w, h)
+    got = [[int(img[r, j // 3, j % 3]) for j in range(rb)] for r in range(h)]
+    assert got == pixels
+
+
+def test_png_parse_rejects_malformed_payloads():
+    import struct
+    import zlib
+
+    good = _ref_png(2, 2, [[1] * 6, [2] * 6], [0, 0])
+    assert MM._parse_png(good) is not None
+    assert MM._parse_png(b"") is None
+    assert MM._parse_png(b"\x89PNG\r\n\x1a\n") is None  # no chunks
+    # flip a pixel byte inside IDAT without fixing the chunk CRC
+    bad_crc = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad_crc[idat_at + 10] ^= 0xFF
+    assert MM._parse_png(bytes(bad_crc)) is None
+    # truncated zlib stream but VALID chunk CRC: inflate must fail cleanly
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 2, 0, 0, 0])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"x" * 14)[:-3])
+        + chunk(b"IEND", b"")
+    )
+    assert MM._parse_png(trunc) is None
+
+
+def test_jvm_png_payload_is_a_real_png(spark, sf_dir):
+    """The JVM-built payloads round-trip through the independent stdlib
+    path: zlib.decompress inflates the IDAT (stored block), chunk CRCs
+    verify, and reconstructed pixels match the construction formula."""
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    for r in MM.make_png_payload(docs).collect():
+        doc_id, blob = r["doc_id"], bytes(r["payload"])
+        parsed = MM._parse_png(blob)
+        assert parsed is not None, f"doc {doc_id} payload failed to parse"
+        w, h, img = parsed
+        for rr in range(h):
+            for j in range(3 * w):
+                assert int(img[rr, j // 3, j % 3]) == (doc_id + 17 * rr + 5 * j * j) % 256
