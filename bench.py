@@ -166,6 +166,7 @@ HEADLINE = [
     "mm_bmp_resize",
     "tp_cluster_aware_split",
     "mm_png_decode",
+    "mm_wav_decode",
 ]
 
 

@@ -6,10 +6,11 @@ Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` UDFs, batch
 shapes — is real and tested. Codec status: BMP pixel decode, PNG pixel
 decode (stdlib zlib inflate + real scanline unfiltering), NN resize, and
 PNG/JPEG/BMP header parsing are REAL implementations with no library
-dependency; only the lossy-codec paths (JPEG entropy decode, audio/video
-codecs) remain STUBBED with a deterministic fake (this container has no
-image/audio libraries), clearly marked below, so swapping in PIL/ffmpeg
-is a one-function change.
+dependency, as is WAV audio decode (RIFF chunk walk + signed PCM16 LE
+samples); only the lossy-codec paths (JPEG entropy decode, compressed
+audio, video codecs) remain STUBBED with a deterministic fake (this
+container has no codec libraries), clearly marked below, so swapping in
+PIL/ffmpeg is a one-function change.
 
 Reference analog: the GTFS .zip payload round-trip
 (/root/reference/publish_to_catalog.py:316-320, 451-454) — bytes in a
@@ -793,4 +794,136 @@ def decode_png(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched real PNG decode: dims + exact channel sums."""
     return with_payload.select("doc_id", "payload").mapInPandas(
         png_decode_batch, schema=PNG_DECODE_SCHEMA
+    )
+
+
+# --- REAL audio-container decode: WAV (RIFF walk + PCM16 LE samples) -----
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id long, window_no long, n_samples long,"
+    " sum_sq long, peak long, trough long"
+)
+WAV_WIN = 64  # samples per analysis window
+_WAV_N_MOD, _WAV_N_MIN = 200, 50  # n_samples = nb % 200 + 50
+
+
+def make_wav_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL RIFF/WAVE file: RIFF
+    header with correct byte size, a 16-byte PCM fmt chunk (mono,
+    8 kHz, 16-bit), a junk 'LIST' chunk a lazy parser would trip over,
+    and a data chunk of signed 16-bit little-endian samples. Sample t is
+    ((doc_id*31 + 7*t) % 65536) - 32768 — full int16 range, negative
+    values included, so the decoder's signed LE interpretation is
+    load-bearing and every sample is SQL-replayable. n = nb%200 + 50
+    samples. All Column expressions (the sample fold mirrors the BMP/PNG
+    pixel folds) — fixture construction never leaves the JVM."""
+    nb = F.octet_length("text")
+    n = (nb % _WAV_N_MOD + _WAV_N_MIN).cast("long")
+    data_bytes = (n * 2).cast("long")
+
+    def sample_bits(t):
+        # signed value s = (doc_id*31 + 7t) % 65536 - 32768; its int16
+        # two's-complement bit pattern is (s mod 65536) = (u+32768)%65536
+        u = (F.col("doc_id") * 31 + 7 * t) % 65536
+        return (u + 32768) % 65536
+
+    idx = F.sequence(F.lit(0).cast("long"), n - 1)
+    pcm = F.aggregate(
+        idx, F.lit(b""), lambda acc, t: F.concat(acc, _le(sample_bits(t), 2))
+    )
+    fmt = F.concat(
+        F.lit(b"fmt "),
+        _le(F.lit(16), 4),  # chunk size
+        _le(F.lit(1), 2),  # PCM
+        _le(F.lit(1), 2),  # mono
+        _le(F.lit(8000), 4),  # sample rate
+        _le(F.lit(16000), 4),  # byte rate
+        _le(F.lit(2), 2),  # block align
+        _le(F.lit(16), 2),  # bits/sample
+    )
+    junk = F.lit(b"LIST\x06\x00\x00\x00INFOxy")  # 6-byte chunk to skip
+    data = F.concat(F.lit(b"data"), _le(data_bytes, 4), pcm)
+    riff_size = data_bytes + 4 + 24 + 14 + 8  # WAVE + fmt + LIST + data hdr
+    payload = F.concat(
+        F.lit(b"RIFF"), _le(riff_size, 4), F.lit(b"WAVE"), fmt, junk, data
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _parse_wav(b: bytes):
+    """Real RIFF/WAVE parse: chunk walk (word-aligned, unknown chunks
+    skipped), PCM16-mono fmt validation, signed little-endian sample
+    decode. Returns an int64 ndarray of samples or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size + 8 > len(b):
+        return None
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            if length < 16:
+                return None
+            audio_fmt, channels, _, _, block, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16 or block != 2:
+                return None
+            fmt_ok = True
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if not fmt_ok or data is None or len(data) % 2:
+        return None
+    return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def wav_window_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL AUDIO DECODE + windowed feature extraction: RIFF chunk walk,
+    PCM16 LE sample decode, then per-window sum-of-squares / peak /
+    trough — the RMS/VAD/loudness reduction, in exact integers.
+    Malformed payloads yield no rows."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = _parse_wav(bytes(payload or b""))
+            if samples is None:
+                continue
+            for w in range(0, len(samples), WAV_WIN):
+                win = samples[w : w + WAV_WIN]
+                out.append(
+                    (
+                        doc_id,
+                        w // WAV_WIN,
+                        len(win),
+                        int((win * win).sum()),
+                        int(win.max()),
+                        int(win.min()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "window_no",
+                "n_samples",
+                "sum_sq",
+                "peak",
+                "trough",
+            ],
+        )
+
+
+def wav_window_stats(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real WAV decode: one row per 64-sample analysis
+    window per blob, exact integer features."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        wav_window_batch, schema=WAV_WINDOW_SCHEMA
     )

@@ -408,3 +408,67 @@ def test_jvm_png_payload_is_a_real_png(spark, sf_dir):
         for rr in range(h):
             for j in range(3 * w):
                 assert int(img[rr, j // 3, j % 3]) == (doc_id + 17 * rr + 5 * j * j) % 256
+
+
+def test_wav_parse_decodes_stdlib_wave_output():
+    """Decoder vs an INDEPENDENT encoder: the stdlib `wave` module writes
+    a canonical RIFF/WAVE (no planted junk chunk, different chunk layout)
+    — our parser must read it back sample-exact."""
+    import io
+    import struct
+    import wave
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -23456, 7]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    got = MM._parse_wav(buf.getvalue())
+    assert got is not None and list(got) == samples
+
+
+def test_wav_parse_rejects_malformed_payloads():
+    import io
+    import struct
+    import wave
+
+    def build(channels=1, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(channels)
+            f.setsampwidth(width)
+            f.setframerate(8000)
+            f.writeframes(b"\x00" * (8 * channels * width))
+        return buf.getvalue()
+
+    assert MM._parse_wav(build()) is not None
+    assert MM._parse_wav(build(channels=2)) is None  # stereo rejected
+    assert MM._parse_wav(build(width=1)) is None  # 8-bit rejected
+    assert MM._parse_wav(b"") is None
+    assert MM._parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    good = bytearray(build())
+    good[0:4] = b"RIFX"  # wrong magic
+    assert MM._parse_wav(bytes(good)) is None
+
+
+def test_jvm_wav_payload_is_a_real_wav(spark, sf_dir):
+    """JVM-built payloads round-trip through the independent stdlib path
+    (`wave` module reads them despite the planted LIST chunk) and samples
+    match the construction formula with SIGNED interpretation."""
+    import io
+    import struct
+    import wave
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    for r in MM.make_wav_payload(docs).collect():
+        doc_id, blob = r["doc_id"], bytes(r["payload"])
+        with wave.open(io.BytesIO(blob)) as f:
+            assert f.getnchannels() == 1 and f.getsampwidth() == 2
+            raw = f.readframes(f.getnframes())
+        samples = struct.unpack(f"<{len(raw)//2}h", raw)
+        for t, s in enumerate(samples):
+            assert s == ((doc_id * 31 + 7 * t) % 65536) - 32768
+        ours = MM._parse_wav(blob)
+        assert ours is not None and list(ours) == list(samples)
