@@ -167,6 +167,7 @@ HEADLINE = [
     "tp_cluster_aware_split",
     "mm_png_decode",
     "mm_wav_decode",
+    "mm_avi_frame_sample",
 ]
 
 

@@ -927,3 +927,199 @@ def wav_window_stats(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         wav_window_batch, schema=WAV_WINDOW_SCHEMA
     )
+
+
+# --- REAL video-container decode: AVI (RIFF-AVI walk + DIB frames) -------
+
+AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_no long, sum_r long, sum_g long, sum_b long,"
+    " top_row_sum long"
+)
+AVI_SAMPLE_EVERY = 2  # keep every 2nd frame
+
+
+def make_avi_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL AVI: RIFF 'AVI ' with a
+    full hdrl LIST (avih + strl{strh 'vids'/'DIB ', strf
+    BITMAPINFOHEADER 24-bpp}), a planted JUNK chunk a naive parser trips
+    over, and a movi LIST of uncompressed '00db' DIB frames (bottom-up,
+    4-byte-aligned BGR rows — the BMP pixel-array layout). Pixel byte of
+    frame f at padded row r, in-row offset j < 3*width is
+    (doc_id + 11*f + 13*r + 7*j) % 256; padding is zeros. Dims/frame
+    count derive from octet_length(text): w = nb%4+1, h = nb%3+1,
+    frames = nb%5+2 — all SQL-replayable. All Column expressions."""
+    nb = F.octet_length("text")
+    w = (nb % 4 + 1).cast("long")
+    h = (nb % 3 + 1).cast("long")
+    n_f = (nb % 5 + 2).cast("long")
+    stride = (F.floor((w * 3 + 3) / 4) * 4).cast("long")
+    fsz = (stride * h).cast("long")
+
+    def dd(col):  # little-endian dword
+        return _le(col, 4)
+
+    avih = F.concat(
+        F.lit(b"avih"), dd(F.lit(56)),
+        dd(F.lit(33333)), dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)),
+        dd(n_f), dd(F.lit(0)), dd(F.lit(1)), dd(fsz),
+        dd(w), dd(h),
+        dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)),
+    )
+    strh = F.concat(
+        F.lit(b"strh"), dd(F.lit(56)),
+        F.lit(b"vidsDIB "),
+        dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)),
+        dd(F.lit(1)), dd(F.lit(30)), dd(F.lit(0)),
+        dd(n_f), dd(fsz), dd(F.lit(0)), dd(F.lit(0)),
+        _le(F.lit(0), 2), _le(F.lit(0), 2), _le(w, 2), _le(h, 2),
+    )
+    strf = F.concat(
+        F.lit(b"strf"), dd(F.lit(40)),
+        dd(F.lit(40)), dd(w), dd(h),
+        _le(F.lit(1), 2), _le(F.lit(24), 2),
+        dd(F.lit(0)), dd(fsz),
+        dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)), dd(F.lit(0)),
+    )
+    strl = F.concat(F.lit(b"LIST"), dd(F.lit(4 + 64 + 48)), F.lit(b"strl"), strh, strf)
+    hdrl = F.concat(
+        F.lit(b"LIST"), dd(F.lit(4 + 64 + 8 + 4 + 64 + 48)), F.lit(b"hdrl"), avih, strl
+    )
+    junk = F.lit(b"JUNK\x04\x00\x00\x00\xde\xad\xbe\xef")
+
+    def frame_pixels(f):
+        idx = F.sequence(F.lit(0).cast("long"), fsz - 1)
+        return F.aggregate(
+            idx,
+            F.lit(b""),
+            lambda acc, i: F.concat(
+                acc,
+                _be(
+                    F.when(
+                        i % stride < w * 3,
+                        (F.col("doc_id") + 11 * f + 13 * F.floor(i / stride)
+                         + 7 * (i % stride)) % 256,
+                    ).otherwise(F.lit(0)),
+                    1,
+                ),
+            ),
+        )
+
+    frames_idx = F.sequence(F.lit(0).cast("long"), n_f - 1)
+    movi_body = F.aggregate(
+        frames_idx,
+        F.lit(b""),
+        lambda acc, f: F.concat(acc, F.lit(b"00db"), dd(fsz), frame_pixels(f)),
+    )
+    movi = F.concat(F.lit(b"LIST"), dd(4 + n_f * (8 + fsz)), F.lit(b"movi"), movi_body)
+    hdrl_total = 8 + (4 + 64 + 8 + 4 + 64 + 48)
+    riff_size = 4 + hdrl_total + 12 + 8 + 4 + n_f * (8 + fsz)
+    payload = F.concat(F.lit(b"RIFF"), dd(riff_size), F.lit(b"AVI "), hdrl, junk, movi)
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _parse_avi(b: bytes):
+    """Real RIFF-AVI parse: top-level chunk walk (word-aligned, JUNK and
+    unknown chunks skipped), hdrl validation (single 'vids'/'DIB '
+    stream, 24-bpp uncompressed strf), then per-frame DIB decode from
+    the movi LIST. Returns (w, h, [frame ndarray (h, w, 3) BGR in image
+    order, ...]) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size + 8 > len(b):
+        return None
+    pos, w, h, n_f, frames = 12, None, None, None, []
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"LIST" and body[:4] == b"hdrl":
+            # avih dims + frame count, then strl/strh/strf validation
+            p = 4
+            while p + 8 <= len(body):
+                sub = body[p : p + 4]
+                (slen,) = struct.unpack_from("<I", body, p + 4)
+                sdata = body[p + 8 : p + 8 + slen]
+                if sub == b"avih":
+                    if slen < 56:
+                        return None
+                    n_f = struct.unpack_from("<I", sdata, 16)[0]
+                    w, h = struct.unpack_from("<II", sdata, 32)
+                elif sub == b"LIST" and sdata[:4] == b"strl":
+                    if sdata[4:8] != b"strh" or sdata[12:20] != b"vidsDIB ":
+                        return None
+                    q = sdata.find(b"strf")
+                    if q < 0 or len(sdata) < q + 8 + 20:
+                        return None
+                    bi = sdata[q + 8 :]
+                    planes, bpp = struct.unpack_from("<HH", bi, 12)
+                    (comp,) = struct.unpack_from("<I", bi, 16)
+                    if planes != 1 or bpp != 24 or comp != 0:
+                        return None
+                p += 8 + slen + (slen & 1)
+        elif ctype == b"LIST" and body[:4] == b"movi":
+            p = 4
+            while p + 8 <= len(body):
+                fcc = body[p : p + 4]
+                (flen,) = struct.unpack_from("<I", body, p + 4)
+                if fcc in (b"00db", b"00dc"):
+                    frames.append(body[p + 8 : p + 8 + flen])
+                p += 8 + flen + (flen & 1)
+        pos += 8 + length + (length & 1)
+    if not w or not h or n_f is None or len(frames) != n_f:
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    out = []
+    for fb in frames:
+        if len(fb) != stride * h:
+            return None
+        arr = np.frombuffer(fb, dtype=np.uint8)
+        rows = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out.append(rows[::-1].astype(np.int64))  # bottom-up -> image order
+    return w, h, out
+
+
+def avi_frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL VIDEO-CONTAINER FRAME SAMPLING: parse the AVI, keep every
+    AVI_SAMPLE_EVERY-th frame, reduce each kept frame to exact integer
+    channel sums + the TOP image row's intensity (flip-sensitive, so the
+    bottom-up DIB unflip is load-bearing). Malformed payloads yield no
+    rows."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_avi(bytes(payload or b""))
+            if parsed is None:
+                continue
+            _, _, frames = parsed
+            for f, img in enumerate(frames):
+                if f % AVI_SAMPLE_EVERY:
+                    continue
+                out.append(
+                    (
+                        doc_id,
+                        f,
+                        int(img[..., 2].sum()),  # DIB stores BGR
+                        int(img[..., 1].sum()),
+                        int(img[..., 0].sum()),
+                        int(img[0].sum()),  # top image row
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "frame_no", "sum_r", "sum_g", "sum_b", "top_row_sum"],
+        )
+
+
+def avi_frame_sample(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real AVI frame sampling: one stats row per kept
+    frame per blob."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        avi_frame_sample_batch, schema=AVI_FRAME_SCHEMA
+    )

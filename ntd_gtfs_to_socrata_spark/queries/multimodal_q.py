@@ -543,3 +543,53 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scan speed with no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.wav_window_stats(MM.make_wav_payload(docs))
+
+
+# --- REAL AVI frame sampling (video container: RIFF-AVI + DIB frames) ----
+# Construction contract (operators/multimodal.py make_avi_payload):
+# w = nb%4+1, h = nb%3+1, frames = nb%5+2; pixel byte of frame f at
+# padded FILE row r (bottom-up), in-row offset j < 3w is
+# (doc_id + 11*f + 13*r + 7*j) % 256, BGR channel order (j%3=2 is R).
+# Whole-frame channel sums are flip-invariant, so top_row_sum — the TOP
+# image row, i.e. file row h-1 — is what makes the DIB unflip
+# load-bearing in the value hash.
+MM_AVI_FRAME_ORACLE = f"""
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+dims AS (SELECT doc_id, nb % 4 + 1 AS w, nb % 3 + 1 AS h, nb % 5 + 2 AS nf FROM d),
+fs AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
+kept AS (SELECT * FROM fs WHERE f % {MM.AVI_SAMPLE_EVERY} = 0),
+rws AS (SELECT doc_id, w, h, f, unnest(range(h)) AS r FROM kept),
+px AS (
+  SELECT doc_id, h, f, r, j,
+         (doc_id + 11*f + 13*r + 7*j) % 256 AS v
+  FROM (SELECT doc_id, w, h, f, r, unnest(range(w * 3)) AS j FROM rws)
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+       CAST(SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN r = h - 1 THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+FROM px
+GROUP BY doc_id, f
+"""
+
+
+@register("mm_avi_frame_sample", MM_AVI_FRAME_ORACLE)
+def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO-CONTAINER FRAME SAMPLING — the video stub surface
+    empties for AVI: payloads are genuine RIFF-AVI files built JVM-side
+    (full hdrl with avih/strh/strf, a planted JUNK chunk, movi LIST of
+    uncompressed 24-bpp DIB frames), and the Arrow-batched UDF does what
+    any AVI reader must: word-aligned RIFF walk, stream-header
+    validation, per-'00db'-chunk DIB decode with the bottom-up row flip.
+    Every 2nd frame is kept (the frame-sampler the prompt's video
+    preprocessing calls for) and reduced to exact integer channel sums +
+    the top image row's intensity — the latter breaks if the flip is
+    skipped, so the decode is load-bearing in the value hash.
+
+    Scale posture: one map-side Arrow pass, bounded fan-out (<= 3 kept
+    frames/blob); the sampled STATS shuffle, never the frames — at 100
+    TB of video that is the difference between a working pipeline and a
+    network-bound one."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.avi_frame_sample(MM.make_avi_payload(docs))

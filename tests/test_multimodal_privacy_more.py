@@ -472,3 +472,40 @@ def test_jvm_wav_payload_is_a_real_wav(spark, sf_dir):
             assert s == ((doc_id * 31 + 7 * t) % 65536) - 32768
         ours = MM._parse_wav(blob)
         assert ours is not None and list(ours) == list(samples)
+
+
+def test_jvm_avi_payload_parses_and_matches_formula(spark, sf_dir):
+    """JVM-built AVIs decode frame-exact: header dims honored, JUNK chunk
+    skipped, every frame's every pixel matches the construction formula
+    after the bottom-up flip."""
+    docs = load_table(spark, sf_dir, "documents").limit(15)
+    for rec in MM.make_avi_payload(docs).collect():
+        doc_id, blob = rec["doc_id"], bytes(rec["payload"])
+        parsed = MM._parse_avi(blob)
+        assert parsed is not None, f"doc {doc_id} AVI failed to parse"
+        w, h, frames = parsed
+        assert len(frames) >= 2
+        for f, img in enumerate(frames):
+            for y in range(h):
+                r = h - 1 - y  # image row y came from file row r
+                for j in range(3 * w):
+                    assert int(img[y, j // 3, j % 3]) == (
+                        doc_id + 11 * f + 13 * r + 7 * j
+                    ) % 256
+
+
+def test_avi_parse_rejects_malformed_payloads(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    blob = bytes(MM.make_avi_payload(docs).first()["payload"])
+    assert MM._parse_avi(blob) is not None
+    assert MM._parse_avi(b"") is None
+    assert MM._parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None  # not AVI
+    # drop one frame chunk: declared total_frames no longer matches
+    movi_at = blob.index(b"00db")
+    truncated = blob[:movi_at]
+    assert MM._parse_avi(truncated) is None
+    # corrupt the stream handler fourcc: stream validation must fail
+    bad = bytearray(blob)
+    at = blob.index(b"vidsDIB ")
+    bad[at + 4 : at + 8] = b"H264"
+    assert MM._parse_avi(bytes(bad)) is None
