@@ -168,6 +168,7 @@ HEADLINE = [
     "mm_png_decode",
     "mm_wav_decode",
     "mm_avi_frame_sample",
+    "s5b_webdataset_tar_ingest",
 ]
 
 

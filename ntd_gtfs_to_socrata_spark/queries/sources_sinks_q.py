@@ -293,3 +293,40 @@ def s2_socrata_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _re.search(r"\bFilter \(\d+\)", plan):
         raise AssertionError("consent predicate was not pushed into the scan")
     return df
+
+
+S5B_WEBDATASET_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lang,
+       CAST(2 AS BIGINT) AS n_members
+FROM documents
+"""
+
+
+@register("s5b_webdataset_tar_ingest", S5B_WEBDATASET_ORACLE)
+def s5b_webdataset_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ROUND TRIP, fully oracled: the corpus is
+    sharded into genuine ustar tar blobs ({doc_id}.txt + {doc_id}.json
+    per sample, 25 docs/shard, deterministic bytes), then ingested the
+    way a training loader does — stdlib tarfile walk, basename sample
+    grouping, JSON metadata decode. The recovered (doc_id, byte length,
+    lang) table must value-hash-equal the documents table itself, so
+    BOTH directions of the codec are load-bearing: a misgrouped member,
+    a dropped sample, or a corrupted byte breaks the hash.
+
+    Scale posture: the shard build's groupBy is the one shuffle the
+    format implies (groups bounded at SHARD_DOCS; shard COUNT, not
+    size, grows with the corpus); ingest is map-side shard-per-task
+    with zero shuffles — the WebDataset loader contract. Python-side by
+    nature (it IS the documented Python surface, like zip ingest), but
+    Arrow-batched end to end."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.sources.webdataset import (
+        build_webdataset_shards,
+        parse_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = build_webdataset_shards(docs)
+    return parse_webdataset(shards)
