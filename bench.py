@@ -169,6 +169,7 @@ HEADLINE = [
     "mm_wav_decode",
     "mm_avi_frame_sample",
     "s5b_webdataset_tar_ingest",
+    "mm_dispatch_decode",
 ]
 
 

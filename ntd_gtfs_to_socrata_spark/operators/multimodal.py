@@ -1123,3 +1123,58 @@ def avi_frame_sample(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         avi_frame_sample_batch, schema=AVI_FRAME_SCHEMA
     )
+
+
+# --- Heterogeneous media lake: magic-byte dispatch over mixed blobs ------
+
+DISPATCH_SCHEMA = "doc_id long, kind string, n_units long, checksum long"
+
+
+def dispatch_decode_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """ONE decoder pass over a MIXED media column: sniff the container by
+    magic bytes (the only honest router for a heterogeneous lake — file
+    extensions don't survive object stores) and dispatch to the real
+    BMP/PNG/WAV/AVI decoders. Normalized output: modality-agnostic unit
+    count (pixels / samples / frames) + an exact integer checksum of
+    every decoded value, so the value hash covers all four decode paths
+    at once. Unrecognized/corrupt blobs become kind='unknown' rows
+    (errors as data)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload or b"")
+            kind, n_units, checksum = "unknown", None, None
+            if b[:2] == BMP_MAGIC:
+                parsed = _parse_bmp(b)
+                if parsed is not None:
+                    w, h, img = parsed
+                    kind, n_units, checksum = "bmp", w * h, int(img.sum())
+            elif b[:8] == PNG_SIG:
+                parsed = _parse_png(b)
+                if parsed is not None:
+                    w, h, img = parsed
+                    kind, n_units, checksum = "png", w * h, int(img.sum())
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                samples = _parse_wav(b)
+                if samples is not None:
+                    kind = "wav"
+                    n_units = len(samples)
+                    checksum = int((samples + 32768).sum())  # unsigned view
+            elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                parsed = _parse_avi(b)
+                if parsed is not None:
+                    _, _, frames = parsed
+                    kind = "avi"
+                    n_units = len(frames)
+                    checksum = int(sum(f.sum() for f in frames))
+            out.append((doc_id, kind, n_units, checksum))
+        yield pd.DataFrame(out, columns=["doc_id", "kind", "n_units", "checksum"])
+
+
+def dispatch_decode(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched mixed-container decode: one stats row per blob."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        dispatch_decode_batch, schema=DISPATCH_SCHEMA
+    )

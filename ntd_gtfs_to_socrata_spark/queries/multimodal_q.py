@@ -593,3 +593,78 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     network-bound one."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.avi_frame_sample(MM.make_avi_payload(docs))
+
+
+# --- Heterogeneous media lake: one decode pass over mixed containers -----
+MM_DISPATCH_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+bmp AS (
+  SELECT doc_id, 'bmp' AS kind, CAST(w * h AS BIGINT) AS n_units,
+         CAST(SUM((doc_id + 13*r + 7*j) % 256) AS BIGINT) AS checksum
+  FROM (
+    SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
+    FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
+          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 4 = 0))
+  ) GROUP BY doc_id, w, h
+),
+png AS (
+  SELECT doc_id, 'png' AS kind, CAST(w * h AS BIGINT) AS n_units,
+         CAST(SUM((doc_id + 17*r + 5*j*j) % 256) AS BIGINT) AS checksum
+  FROM (
+    SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
+    FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
+          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 4 = 1))
+  ) GROUP BY doc_id, w, h
+),
+wav AS (
+  SELECT doc_id, 'wav' AS kind, CAST(n AS BIGINT) AS n_units,
+         CAST(SUM((doc_id*31 + 7*t) % 65536) AS BIGINT) AS checksum
+  FROM (SELECT doc_id, n, unnest(range(n)) AS t
+        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 4 = 2))
+  GROUP BY doc_id, n
+),
+avi AS (
+  SELECT doc_id, 'avi' AS kind, CAST(nf AS BIGINT) AS n_units,
+         CAST(SUM((doc_id + 11*f + 13*r + 7*j) % 256) AS BIGINT) AS checksum
+  FROM (
+    SELECT doc_id, nf, f, r, unnest(range(w*3)) AS j
+    FROM (
+      SELECT doc_id, w, nf, f, unnest(range(h)) AS r
+      FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f
+            FROM (SELECT doc_id, nb%4+1 AS w, nb%3+1 AS h, nb%5+2 AS nf
+                  FROM d WHERE doc_id % 4 = 3))
+    )
+  ) GROUP BY doc_id, nf
+)
+SELECT * FROM bmp UNION ALL SELECT * FROM png
+UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM avi
+"""
+
+
+@register("mm_dispatch_decode", MM_DISPATCH_ORACLE)
+def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HETEROGENEOUS MEDIA LAKE: the corpus lands as a mixed binary
+    column — each doc a genuine BMP, PNG, WAV, or AVI by doc_id residue
+    — and ONE Arrow-batched pass sniffs the container by magic bytes
+    (extensions don't survive object stores) and dispatches to the real
+    decoder: BMP pixel slice, PNG inflate+unfilter, WAV RIFF walk, AVI
+    frame walk. Normalized (kind, unit count, exact integer checksum of
+    every decoded value) output means the value hash exercises all four
+    decode paths in a single oracled query — the realistic shape of a
+    multimodal curation pipeline's first stage.
+
+    Scale posture: the mixed column is built branch-per-format and
+    unioned (all map-side; the union is plan-level, no shuffle), decode
+    is one mapInPandas pass, output is one row per blob. 100 TB of
+    mixed media reduces at scan speed."""
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 4 == 0)),
+        MM.make_png_payload(docs.filter(F.col("doc_id") % 4 == 1)),
+        MM.make_wav_payload(docs.filter(F.col("doc_id") % 4 == 2)),
+        MM.make_avi_payload(docs.filter(F.col("doc_id") % 4 == 3)),
+    ]
+    blobs = reduce(lambda a, b: a.unionByName(b), parts)
+    return MM.dispatch_decode(blobs)

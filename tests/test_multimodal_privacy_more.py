@@ -509,3 +509,39 @@ def test_avi_parse_rejects_malformed_payloads(spark, sf_dir):
     at = blob.index(b"vidsDIB ")
     bad[at + 4 : at + 8] = b"H264"
     assert MM._parse_avi(bytes(bad)) is None
+
+
+def test_dispatch_decode_covers_all_kinds_and_flags_garbage():
+    """The router classifies each container by magic bytes and degrades
+    to kind='unknown' rows for garbage — exercised on hand-built blobs
+    without a Spark pass."""
+    import pandas as pd
+
+    batches = iter(
+        [
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "payload": [b"not media at all", b"RIFF\x00\x00\x00\x00XXXX"],
+                }
+            )
+        ]
+    )
+    out = pd.concat(MM.dispatch_decode_batch(batches))
+    assert out["kind"].tolist() == ["unknown", "unknown"]
+    assert out["n_units"].isna().all()
+
+
+def test_dispatch_decode_agrees_with_single_format_decoders(spark, sf_dir):
+    """Per-kind checksums equal what the dedicated decoders report —
+    dispatch adds routing, never changes decode results."""
+    from ntd_gtfs_to_socrata_spark.queries.multimodal_q import mm_dispatch_decode
+
+    out = {r["doc_id"]: r for r in mm_dispatch_decode(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    bmp_docs = docs.filter(F.col("doc_id") % 4 == 0).limit(10)
+    for r in MM.decode_bmp(MM.make_bmp_payload(bmp_docs)).collect():
+        d = out[r["doc_id"]]
+        assert d["kind"] == "bmp"
+        assert d["checksum"] == r["sum_r"] + r["sum_g"] + r["sum_b"]
+        assert d["n_units"] == r["width"] * r["height"]
