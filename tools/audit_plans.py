@@ -30,6 +30,10 @@ PYTHON_OK = {
     "udtf_split_sentences",  # UDTF API coverage; declarative twin is posexplode(split())
     "s5_zip_member_extract",  # zip-member extraction is the documented mapInPandas surface
     "text_compression_ratio",  # zlib has no declarative twin (documented Arrow mapInPandas surface)
+    # tar-shard build/ingest IS the documented Python codec surface (stdlib
+    # tarfile, like zip): one bounded-group applyInPandas on the shard key
+    # + one map-side mapInPandas — no declarative twin exists for tar bytes
+    "s5b_webdataset_tar_ingest",
 }
 # broadcast-nested-loop join is the intended shape for the scored cross
 # products (small broadcast side vs corpus)
