@@ -170,6 +170,7 @@ HEADLINE = [
     "mm_avi_frame_sample",
     "s5b_webdataset_tar_ingest",
     "mm_dispatch_decode",
+    "er_em_weights",
 ]
 
 

@@ -567,3 +567,218 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("non_match")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EM-trained Fellegi-Sunter parameters (Splink-style unsupervised linkage)
+# ---------------------------------------------------------------------------
+
+_EM_INIT = {"lam": 100_000, "m": 900_000, "u": 100_000}  # micro units
+_EM_ITERS = 2
+_EM_FIELDS = ("name", "bal", "seg")
+
+
+def _em_pattern_counts_sql() -> str:
+    """The blocked-candidate agreement-pattern contingency (8 rows) —
+    shares the er_fellegi_sunter candidate definition verbatim."""
+    return """
+dirty AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment AS mktsegment,
+         concat(substr(c_name, 1, (c_custkey % 8) + 9),
+                substr(c_name, (c_custkey % 8) + 11)) AS name_dirty
+  FROM customer
+),
+pat AS MATERIALIZED (
+  SELECT CAST(levenshtein(a.c_name, b.name_dirty) <= 1 AS INT) AS g_name,
+         CAST(a.c_acctbal = b.c_acctbal AS INT) AS g_bal,
+         CAST(a.c_mktsegment = b.mktsegment AS INT) AS g_seg,
+         count(*) AS n
+  FROM customer a
+  JOIN dirty b
+    ON a.c_nationkey = b.c_nationkey
+   AND CAST(floor(a.c_acctbal / 100) AS BIGINT)
+       = CAST(floor(b.c_acctbal / 100) AS BIGINT)
+  GROUP BY 1, 2, 3
+)"""
+
+
+def _em_oracle() -> str:
+    """Unrolled 2-iteration EM in SQL CTEs, micro-quantized at every
+    E- and M-step exactly like the DataFrame side (the eval_bradley_terry
+    unrolled-MM determinism pattern)."""
+    lam, m, u = _EM_INIT["lam"], _EM_INIT["m"], _EM_INIT["u"]
+    params = ", ".join(
+        [f"CAST({lam} AS BIGINT) AS lam"]
+        + [f"CAST({m} AS BIGINT) AS m_{f}, CAST({u} AS BIGINT) AS u_{f}" for f in _EM_FIELDS]
+    )
+    sql = f"WITH {_em_pattern_counts_sql()},\np0 AS (SELECT {params})"
+    for i in range(_EM_ITERS):
+        t_m = " * ".join(
+            f"((CASE WHEN pat.g_{f} = 1 THEN p{i}.m_{f} ELSE 1000000 - p{i}.m_{f} END) / 1000000.0)"
+            for f in _EM_FIELDS
+        )
+        t_u = " * ".join(
+            f"((CASE WHEN pat.g_{f} = 1 THEN p{i}.u_{f} ELSE 1000000 - p{i}.u_{f} END) / 1000000.0)"
+            for f in _EM_FIELDS
+        )
+        sql += f""",
+w{i} AS (
+  SELECT pat.g_name, pat.g_bal, pat.g_seg, pat.n,
+         CAST(floor(1000000.0 * ((p{i}.lam / 1000000.0) * {t_m})
+              / ((p{i}.lam / 1000000.0) * {t_m}
+                 + ((1000000 - p{i}.lam) / 1000000.0) * {t_u})) AS BIGINT) AS w
+  FROM pat, p{i}
+)"""
+        m_terms = ", ".join(
+            f"CAST(floor(1000000.0 * (SUM(CASE WHEN g_{f} = 1 THEN n * w ELSE 0 END)"
+            f" / CAST(SUM(n * w) AS DOUBLE))) AS BIGINT) AS m_{f},"
+            f" CAST(floor(1000000.0 * (SUM(CASE WHEN g_{f} = 1 THEN n * (1000000 - w) ELSE 0 END)"
+            f" / CAST(SUM(n * (1000000 - w)) AS DOUBLE))) AS BIGINT) AS u_{f}"
+            for f in _EM_FIELDS
+        )
+        sql += f""",
+p{i + 1} AS (
+  SELECT CAST(floor(1000000.0 * (SUM(n * w)
+              / CAST(SUM(n * w) + SUM(n * (1000000 - w)) AS DOUBLE))) AS BIGINT) AS lam,
+         {m_terms}
+  FROM w{i}
+)"""
+    ratios = ", ".join(
+        f"CASE WHEN u_{f} = 0 THEN CAST(1000000000000 AS BIGINT)"
+        f" ELSE CAST(floor(1000000.0 * m_{f} / u_{f}) AS BIGINT) END AS r_{f}"
+        for f in _EM_FIELDS
+    )
+    sql += f"\nSELECT lam, m_name, u_name, m_bal, u_bal, m_seg, u_seg, {ratios} FROM p{_EM_ITERS}"
+    return sql
+
+
+@register("er_em_weights", _em_oracle())
+def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED linkage-parameter training (the Splink/FastLink EM):
+    er_fellegi_sunter scores with FIXED m/u weights — its docstring notes
+    EM training is "the only thing" that would change. This query trains
+    them: the blocked candidates collapse to the 8-row agreement-pattern
+    contingency (the ONLY corpus-scale stage — one blocked join + one
+    3-bit groupBy), then {iters} unrolled EM iterations run as tiny
+    DataFrame folds: E-step match-responsibility per pattern, M-step
+    re-estimates (lambda, m_k, u_k). Every E/M output is floor-quantized
+    to micro units, and the double divisions consume identical exact
+    BIGINTs on both engines, so the trained parameters are value-hash
+    checked against an unrolled-CTE oracle. Log-weights are deliberately
+    NOT emitted (libm log differs across engines); the m/u ratio in
+    micro units carries the same ordering information exactly.
+
+    Scale posture: EM cost is O(2^fields x iters) AFTER the one
+    aggregation — independent of corpus size; the blocked join is the
+    same AQE-splittable plan as er_blocked_matches. No driver-side
+    loops over data: the unrolled iterations are plan-level."""
+    clean = load_table(spark, sf_dir, "customer")
+    dirty = _dirty_customers(spark, sf_dir).join(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        ),
+        F.col("c_custkey") == F.col("ck"),
+    ).drop("ck")
+    block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    cand = clean.alias("a").join(
+        dirty.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
+    )
+    pat = cand.select(
+        (F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty")) <= 1)
+        .cast("int")
+        .alias("g_name"),
+        (F.col("a.c_acctbal") == F.col("b.c_acctbal")).cast("int").alias("g_bal"),
+        (F.col("a.c_mktsegment") == F.col("b.mktsegment")).cast("int").alias("g_seg"),
+    ).groupBy("g_name", "g_bal", "g_seg").agg(F.count(F.lit(1)).alias("n"))
+
+    params = spark.range(1).select(
+        F.lit(_EM_INIT["lam"]).cast("long").alias("lam"),
+        *[
+            c
+            for f in _EM_FIELDS
+            for c in (
+                F.lit(_EM_INIT["m"]).cast("long").alias(f"m_{f}"),
+                F.lit(_EM_INIT["u"]).cast("long").alias(f"u_{f}"),
+            )
+        ],
+    )
+    for _ in range(_EM_ITERS):
+        joined = pat.crossJoin(F.broadcast(params))
+        t_m = t_u = F.lit(1.0)
+        for f in _EM_FIELDS:
+            g = F.col(f"g_{f}") == 1
+            t_m = t_m * (
+                F.when(g, F.col(f"m_{f}")).otherwise(1_000_000 - F.col(f"m_{f}"))
+                / 1_000_000.0
+            )
+            t_u = t_u * (
+                F.when(g, F.col(f"u_{f}")).otherwise(1_000_000 - F.col(f"u_{f}"))
+                / 1_000_000.0
+            )
+        num = (F.col("lam") / 1_000_000.0) * t_m
+        alt = ((1_000_000 - F.col("lam")) / 1_000_000.0) * t_u
+        w = joined.select(
+            "g_name",
+            "g_bal",
+            "g_seg",
+            "n",
+            F.floor(1_000_000.0 * num / (num + alt)).cast("long").alias("w"),
+        )
+        nm = F.sum(F.col("n") * F.col("w"))
+        nu = F.sum(F.col("n") * (1_000_000 - F.col("w")))
+        aggs = [
+            F.floor(1_000_000.0 * (nm / (nm + nu).cast("double")))
+            .cast("long")
+            .alias("lam")
+        ]
+        for f in _EM_FIELDS:
+            gk = F.col(f"g_{f}") == 1
+            aggs.append(
+                F.floor(
+                    1_000_000.0
+                    * (
+                        F.sum(F.when(gk, F.col("n") * F.col("w")).otherwise(0))
+                        / nm.cast("double")
+                    )
+                )
+                .cast("long")
+                .alias(f"m_{f}")
+            )
+            aggs.append(
+                F.floor(
+                    1_000_000.0
+                    * (
+                        F.sum(
+                            F.when(gk, F.col("n") * (1_000_000 - F.col("w"))).otherwise(0)
+                        )
+                        / nu.cast("double")
+                    )
+                )
+                .cast("long")
+                .alias(f"u_{f}")
+            )
+        params = w.agg(*aggs)
+
+    ratio_cols = [
+        F.when(F.col(f"u_{f}") == 0, F.lit(1_000_000_000_000))
+        .otherwise(F.floor(1_000_000.0 * F.col(f"m_{f}") / F.col(f"u_{f}")))
+        .cast("long")
+        .alias(f"r_{f}")
+        for f in _EM_FIELDS
+    ]
+    return params.select(
+        "lam",
+        "m_name",
+        "u_name",
+        "m_bal",
+        "u_bal",
+        "m_seg",
+        "u_seg",
+        *ratio_cols,
+    )
+
+
+er_em_weights.__doc__ = er_em_weights.__doc__.format(iters=_EM_ITERS)

@@ -38,6 +38,7 @@ PYTHON_OK = {
 # broadcast-nested-loop join is the intended shape for the scored cross
 # products (small broadcast side vs corpus)
 BNLJ_OK = {
+    "er_em_weights",  # 8-row pattern table x 1-row EM params, per unrolled iteration
     "sim_bruteforce_topk",
     "sim_ann_bucketed_topk",
     "sim_cosine_neardup_pairs",
@@ -92,6 +93,7 @@ BNLJ_OK = {
 # must NOT be hinted: AQE broadcasts them at runtime iff actually small.
 FORCED_BC_OK = {
     # --- 1-row aggregate scalars / bounded stats frames ---
+    "er_em_weights",             # 1-row EM parameter frame re-broadcast each unrolled iteration
     "text_tfidf_top_terms",      # 1-row doc-count scalar
     "text_unigram_logprob",      # 1-row corpus-token total
     "text_unigram_logprob_topk", # 1-row total + constant top-K vocab
