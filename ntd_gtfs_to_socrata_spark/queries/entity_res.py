@@ -576,28 +576,54 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EM_INIT = {"lam": 100_000, "m": 900_000, "u": 100_000}  # micro units
 _EM_ITERS = 2
 _EM_FIELDS = ("name", "bal", "seg")
+_EM_PAIR_BUDGET = 2_000_000  # target sampled-candidate count, corpus-independent
+
+# deterministic per-row sample bucket in [0, 1e6) from md5 of the key
+_EM_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6) AS INTEGER) % 1000000"
+)
 
 
 def _em_pattern_counts_sql() -> str:
-    """The blocked-candidate agreement-pattern contingency (8 rows) —
-    shares the er_fellegi_sunter candidate definition verbatim."""
-    return """
+    """Agreement-pattern contingency over a DETERMINISTIC SAMPLE of the
+    coarse-blocked candidates, sized to the fixed pair budget: raw pair
+    volume P is computed from block-size products (never materializing
+    pairs), each side is then hash-thinned by p = sqrt(B/P), so expected
+    sampled pairs ~ B at ANY corpus size."""
+    bucket_a = _EM_BUCKET_SQL.format(key="a.c_custkey")
+    bucket_b = _EM_BUCKET_SQL.format(key="b.c_custkey * 7919")
+    return f"""
 dirty AS MATERIALIZED (
   SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment AS mktsegment,
          concat(substr(c_name, 1, (c_custkey % 8) + 9),
                 substr(c_name, (c_custkey % 8) + 11)) AS name_dirty
   FROM customer
 ),
+blocks AS (
+  SELECT c_nationkey AS nk, CAST(floor(c_acctbal / 100) AS BIGINT) AS cb,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+volume AS (
+  -- dirty side has identical block occupancy (same keys, same balances)
+  SELECT SUM(n * n) AS p_raw FROM blocks
+),
+thr AS (
+  SELECT CAST(LEAST(1000000, floor(1000000.0 *
+           sqrt({_EM_PAIR_BUDGET} / CAST(p_raw AS DOUBLE)))) AS BIGINT) AS t
+  FROM volume
+),
 pat AS MATERIALIZED (
   SELECT CAST(levenshtein(a.c_name, b.name_dirty) <= 1 AS INT) AS g_name,
          CAST(a.c_acctbal = b.c_acctbal AS INT) AS g_bal,
          CAST(a.c_mktsegment = b.mktsegment AS INT) AS g_seg,
          count(*) AS n
-  FROM customer a
+  FROM customer a, thr
   JOIN dirty b
     ON a.c_nationkey = b.c_nationkey
    AND CAST(floor(a.c_acctbal / 100) AS BIGINT)
        = CAST(floor(b.c_acctbal / 100) AS BIGINT)
+  WHERE {bucket_a} < thr.t AND {bucket_b} < thr.t
   GROUP BY 1, 2, 3
 )"""
 
@@ -652,26 +678,42 @@ p{i + 1} AS (
     return sql
 
 
+def _em_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("long")
+        % 1_000_000
+    )
+
+
 @register("er_em_weights", _em_oracle())
 def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNSUPERVISED linkage-parameter training (the Splink/FastLink EM):
     er_fellegi_sunter scores with FIXED m/u weights — its docstring notes
     EM training is "the only thing" that would change. This query trains
-    them: the blocked candidates collapse to the 8-row agreement-pattern
-    contingency (the ONLY corpus-scale stage — one blocked join + one
-    3-bit groupBy), then {iters} unrolled EM iterations run as tiny
-    DataFrame folds: E-step match-responsibility per pattern, M-step
-    re-estimates (lambda, m_k, u_k). Every E/M output is floor-quantized
-    to micro units, and the double divisions consume identical exact
-    BIGINTs on both engines, so the trained parameters are value-hash
-    checked against an unrolled-CTE oracle. Log-weights are deliberately
-    NOT emitted (libm log differs across engines); the m/u ratio in
-    micro units carries the same ordering information exactly.
+    them on the COARSE (nation, balance-century) candidate set — EM needs
+    non-matches in the mixture, which the tight exact-balance block
+    (nearly all true matches) cannot supply.
 
-    Scale posture: EM cost is O(2^fields x iters) AFTER the one
-    aggregation — independent of corpus size; the blocked join is the
-    same AQE-splittable plan as er_blocked_matches. No driver-side
-    loops over data: the unrolled iterations are plan-level."""
+    The coarse block's pair volume grows quadratically within its fixed
+    key space, so training uses SPLINK'S ANSWER — a deterministic sample
+    sized to a fixed pair budget: raw pair volume P comes from block-size
+    count products (one linear aggregation, pairs never materialized),
+    each side is hash-thinned by p = sqrt(B/P) (md5 buckets, so both
+    engines draw the IDENTICAL sample), and expected sampled pairs stay
+    ~B at any corpus size. The sampled candidates collapse to the 8-row
+    agreement-pattern contingency, then {iters} unrolled EM iterations
+    run as tiny DataFrame folds: E-step match-responsibility per pattern,
+    M-step re-estimates (lambda, m_k, u_k). Every E/M output is
+    floor-quantized to micro units and double divisions consume identical
+    exact BIGINTs, so the trained parameters are value-hash checked
+    against an unrolled-CTE oracle. Log-weights are deliberately NOT
+    emitted (libm log differs across engines); the exact micro m/u ratio
+    carries the same ordering information.
+
+    Scale posture: one linear block-count aggregation + a budget-bounded
+    sampled join + O(2^fields x iters) EM on an 8-row table — constant
+    EM cost, linear scan cost, at any corpus size. No driver-side loops:
+    the unrolled iterations are plan-level."""
     clean = load_table(spark, sf_dir, "customer")
     dirty = _dirty_customers(spark, sf_dir).join(
         load_table(spark, sf_dir, "customer").select(
@@ -680,11 +722,35 @@ def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c_custkey") == F.col("ck"),
     ).drop("ck")
-    block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
-    cand = clean.alias("a").join(
-        dirty.alias("b"),
+    century = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+
+    blocks = clean.groupBy(
+        F.col("c_nationkey").alias("nk"), century(F.col("c_acctbal")).alias("cb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    thr = blocks.agg(
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                1_000_000.0
+                * F.sqrt(
+                    F.lit(float(_EM_PAIR_BUDGET))
+                    / F.sum(F.col("n") * F.col("n")).cast("double")
+                )
+            ),
+        )
+        .cast("long")
+        .alias("t")
+    )
+    clean_s = clean.crossJoin(F.broadcast(thr)).filter(
+        _em_bucket(F.col("c_custkey")) < F.col("t")
+    )
+    dirty_s = dirty.crossJoin(F.broadcast(thr)).filter(
+        _em_bucket(F.col("c_custkey") * 7919) < F.col("t")
+    )
+    cand = clean_s.alias("a").join(
+        dirty_s.alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
+        & (century(F.col("a.c_acctbal")) == century(F.col("b.c_acctbal"))),
     )
     pat = cand.select(
         (F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty")) <= 1)

@@ -325,8 +325,23 @@ def test_em_weights_match_pure_python_replay(spark, sf_dir):
         ),
         F.col("c_custkey") == F.col("ck"),
     ).drop("ck")
-    cand = clean.alias("a").join(
-        dirty.alias("b"),
+    from ntd_gtfs_to_socrata_spark.queries.entity_res import (
+        _EM_PAIR_BUDGET,
+        _em_bucket,
+    )
+
+    century = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    blocks = clean.groupBy(
+        F.col("c_nationkey"), century(F.col("c_acctbal"))
+    ).count()
+    p_raw = blocks.agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    import math as _math
+
+    t = min(1_000_000, _math.floor(1e6 * _math.sqrt(_EM_PAIR_BUDGET / float(p_raw))))
+    clean_s = clean.filter(_em_bucket(F.col("c_custkey")) < t)
+    dirty_s = dirty.filter(_em_bucket(F.col("c_custkey") * 7919) < t)
+    cand = clean_s.alias("a").join(
+        dirty_s.alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (F.floor(F.col("a.c_acctbal") / 100).cast("long")
            == F.floor(F.col("b.c_acctbal") / 100).cast("long")),

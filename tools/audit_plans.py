@@ -274,6 +274,13 @@ def global_window_lines(physical: str) -> list[str]:
 # deliberately-expensive composition queries: each embeds whole pipelines
 # whose exchange counts are already audited individually
 EXCHANGES_OK = {
+    # EM training: static count inflated by the two UNROLLED param
+    # aggregations (8-row pattern frames -> 1-row params) and the shared
+    # customer scan feeding blocks/threshold/sample legs. MEASURED r10
+    # (tools/measure_exchanges.py): 5 executed / 2 reused / 5 broadcast —
+    # the corpus is shuffled once (block counts) + once more for the
+    # budget-sampled candidate join; everything else is metadata-sized.
+    "er_em_weights",
     # Spearman: the CORPUS is shuffled exactly once (the (x,y) pair-count
     # aggregation); the other exchanges are the two rank maps' blocked
     # prefix sums + the 1-row moment fold, all over metric-DOMAIN-sized
