@@ -187,6 +187,10 @@ _EXCHANGES_OK_MEASURED = {
     "eval_spearman": 11,  # MEASURED r9 at sf0.001 AND sf0.01: 11 executed — the
     # corpus is shuffled ONCE (pair-count agg); the rest move domain-sized
     # rank maps / 1-row moment frames (see the docstring + audit allowlist)
+    # r10 addition
+    "er_em_weights": 5,  # MEASURED r10 at sf0.001: 5 executed / 2 reused /
+    # 5 broadcast — block counts + budget-sampled candidate join shuffle the
+    # corpus once each; the unrolled EM param aggs move 8-row frames
 }
 
 
