@@ -209,6 +209,9 @@ def frame_intensities(with_payload: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR dims are untrusted 32-bit ints; cap them so expected-output sizing
+# (h*(3w+1)) can't overflow into a multi-GiB allocation on hostile input.
+_PNG_MAX_DIM = 1 << 14
 JPEG_SOI = b"\xff\xd8"
 
 HEADER_SCHEMA = (
@@ -731,6 +734,11 @@ def _parse_png(b: bytes):
     pos, w, h, idat = 8, None, None, b""
     while pos + 12 <= len(b):
         (length,) = __import__("struct").unpack_from(">I", b, pos)
+        # Declared chunk length is attacker-controlled: a length that runs
+        # past the buffer must be errors-as-data (return None -> ok=False),
+        # never a struct.error that kills the whole Spark task.
+        if pos + 12 + length > len(b):
+            return None
         ctype = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = __import__("struct").unpack_from(">I", b, pos + 8 + length)
@@ -750,8 +758,20 @@ def _parse_png(b: bytes):
         pos += 12 + length
     if not w or not h or not idat:
         return None
+    # IHDR w/h are attacker-controlled up to 2^32 and a tiny hostile IDAT
+    # can inflate to gigabytes: cap dims, then inflate with an explicit
+    # max_length so a decompression bomb stops at the expected byte count
+    # instead of exhausting executor memory before _png_unfilter's check.
+    if w > _PNG_MAX_DIM or h > _PNG_MAX_DIM:
+        return None
+    expected = h * (3 * w + 1)
     try:
-        stream = zlib.decompress(idat)
+        dec = zlib.decompressobj()
+        stream = dec.decompress(idat, expected)
+        # More output pending (unconsumed compressed tail still inflating)
+        # means the stream is bigger than the geometry allows: bomb/garbage.
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            return None
     except zlib.error:
         return None
     px = _png_unfilter(stream, w, h)
@@ -1044,6 +1064,10 @@ def _parse_avi(b: bytes):
                 sub = body[p : p + 4]
                 (slen,) = struct.unpack_from("<I", body, p + 4)
                 sdata = body[p + 8 : p + 8 + slen]
+                # Declared sub-chunk length past the buffer is malformed
+                # input: errors-as-data, never a struct.error on unpack.
+                if len(sdata) < slen:
+                    return None
                 if sub == b"avih":
                     if slen < 56:
                         return None

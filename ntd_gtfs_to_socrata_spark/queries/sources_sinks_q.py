@@ -316,8 +316,9 @@ def s5b_webdataset_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dropped sample, or a corrupted byte breaks the hash.
 
     Scale posture: the shard build's groupBy is the one shuffle the
-    format implies (groups bounded at SHARD_DOCS; shard COUNT, not
-    size, grows with the corpus); ingest is map-side shard-per-task
+    format implies (hash-distributed key; every emitted tar is
+    hard-bounded at SHARD_DOCS docs — shard COUNT, not size, grows with
+    the corpus); ingest is map-side shard-per-task
     with zero shuffles — the WebDataset loader contract. Python-side by
     nature (it IS the documented Python surface, like zip ingest), but
     Arrow-batched end to end."""

@@ -15,8 +15,9 @@ round-trips through genuine ustar bytes:
 - INGEST is map-side: each task opens its partition's shards, walks tar
   members, groups by sample key, JSON-decodes the metadata member.
 
-At 100 TB the shard build's groupBy is bounded by SHARD_SIZE (docs per
-shard is a constant, shard count grows with the corpus), and ingest
+At 100 TB the shard build's groupBy distributes by a HASH of doc_id
+(uniform for any id pattern) and every emitted tar is hard-bounded at
+SHARD_DOCS docs (oversized hash groups are chunked), and ingest
 parallelizes shard-per-task with zero shuffles — the loader-side
 contract WebDataset was designed for.
 """
@@ -37,42 +38,56 @@ SHARD_SCHEMA = "shard_id long, tar binary, n_members long"
 SAMPLE_SCHEMA = "doc_id long, n_bytes long, lang string, n_members long"
 
 
+_SHARD_SUB = 1 << 20  # composite id space: group_key * _SHARD_SUB + chunk_no
+
+
 def _make_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One tar blob per shard group: {doc_id}.txt (payload bytes) +
-    {doc_id}.json (metadata), members sorted by doc_id, mtime pinned to 0
-    — shard bytes are a deterministic function of the group."""
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w") as tar:
-        for _, row in pdf.sort_values("doc_id").iterrows():
-            txt = str(row["text"]).encode("utf-8")
-            meta = json.dumps(
-                {"lang": row["lang"], "source": row["source"]}, sort_keys=True
-            ).encode("utf-8")
-            for name, data in (
-                (f"{int(row['doc_id'])}.txt", txt),
-                (f"{int(row['doc_id'])}.json", meta),
-            ):
-                info = tarfile.TarInfo(name=name)
-                info.size = len(data)
-                info.mtime = 0
-                tar.addfile(info, io.BytesIO(data))
-    return pd.DataFrame(
-        [[int(pdf["shard_id"].iloc[0]), buf.getvalue(), 2 * len(pdf)]],
-        columns=["shard_id", "tar", "n_members"],
-    )
+    """SHARD_DOCS-bounded tar blobs for one shard group: {doc_id}.txt
+    (payload bytes) + {doc_id}.json (metadata), members sorted by doc_id,
+    mtime pinned to 0 — shard bytes are a deterministic function of the
+    group. A group larger than SHARD_DOCS (hash-residue skew) is chunked
+    into multiple tars, so every EMITTED shard is hard-bounded regardless
+    of the key distribution."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    base = int(pdf["shard_id"].iloc[0]) * _SHARD_SUB
+    out = []
+    for chunk_no, lo in enumerate(range(0, len(pdf), SHARD_DOCS)):
+        chunk = pdf.iloc[lo : lo + SHARD_DOCS]
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in chunk.iterrows():
+                txt = str(row["text"]).encode("utf-8")
+                meta = json.dumps(
+                    {"lang": row["lang"], "source": row["source"]},
+                    sort_keys=True,
+                ).encode("utf-8")
+                for name, data in (
+                    (f"{int(row['doc_id'])}.txt", txt),
+                    (f"{int(row['doc_id'])}.json", meta),
+                ):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(data))
+        out.append([base + chunk_no, buf.getvalue(), 2 * len(chunk)])
+    return pd.DataFrame(out, columns=["shard_id", "tar", "n_members"])
 
 
 def build_webdataset_shards(docs: DataFrame, n_shards_hint: int | None = None) -> DataFrame:
     """documents -> (shard_id, tar, n_members): the corpus-to-shards
-    write path. Shard key is doc_id-derived (pmod), so placement is
-    deterministic and re-runnable; the groupBy is THE shuffle the format
-    implies and each group is SHARD_DOCS-bounded."""
+    write path. Shard key is a HASH of doc_id (xxhash64 pmod), so
+    placement is deterministic/re-runnable AND uniform for any id
+    pattern — strided or clustered ids can't pile into one residue the
+    way raw pmod(doc_id) allows. The groupBy is THE shuffle the format
+    implies; group size is n/n_shards in expectation with Chernoff
+    concentration under the hash, and every emitted tar is HARD-bounded
+    at SHARD_DOCS docs by the chunking in _make_shard."""
     n_shards = n_shards_hint or max(
         1, docs.selectExpr("count(*) AS n").first()["n"] // SHARD_DOCS
     )
     keyed = docs.select(
         "doc_id", "text", "lang", "source",
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).alias("shard_id"),
     )
     return keyed.groupBy("shard_id").applyInPandas(_make_shard, schema=SHARD_SCHEMA)
 
@@ -100,9 +115,18 @@ def parse_webdataset_batch(
             for key, parts in samples.items():
                 if "txt" not in parts or "json" not in parts:
                     continue
-                meta = json.loads(parts["json"])
+                # Foreign shards carry non-numeric basenames ("readme.txt")
+                # and corrupt metadata; both are errors-as-absence, never a
+                # ValueError/JSONDecodeError that fails the ingest task.
+                try:
+                    doc_id = int(key)
+                    meta = json.loads(parts["json"])
+                except (ValueError, json.JSONDecodeError):
+                    continue
+                if not isinstance(meta, dict):
+                    continue
                 out.append(
-                    (int(key), len(parts["txt"]), meta.get("lang"), len(parts))
+                    (doc_id, len(parts["txt"]), meta.get("lang"), len(parts))
                 )
         yield pd.DataFrame(
             out, columns=["doc_id", "n_bytes", "lang", "n_members"]

@@ -393,6 +393,28 @@ def test_png_parse_rejects_malformed_payloads():
         + chunk(b"IEND", b"")
     )
     assert MM._parse_png(trunc) is None
+    # chunk whose DECLARED length runs past the buffer: must be
+    # errors-as-data (None), never struct.error killing the Spark task
+    overrun = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 0xFFFF) + b"IHDR"
+    assert MM._parse_png(overrun) is None
+    # decompression bomb: valid CRCs, tiny IDAT inflating far past the
+    # geometry (2x2) — the capped inflate must reject, not allocate GiBs
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert MM._parse_png(bomb) is None
+    # hostile IHDR dims (2^31 x 2^31): dim cap must reject before sizing
+    huge_ihdr = struct.pack(">II", 1 << 31, 1 << 31) + bytes([8, 2, 0, 0, 0])
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    assert MM._parse_png(huge) is None
 
 
 def test_jvm_png_payload_is_a_real_png(spark, sf_dir):
@@ -509,6 +531,27 @@ def test_avi_parse_rejects_malformed_payloads(spark, sf_dir):
     at = blob.index(b"vidsDIB ")
     bad[at + 4 : at + 8] = b"H264"
     assert MM._parse_avi(bytes(bad)) is None
+    # avih sub-chunk whose DECLARED length runs past the hdrl body:
+    # errors-as-data (None), never struct.error on the dim unpack
+    import struct as _struct
+
+    over = bytearray(blob)
+    avih_at = blob.index(b"avih")
+    _struct.pack_into("<I", over, avih_at + 4, 0x00FFFFFF)
+    assert MM._parse_avi(bytes(over)) is None
+    # truncated avih body (declared 56 but hdrl LIST ends early)
+    stub = (
+        blob[:12]
+        + b"LIST"
+        + _struct.pack("<I", 4 + 8 + 8)
+        + b"hdrl"
+        + b"avih"
+        + _struct.pack("<I", 56)
+        + b"\x00" * 8
+    )
+    fixed = bytearray(stub)
+    _struct.pack_into("<I", fixed, 4, len(stub) - 8)
+    assert MM._parse_avi(bytes(fixed)) is None
 
 
 def test_dispatch_decode_covers_all_kinds_and_flags_garbage():

@@ -158,3 +158,62 @@ def test_webdataset_ingest_drops_incomplete_samples():
     assert out["doc_id"].tolist() == [1]
     assert out["n_bytes"].tolist() == [5]
     assert out["lang"].tolist() == ["en"]
+
+
+def test_webdataset_ingest_survives_foreign_members_and_corrupt_json():
+    """A foreign shard with a non-numeric basename ('readme.txt' +
+    'readme.json'), corrupt JSON metadata, and non-dict JSON must be
+    dropped (errors-as-absence) — never a ValueError/JSONDecodeError
+    that fails the ingest task."""
+    import io
+    import json
+    import tarfile
+
+    import pandas as pd
+
+    from ntd_gtfs_to_socrata_spark.sources.webdataset import (
+        parse_webdataset_batch,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, data in (
+            ("readme.txt", b"foreign doc"),
+            ("readme.json", json.dumps({"lang": "xx"}).encode()),
+            ("7.txt", b"good"),
+            ("7.json", b"{not json"),
+            ("8.txt", b"listmeta"),
+            ("8.json", b"[1, 2]"),  # valid JSON, wrong shape
+            ("9.txt", b"survivor"),
+            ("9.json", json.dumps({"lang": "en"}).encode()),
+        ):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    out = pd.concat(
+        parse_webdataset_batch(iter([pd.DataFrame({"tar": [buf.getvalue()]})]))
+    )
+    assert out["doc_id"].tolist() == [9]
+    assert out["lang"].tolist() == ["en"]
+
+
+def test_webdataset_shards_hard_bounded_even_with_skewed_keys(spark, sf_dir):
+    """Every emitted tar holds <= SHARD_DOCS docs even when the group
+    key is maximally skewed (n_shards_hint=1 puts ALL docs in one hash
+    group): _make_shard's chunking is the hard bound, not the hash."""
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.sources.webdataset import (
+        SHARD_DOCS,
+        build_webdataset_shards,
+        parse_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    shards = build_webdataset_shards(docs, n_shards_hint=1)
+    rows = shards.collect()
+    assert len(rows) > 1  # one skewed group still yields many tars
+    assert all(r["n_members"] <= 2 * SHARD_DOCS for r in rows)
+    assert len({r["shard_id"] for r in rows}) == len(rows)  # ids unique
+    # round trip is lossless regardless of the chunking
+    assert parse_webdataset(shards).count() == n_docs
