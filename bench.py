@@ -171,6 +171,8 @@ HEADLINE = [
     "s5b_webdataset_tar_ingest",
     "mm_dispatch_decode",
     "er_em_weights",
+    # r11 additions: real baseline-JPEG decode (the last image stub)
+    "mm_jpeg_decode",
 ]
 
 

@@ -19,8 +19,15 @@ Scale posture per round:
   hash-partitioned on the node key, so successive rounds reuse partitioning.
 - labels are (long, long) pairs — the shuffle payload is 16 bytes/row no
   matter how wide the documents are.
-- ``localCheckpoint`` truncates lineage each round; without it the plan
-  doubles every iteration and the driver OOMs planning round ~15.
+- ``_truncate`` cuts lineage each round; without it the plan doubles
+  every iteration and the driver OOMs planning round ~15. It uses fast
+  ``localCheckpoint`` by default and RELIABLE ``checkpoint()`` whenever
+  the session has a checkpoint dir configured
+  (``spark.sparkContext.setCheckpointDir``): localCheckpoint blocks
+  live in executor storage, so on a real cluster one lost executor
+  mid-loop kills the whole job — a 100 TB run sets the dir and every
+  iterative operator in this module switches to DFS-backed
+  truncation automatically.
 - convergence is detected from ``sum(label)``: labels only ever decrease,
   so an unchanged sum IS the fixpoint — and the sum rides the checkpoint
   job as an ``observe()`` metric (fires on eager materialization), so a
@@ -34,6 +41,23 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Lineage truncation for iterative loops: reliable ``checkpoint()``
+    (DFS-backed; survives executor loss and lets a 1000-executor run
+    recover a mid-loop failure from storage) when the session has a
+    checkpoint dir configured, else eager ``localCheckpoint`` (fast;
+    blocks live in executor memory/disk — correct on local[*] and the
+    right default when no dir is set, since ``checkpoint()`` without a
+    dir raises). ``observe()`` metrics attached upstream fire on either
+    materialization, so the one-job-per-round convergence probe works
+    identically in both modes (pinned by test_graph_reliable_checkpoint).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -72,7 +96,7 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     # convergence scalars ride the checkpoint job via observe() — metrics
     # fire when the eager localCheckpoint materializes, so each round is
@@ -86,7 +110,7 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
         .observe(obs0, F.sum("label").alias("s"))
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     prev_sum = obs0.get["s"]
     converged = False
@@ -106,7 +130,7 @@ def connected_components(
                 ).alias("label"),
             )
             .observe(obs, F.sum("label").alias("s"))
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
@@ -159,16 +183,16 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-degree joined ONCE and carried on the edge row — each iteration
     # then needs only the rank join, not a rank join plus a degree join
-    e_deg = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    e_deg = e.join(outdeg, "e_src").transform(_truncate)
     nodes = (
         e.select(F.explode(F.array("e_src", "e_dst")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
@@ -186,7 +210,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     return ranks
 
@@ -251,17 +275,17 @@ def connected_components_star(
     # producer, the union inside all_nodes twice over)
     base = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(_truncate)
     e = (
         base.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     # every node that appears anywhere, including isolated self-loop nodes
     all_nodes = (
         base.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     from pyspark.sql import Observation
 
@@ -282,7 +306,7 @@ def connected_components_star(
                 F.sum("u").alias("su"),
                 F.sum("v").alias("sv"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
         got = obs.get
         sig = (got["n"], got["su"], got["sv"])
@@ -334,12 +358,12 @@ def label_propagation(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(_truncate)
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node2").orderBy(F.col("c").desc(), F.col("label").asc())
@@ -360,7 +384,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     return labels
 
@@ -421,7 +445,7 @@ def k_core(
         )
         .select("e.s", "e.d")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     from pyspark.sql import Observation
 
@@ -430,7 +454,7 @@ def k_core(
     deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     if max_iterations is None:
         # one round per node is a hard upper bound (each non-terminal
@@ -445,7 +469,7 @@ def k_core(
             deg.filter(F.col("deg") < k)
             .select("s")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
         if obs.get["n"] == 0:
             return deg.select(
@@ -469,14 +493,14 @@ def k_core(
                 "s",
                 (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias("deg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
         # shrink the surviving edge set (map-side with a broadcast low;
         # needed so later delta joins see only surviving edges)
         e = (
             e.join(low, "s", "left_anti")
             .join(low_d, "d", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     raise RuntimeError(
         f"k_core did not reach a fixpoint within the caller-imposed bound of "
@@ -528,12 +552,12 @@ def hits(
     e = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     nodes = (
         e.select(F.explode(F.array("e_src", "e_dst")).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
     auth = None
@@ -549,7 +573,7 @@ def hits(
                 "node",
                 F.coalesce(F.col("a_sum"), F.lit(0)).cast("long").alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
         h_out = (
             e.join(auth, e.e_dst == auth.node)
@@ -562,7 +586,7 @@ def hits(
                 "node",
                 F.coalesce(F.col("h_sum"), F.lit(0)).cast("long").alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     return nodes.join(auth, "node").join(hub, "node").select(
         "node",
@@ -605,11 +629,11 @@ def bfs_distances(
         )
         .select("e.s", "e.d")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(_truncate)
     for _ in range(max_hops):
         relaxed = (
             e.join(dist, e.s == dist.node)
@@ -625,7 +649,7 @@ def bfs_distances(
                     F.coalesce(F.col("nd"), F.lit(2147483647)),
                 ).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     return dist
 
@@ -664,13 +688,13 @@ def bfs_distances_per_seed(
         )
         .select("e.s", "e.d")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate)
     )
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("seed"),
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).transform(_truncate)
     for _ in range(max_hops):
         relaxed = (
             e.join(dist, e.s == dist.node)
@@ -692,6 +716,6 @@ def bfs_distances_per_seed(
                     F.coalesce(F.col("nd"), F.lit(2147483647)),
                 ).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate)
         )
     return dist

@@ -4,13 +4,15 @@ Media (image/audio/video) are opaque ``binary`` columns plus typed
 metadata, the lakehouse-native layout for multimodal training data. The
 Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` UDFs, batch
 shapes — is real and tested. Codec status: BMP pixel decode, PNG pixel
-decode (stdlib zlib inflate + real scanline unfiltering), NN resize, and
-PNG/JPEG/BMP header parsing are REAL implementations with no library
-dependency, as is WAV audio decode (RIFF chunk walk + signed PCM16 LE
-samples); only the lossy-codec paths (JPEG entropy decode, compressed
-audio, video codecs) remain STUBBED with a deterministic fake (this
+decode (stdlib zlib inflate + real scanline unfiltering), baseline JPEG
+decode (full entropy decode: canonical Huffman, byte unstuffing, RSTn,
+run-length AC, dezigzag, dequantize, float IDCT, YCbCr->RGB), NN resize,
+and PNG/JPEG/BMP header parsing are REAL implementations with no library
+dependency, as are WAV audio decode (RIFF chunk walk + signed PCM16 LE
+samples) and AVI frame sampling; only compressed AUDIO/VIDEO codecs
+(MP3/AAC, H.264 etc.) remain STUBBED with a deterministic fake (this
 container has no codec libraries), clearly marked below, so swapping in
-PIL/ffmpeg is a one-function change.
+ffmpeg is a one-function change.
 
 Reference analog: the GTFS .zip payload round-trip
 (/root/reference/publish_to_catalog.py:316-320, 451-454) — bytes in a
@@ -1149,6 +1151,548 @@ def avi_frame_sample(with_payload: DataFrame) -> DataFrame:
     )
 
 
+# --- REAL baseline-JPEG decode (lossy-codec container: custom canonical
+# --- Huffman construction JVM-side, full entropy decode + IDCT on the
+# --- decode side) ---------------------------------------------------------
+#
+# The LAST image stub closes here. The fixture is a genuine ITU T.81
+# baseline JFIF-less JPEG (SOI/DQT/DHT/SOF0/SOS/EOI, custom canonical
+# Huffman tables, byte-stuffed entropy bitstream) whose pixel content is
+# chosen to round-trip EXACTLY through the lossy pipeline, so a SQL
+# oracle can replay it:
+#   - geometry: nbx = nb%4+2 blocks across, JPEG_BLOCKS_Y=2 block rows
+#     (w = 8*nbx, h = 16), grayscale (1 component, no subsampling).
+#   - block k (raster order) is the CONSTANT value
+#     v_k = 32 + (doc_id + 37*k) % 192, so its DCT is DC-only:
+#     F(0,0) = 8*(v_k - 128); with DC quant step 8 the quantized DC is
+#     exactly v_k - 128 (lossless by construction).
+#   - every ODD block additionally carries ONE AC coefficient at zigzag
+#     index 1 (horizontal frequency 1): quantized value +-2, AC quant
+#     step 16, dequantized +-32. Its IDCT adds the column deltas
+#     32/(4*sqrt(2)) * cos((2x+1)pi/16) -> rounded [6,5,3,1,-1,-3,-5,-6]
+#     (sign s_k = +1 when v_k is even else -1) — fixed integers with
+#     >0.04 margin from every rounding boundary, so float IDCT + round
+#     reproduces them exactly and the oracle can inline them.
+#   - Huffman tables are custom canonical codes chosen so the encoder
+#     is a pure Column fold: DC categories 0..8 as the 4-bit codes
+#     0000..1000 (BITS has 9 codes at length 4), AC symbols EOB(0x00)
+#     and run0/size2(0x02) as the 2-bit codes 00 and 01.
+# The DECODER shortcuts none of this: it is a general baseline decoder —
+# marker walk, multi-table DQT/DHT, canonical Huffman reconstruction,
+# byte unstuffing + restart markers, run-length AC with ZRL/EOB,
+# dezigzag, dequantize, float IDCT, grayscale or YCbCr->RGB output —
+# and is tested against an independent numpy DCT encoder (including a
+# 3-component color path the fixture never emits).
+#
+# Reference parity: closes the decode gap behind the reference's image
+# handling surface (publish_to_catalog.py has none — this is north-star
+# extension surface; the JPEG header walk at make_image_payload above
+# was the r7 header-only step).
+
+JPEG_BLOCKS_Y = 2  # block rows in the fixture image (h = 16)
+_JPEG_QDC, _JPEG_QAC = 8, 16  # quant steps at zigzag index 0 / 1
+_JPEG_MAX_DIM = 1 << 14  # untrusted SOF dims cap (same posture as PNG)
+JPEG_DECODE_SCHEMA = (
+    "doc_id long, width long, height long, sum_px long, sum_left long,"
+    " ok boolean"
+)
+# dequantized +-32 at (0,1): rounded per-column IDCT deltas, x = 0..7
+_JPEG_AC_DELTAS = (6, 5, 3, 1, -1, -3, -5, -6)
+
+
+def make_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL baseline JPEG built
+    entirely from Column expressions: the entropy-coded segment is a
+    two-stage fold — (1) per-block bit emission (DC category + magnitude
+    bits with JPEG's one's-complement negative encoding, AC code +
+    magnitude, EOB) into a '0'/'1' string carrying the DC predictor
+    through the fold state, (2) byte packing with 0xFF00 stuffing and
+    1-padding to the byte boundary. Headers (DQT/DHT/SOF0/SOS) are
+    literals except the SOF dims. A 100 TB media-lake fixture never
+    leaves the JVM."""
+    nb = F.octet_length("text")
+    nbx = (nb % 4 + 2).cast("long")
+    n_blocks = nbx * JPEG_BLOCKS_Y
+
+    def _bits(val, width):
+        """Unsigned `val` as exactly `width` bits (both Columns): bin()
+        of val + 2^width is '1' followed by the zero-padded bits."""
+        two_w = F.pow(F.lit(2.0), width).cast("long")
+        return F.substring(
+            F.bin(val.cast("long") + two_w), F.lit(2), F.lit(64)
+        )
+
+    def emit_block(acc, k):
+        v = (F.col("doc_id") + 37 * k) % 192 + 32
+        dc = v - 128
+        diff = dc - acc["prev"]
+        c = (
+            F.when(diff == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.abs(diff))))
+            .cast("long")
+        )
+        two_c = F.pow(F.lit(2.0), c).cast("long")
+        m = F.when(diff > 0, diff).otherwise(diff + two_c - 1)
+        dc_bits = F.concat(
+            _bits(c, F.lit(4).cast("long")),
+            F.when(c > 0, _bits(m, c)).otherwise(F.lit("")),
+        )
+        # odd blocks: AC code '01' (symbol 0x02) + 2 magnitude bits
+        # (+2 -> '10'; -2 -> '01', the one's-complement encoding)
+        ac_bits = F.when(
+            k % 2 == 1,
+            F.concat(
+                F.lit("01"),
+                F.when(v % 2 == 0, F.lit("10")).otherwise(F.lit("01")),
+            ),
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.concat(acc["bits"], dc_bits, ac_bits, F.lit("00")).alias(
+                "bits"
+            ),
+            dc.alias("prev"),
+        )
+
+    bitstr = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), n_blocks - 1),
+        F.struct(
+            F.lit("").alias("bits"), F.lit(0).cast("long").alias("prev")
+        ),
+        emit_block,
+        lambda acc: acc["bits"],
+    )
+    staged = docs.select("doc_id", nbx.alias("nbx"), bitstr.alias("bits"))
+    padded = F.substring(
+        F.concat(F.col("bits"), F.lit("1111111")),
+        F.lit(1),
+        (F.ceil(F.length("bits") / 8) * 8).cast("int"),
+    )
+    staged = staged.select("doc_id", "nbx", padded.alias("bits"))
+
+    def pack_byte(acc, i):
+        byte = (
+            F.conv(F.substring(F.col("bits"), (i * 8 + 1).cast("int"), F.lit(8)), 2, 10)
+        ).cast("long")
+        return F.concat(
+            acc,
+            _be(byte, 1),
+            # byte stuffing: a 0xFF entropy byte is followed by 0x00
+            F.when(byte == 255, F.lit(b"\x00")).otherwise(F.lit(b"")),
+        )
+
+    entropy = F.aggregate(
+        F.sequence(
+            F.lit(0).cast("long"), (F.length("bits") / 8).cast("long") - 1
+        ),
+        F.lit(b""),
+        pack_byte,
+    )
+    # zigzag-order quant table: step 8 at DC, 16 everywhere else
+    qtbl = bytes([_JPEG_QDC] + [_JPEG_QAC] * 63)
+    dqt = b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + qtbl
+    dht_dc = (
+        b"\xff\xc4"
+        + (2 + 1 + 16 + 9).to_bytes(2, "big")
+        + b"\x00"  # class 0 (DC), id 0
+        + bytes([0, 0, 0, 9] + [0] * 12)  # 9 codes of length 4
+        + bytes(range(9))  # symbols: categories 0..8
+    )
+    dht_ac = (
+        b"\xff\xc4"
+        + (2 + 1 + 16 + 2).to_bytes(2, "big")
+        + b"\x10"  # class 1 (AC), id 0
+        + bytes([0, 2] + [0] * 14)  # 2 codes of length 2
+        + bytes([0x00, 0x02])  # EOB, run0/size2
+    )
+    sos = b"\xff\xda" + b"\x00\x08\x01\x01\x00\x00\x3f\x00"
+    sof0 = F.concat(
+        F.lit(b"\xff\xc0\x00\x0b\x08"),
+        _be(F.lit(8 * JPEG_BLOCKS_Y), 2),  # height
+        _be(F.col("nbx") * 8, 2),  # width
+        F.lit(b"\x01\x01\x11\x00"),  # 1 component, 1x1 sampling, qtbl 0
+    )
+    payload = F.concat(
+        F.lit(JPEG_SOI + dqt + dht_dc + dht_ac),
+        sof0,
+        F.lit(sos),
+        entropy,
+        F.lit(b"\xff\xd9"),
+    )
+    return staged.select("doc_id", payload.alias("payload"))
+
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts, symbols):
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if i >= len(symbols):
+                return None
+            table[(length, code)] = symbols[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self):
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        if self.bit:
+            self.bit, self.pos = 0, self.pos + 1
+
+
+def _jpeg_decode_huff(reader, table):
+    """Walk bits through a canonical table; None past max length 16."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v, size):
+    """T.81 EXTEND: map `size` magnitude bits to the signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = (cu / 2) * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_JPEG_IDCT_A = None  # built lazily so module import stays numpy-free
+
+
+def _parse_jpeg(b: bytes):
+    """REAL baseline JPEG decode, no codec library: marker walk,
+    multi-table DQT (8/16-bit) and DHT (canonical Huffman
+    reconstruction), SOF0/SOF1 frames (grayscale or 3-component with
+    arbitrary sampling factors), DRI/RSTn restart handling, byte
+    unstuffing, run-length AC decode with ZRL/EOB, dezigzag,
+    dequantize, float IDCT, level shift, and YCbCr->RGB (BT.601) for
+    color. Returns (w, h, pixels) — (h, w) int64 grayscale or
+    (h, w, 3) RGB — or None on ANY malformed input (errors as data;
+    every length is bounds-checked and the entropy decode loop is
+    wrapped so truncation can't raise out of the task)."""
+    import struct
+
+    import numpy as np
+
+    global _JPEG_IDCT_A
+    if len(b) < 4 or b[:2] != JPEG_SOI:
+        return None
+    pos = 2
+    qt, huff = {}, {0: {}, 1: {}}  # class -> id -> table
+    frame, restart_interval, scan = None, 0, None
+    data_start = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:
+            return None  # EOI before any scan data
+        if pos + 2 > len(b):
+            return None
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        if seglen < 2 or pos + seglen > len(b):
+            return None
+        seg = b[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                n = 128 if pq else 64
+                if pq > 1 or p + n > len(seg):
+                    return None
+                if pq:
+                    tbl = list(struct.unpack_from(">64H", seg, p))
+                else:
+                    tbl = list(seg[p : p + 64])
+                qt[tq] = tbl
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                if tc > 1:
+                    return None
+                counts = list(seg[p + 1 : p + 17])
+                p += 17
+                ns = sum(counts)
+                if p + ns > len(seg):
+                    return None
+                tbl = _jpeg_huff_table(counts, list(seg[p : p + ns]))
+                if tbl is None:
+                    return None
+                huff[tc][th] = tbl
+                p += ns
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (Huffman sequential)
+            if len(seg) < 6:
+                return None
+            prec = seg[0]
+            (h,) = struct.unpack_from(">H", seg, 1)
+            (w,) = struct.unpack_from(">H", seg, 3)
+            nc = seg[5]
+            if (
+                prec != 8
+                or not w
+                or not h
+                or w > _JPEG_MAX_DIM
+                or h > _JPEG_MAX_DIM
+                or nc not in (1, 3)
+                or len(seg) < 6 + 3 * nc
+            ):
+                return None
+            comps = []
+            for ci in range(nc):
+                samp = seg[7 + 3 * ci]
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append(
+                    {"id": seg[6 + 3 * ci], "h": hi, "v": vi, "tq": seg[8 + 3 * ci]}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/arithmetic/lossless: not baseline
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None or len(seg) < 1:
+                return None
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3 or ns != len(frame[2]):
+                return None
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in frame[2] if c["id"] == cs), None)
+                if comp is None:
+                    return None
+                scan.append((comp, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            if ss != 0 or se != 63:
+                return None  # spectral selection is progressive-only
+            data_start = pos + seglen
+            break
+        # else: APPn / COM — skip
+        pos += seglen
+    if frame is None or scan is None or data_start is None:
+        return None
+
+    # unstuff the entropy-coded segment; restart markers become segment
+    # boundaries (DC predictors + bit alignment reset there)
+    ent, boundaries = bytearray(), []
+    i = data_start
+    while i < len(b):
+        byte = b[i]
+        if byte != 0xFF:
+            ent.append(byte)
+            i += 1
+            continue
+        if i + 1 >= len(b):
+            return None
+        nxt = b[i + 1]
+        if nxt == 0x00:
+            ent.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            boundaries.append(len(ent))
+            i += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            return None
+    else:
+        return None  # ran off the buffer without EOI
+
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if _JPEG_IDCT_A is None:
+        _JPEG_IDCT_A = _jpeg_idct_matrix()
+    a_mat = _JPEG_IDCT_A
+    planes = {}
+    for c in comps:
+        if c["tq"] not in qt:
+            return None
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+    reader = _JpegBitReader(bytes(ent))
+    predictors = {c["id"]: 0 for c in comps}
+    try:
+        mcu_no = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                    # next restart segment: realign and reset predictors
+                    if not boundaries:
+                        return None
+                    reader.pos, reader.bit = boundaries.pop(0), 0
+                    predictors = {c["id"]: 0 for c in comps}
+                mcu_no += 1
+                for comp, tdc, tac in scan:
+                    dc_tbl = huff[0].get(tdc)
+                    ac_tbl = huff[1].get(tac)
+                    if dc_tbl is None or ac_tbl is None:
+                        return None
+                    quant = qt[comp["tq"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            sym = _jpeg_decode_huff(reader, dc_tbl)
+                            if sym is None or sym > 15:
+                                return None
+                            diff = (
+                                _jpeg_extend(reader.read_bits(sym), sym)
+                                if sym
+                                else 0
+                            )
+                            predictors[comp["id"]] += diff
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[0] = predictors[comp["id"]] * quant[0]
+                            k = 1
+                            while k <= 63:
+                                sym = _jpeg_decode_huff(reader, ac_tbl)
+                                if sym is None:
+                                    return None
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                run, size = sym >> 4, sym & 15
+                                k += run
+                                if k > 63 or size == 0:
+                                    return None
+                                coef[k] = (
+                                    _jpeg_extend(reader.read_bits(size), size)
+                                    * quant[k]
+                                )
+                                k += 1
+                            fmat = np.zeros((8, 8), dtype=np.float64)
+                            for z in range(64):
+                                if coef[z]:
+                                    fmat[divmod(_JPEG_ZIGZAG[z], 8)] = coef[z]
+                            block = a_mat.T @ fmat @ a_mat + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    except EOFError:
+        return None
+
+    def upsample(comp):
+        plane = planes[comp["id"]]
+        ys = (np.arange(h) * comp["v"]) // vmax
+        xs = (np.arange(w) * comp["h"]) // hmax
+        return plane[np.ix_(ys, xs)]
+
+    if len(comps) == 1:
+        gray = upsample(comps[0])
+        return w, h, np.clip(np.floor(gray + 0.5), 0, 255).astype(np.int64)
+    y_p = upsample(comps[0])
+    cb = upsample(comps[1]) - 128.0
+    cr = upsample(comps[2]) - 128.0
+    rgb = np.stack(
+        [
+            y_p + 1.402 * cr,
+            y_p - 0.344136 * cb - 0.714136 * cr,
+            y_p + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return w, h, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.int64)
+
+
+def jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL LOSSY-CODEC PIXEL DECODE: full baseline JPEG entropy decode
+    (canonical Huffman, unstuffing, RST) + dequant + IDCT, reduced to
+    exact integer stats. sum_left sums the LEFT HALF of every 8-wide
+    block column (x % 8 < 4) — the statistic the horizontal-frequency AC
+    coefficient shifts by +-120 per odd block, so the Huffman AC path,
+    the zigzag ORIENTATION (index 1 must be horizontal), and the IDCT
+    cosine basis are all load-bearing in the value hash. Malformed
+    payloads return ok=False with null stats (errors as data)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_jpeg(bytes(payload or b""))
+            if parsed is None:
+                out.append((doc_id, None, None, None, None, False))
+                continue
+            w, h, img = parsed
+            left = np.arange(w) % 8 < 4
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    int(img.sum()),
+                    int(img[:, left].sum()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "width", "height", "sum_px", "sum_left", "ok"],
+        )
+
+
+def decode_jpeg(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real baseline-JPEG decode: dims + exact pixel sums."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        jpeg_decode_batch, schema=JPEG_DECODE_SCHEMA
+    )
+
+
 # --- Heterogeneous media lake: magic-byte dispatch over mixed blobs ------
 
 DISPATCH_SCHEMA = "doc_id long, kind string, n_units long, checksum long"
@@ -1180,6 +1724,11 @@ def dispatch_decode_batch(
                 if parsed is not None:
                     w, h, img = parsed
                     kind, n_units, checksum = "png", w * h, int(img.sum())
+            elif b[:2] == JPEG_SOI:
+                parsed = _parse_jpeg(b)
+                if parsed is not None:
+                    w, h, img = parsed
+                    kind, n_units, checksum = "jpeg", w * h, int(img.sum())
             elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                 samples = _parse_wav(b)
                 if samples is not None:

@@ -1347,8 +1347,15 @@ def tp_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "stack(4, band0, band1, band2, band3) AS bucket")
     # the train/eval branches would each re-execute the corpus-sized
     # signature aggregation (measured r8: 8 executed / 0 reused before
-    # this boundary) — materialize the small (doc_id, bucket) frame once
-    bands = bands.localCheckpoint(eager=True)
+    # this boundary) — materialize the small (doc_id, bucket) frame once.
+    # stage_boundary (lazy persist) instead of eager localCheckpoint: the
+    # materialization rides the first consuming job rather than running a
+    # separate plan-construction-time job per bench pass — one fewer job
+    # whose scheduling stall on a contended box can land inside a timed
+    # pass (r10 driver artifact: [2.0, 23.2] s spread vs 3.1 s local)
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
+
+    bands = stage_boundary(bands, "tp_decon_bands")
     is_eval = _bucket() >= _DECON_EVAL_BUCKET
     split = docs.select("doc_id", is_eval.alias("is_eval"))
     tr_bands = bands.join(
