@@ -35,12 +35,20 @@ from ntd_gtfs_to_socrata_spark.queries import register
 # Deleted-char position p = (c_custkey % 8) + 10 lands inside the digit
 # region of the fixed 18-char 'Customer#NNNNNNNNN' name.
 _DIRTY_SQL = """
-  SELECT c_custkey, c_nationkey, c_acctbal,
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
          concat(substr(c_name, 1, (c_custkey % 8) + 9),
                 substr(c_name, (c_custkey % 8) + 11)) AS name_dirty
   FROM customer
 """
 
+# Blocking key = every corruption-INVARIANT attribute: nation, exact
+# balance, market segment, and the name's LAST character — the deletion
+# position is always <= 17, so the final digit survives corruption (it
+# sits at position 18 clean / 17 dirty). The r11 additions (segment +
+# last char) multiply key cardinality by ~50: with a FIXED-cardinality
+# key the collision-pair volume grows as n^2/K, which is what made
+# er_entity_clusters the worst scale_stress ratio (5.5x at 10x data in
+# r10) even though each block stayed small — K must outgrow n.
 _MATCH_SQL = f"""
   SELECT a.c_custkey AS custkey_clean,
          b.c_custkey AS custkey_dirty,
@@ -50,6 +58,8 @@ _MATCH_SQL = f"""
   JOIN ({_DIRTY_SQL}) b
     ON a.c_nationkey = b.c_nationkey
    AND a.c_acctbal = b.c_acctbal
+   AND a.c_mktsegment = b.c_mktsegment
+   AND substr(a.c_name, 18, 1) = substr(b.name_dirty, 17, 1)
   WHERE levenshtein(a.c_name, b.name_dirty) <= 1
 """
 
@@ -65,6 +75,7 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
+        "c_mktsegment",
         F.concat(
             F.substring(F.col("c_name"), F.lit(1), p - 1),
             F.substring(F.col("c_name"), p + 1, F.lit(18)),
@@ -75,10 +86,22 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = load_table(spark, sf_dir, "customer")
     dirty = _dirty_customers(spark, sf_dir)
+    # BOTH sides are corpus-sized: without the hint, compressed parquet
+    # stats put the dirty side under autoBroadcastJoinThreshold and Spark
+    # BROADCASTS the whole corpus — measured 2.4x slower at sf1 locally
+    # and fatal at 100 TB (a broadcast must fit every executor). A
+    # shuffled hash join on the blocking key is the honest plan; no sort
+    # needed since block verification is order-free.
     cand = clean.alias("a").join(
-        dirty.alias("b"),
+        dirty.hint("shuffle_hash").alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_acctbal") == F.col("b.c_acctbal")),
+        & (F.col("a.c_acctbal") == F.col("b.c_acctbal"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        # last name char: deletion position is <= 17, so it is invariant
+        & (
+            F.substring(F.col("a.c_name"), 18, 1)
+            == F.substring(F.col("b.name_dirty"), 17, 1)
+        ),
     )
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty"))
     return cand.filter(lev <= 1).select(
@@ -92,25 +115,27 @@ def _blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("er_blocked_matches", ER_MATCH_ORACLE)
 def er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage over a corrupted duplicate feed: block on the STABLE
-    attributes (nation, EXACT account balance — untouched by the name
-    corruption), then verify candidates with edit distance ≤ 1. True
-    matches (same entity behind both records) are flagged so downstream
-    precision is measurable; blocking recall is 100% by construction
-    because the blocking key is corruption-invariant.
+    attributes (nation, EXACT account balance, market segment, and the
+    name's last character — all untouched by the name corruption), then
+    verify candidates with edit distance ≤ 1. True matches (same entity
+    behind both records) are flagged so downstream precision is
+    measurable; blocking recall is 100% by construction because every
+    blocking attribute is corruption-invariant.
 
     Scale posture: candidate generation is ONE shuffled equi-join on the
     blocking key — never an all-pairs comparison. Levenshtein runs
     map-side on join survivors only. The block key's CARDINALITY is the
-    scale lever: the earlier century-bucket key had ~2.7k possible
-    values, so block sizes grew linearly with the corpus and candidate
-    volume quadratically (measured 12.3x wall at 10x data); exact
-    balance keeps blocks O(1) at tested scales. Any attribute key's
-    cardinality is ultimately data-bounded, so the production pre-flight
-    is ``dq_join_key_skew`` on the block key — an over-populated block
-    is either sub-split or handled by AQE skew-join (the audit-shaped
-    ``er_blocking_quality`` / ``er_fellegi_sunter`` keep the coarse
-    century block deliberately, as the scheme under audit and the
-    balance-agreement evidence field respectively)."""
+    scale lever, because collision-pair volume is n²/K even when every
+    block stays small: the earlier century-bucket key (K≈2.7k) measured
+    12.3x wall at 10x data; exact balance (K≈27M) still left a 5.5x
+    ratio at sf1 (r10's worst); adding segment + last-char (K≈1.4B)
+    pushes the n²/K term below the linear true-match term at sf1. Any
+    attribute key's cardinality is ultimately data-bounded, so the
+    production pre-flight is ``dq_join_key_skew`` on the block key — an
+    over-populated block is either sub-split or handled by AQE skew-join
+    (the audit-shaped ``er_blocking_quality`` / ``er_fellegi_sunter``
+    keep the coarse century block deliberately, as the scheme under
+    audit and the balance-agreement evidence field respectively)."""
     return _blocked_matches(spark, sf_dir)
 
 
@@ -421,8 +446,10 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = load_table(spark, sf_dir, "customer")
     dirty = _dirty_customers(spark, sf_dir)
     block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    # corpus x corpus blocked join: same shuffle-hash posture as
+    # _blocked_matches (never broadcast a corpus-sized side)
     cand = clean.alias("a").join(
-        dirty.alias("b"),
+        dirty.hint("shuffle_hash").alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
     )
@@ -537,8 +564,10 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") == F.col("ck"),
     ).drop("ck")
     block = lambda bal: F.floor(bal / 100).cast("long")  # noqa: E731
+    # corpus x corpus blocked join: same shuffle-hash posture as
+    # _blocked_matches (never broadcast a corpus-sized side)
     cand = clean.alias("a").join(
-        dirty.alias("b"),
+        dirty.hint("shuffle_hash").alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (block(F.col("a.c_acctbal")) == block(F.col("b.c_acctbal"))),
     )
