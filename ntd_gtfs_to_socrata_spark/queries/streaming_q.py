@@ -544,3 +544,35 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
         .orderBy("epoch")
     )
+
+
+@register("stream_rate_sessionize")  # rows-only: UNBOUNDED source, stop-point-dependent count
+def stream_rate_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED streaming tier (r11): a genuine ``rate`` source driven
+    by a real processing-time trigger — not a file-staged AvailableNow
+    run — through the custom stateful sessionizer
+    (``applyInPandasWithState`` + event-time timeouts) and drained by a
+    row-count check before ``stop()``. The event mapping derives
+    entirely from the rate source's gapless ``value`` counter
+    (streaming/rate_source.py), so although the STOP POINT — and with it
+    the row count — varies run to run (hence rows-only), every emitted
+    session must equal the closed-form lag-gap session for its key:
+    start = BASE + 3s*600 + s*3600, n_events = 3, duration = 1200. That
+    per-row invariant is pinned for every emitted row in
+    tests/test_streaming.py (stream ≡ batch at any stop point).
+
+    Scale posture: the production Kafka shape — swap ``format("rate")``
+    for ``format("kafka")`` and a parse select; state is 3 longs per
+    OPEN session (bounded by active users, evicted on close), the
+    watermark bounds event-time state, and emission is exactly-once
+    append per closed session. ``sf_dir`` is unused: the source is the
+    generator itself."""
+    from ntd_gtfs_to_socrata_spark.streaming import rate_source as RS
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+
+    ev = RS.rate_events(spark, rows_per_second=500).withWatermark(
+        "ts", "30 minutes"
+    )
+    sessions = STF.sessionize_with_timeout(ev, gap_sec=1800)
+    name = RS.run_rate_to_memory(sessions, "ratesess", min_rows=20)
+    return spark.table(name)

@@ -419,8 +419,23 @@ def incremental_lsh_dedup(
         shingled = batch_df.select(
             "doc_id", TX.word_shingles(TX.tokens(F.col("text"))).alias("sh")
         )
-        bands = _band_signatures(shingled).localCheckpoint(eager=True)
-        shingles = _shingle_hashes(shingled).localCheckpoint(eager=True)
+        # the two independent checkpoint jobs run on parallel driver
+        # threads (same pattern as the state commits below): each is a
+        # small-task job that leaves most of the 32 cores idle, so
+        # overlapping them cuts the per-epoch staging wall (r11; the r10
+        # A/B that kept them as TWO frames — vs one shared tokenized
+        # frame — still holds, this only parallelizes their submission)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            _fb = _pool.submit(
+                lambda: _band_signatures(shingled).localCheckpoint(eager=True)
+            )
+            _fs = _pool.submit(
+                lambda: _shingle_hashes(shingled).localCheckpoint(eager=True)
+            )
+            bands = _fb.result()
+            shingles = _fs.result()
         _mark("signatures")
 
         # batch-internal candidates: inverted-index i<j combos per bucket.
@@ -484,10 +499,19 @@ def incremental_lsh_dedup(
                     .localCheckpoint(eager=True)
                 )
 
+            # tail + snapshot member checkpoints are independent jobs —
+            # submit them concurrently too (r11, same rationale as the
+            # signature checkpoints above)
+            hist_inputs: list[DataFrame] = []
             if has_tail:
-                hist_sides.append(_hist_members(bands_state.read_tail(sess)))
+                hist_inputs.append(bands_state.read_tail(sess))
             if snap is not None:
-                hist_sides.append(_hist_members(snap))
+                hist_inputs.append(snap)
+            if len(hist_inputs) > 1:
+                with _TPE(max_workers=2) as _pool:
+                    hist_sides = list(_pool.map(_hist_members, hist_inputs))
+            else:
+                hist_sides = [_hist_members(h) for h in hist_inputs]
             counts = [
                 m.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
                 for m in hist_sides
@@ -568,7 +592,12 @@ def incremental_lsh_dedup(
         # be re-read and folded one call later). The two states touch
         # disjoint dirs/tables, so their commits run on parallel driver
         # threads — Spark schedules the two independent write jobs
-        # concurrently across the same executor cores.
+        # concurrently across the same executor cores. (An r11 A/B also
+        # tried overlapping the verify write with the bands commit while
+        # serializing the shingles commit behind verify — the shingle
+        # state dir is verify's only live input — but it benched ~20%
+        # WORSE: the two commits overlap better with each other than the
+        # bands commit does with verify.)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:

@@ -644,3 +644,37 @@ def test_tws_timer_eviction_parity_or_documented_gate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_rate_sessionize_unbounded_parity(spark):
+    """The UNBOUNDED tier (genuine rate source + processing-time trigger,
+    r11): every session emitted before the stop point must equal the
+    closed-form lag-gap session for its key — start = BASE + s*5400,
+    3 events, 1200 s duration — and no key may be emitted twice
+    (append-mode exactly-once). The stop point varies run to run; the
+    invariant holds at ANY stop point, which is what makes an unbounded
+    run testable at all."""
+    from ntd_gtfs_to_socrata_spark.queries.streaming_q import (
+        stream_rate_sessionize,
+    )
+    from ntd_gtfs_to_socrata_spark.streaming.rate_source import (
+        BASE_EPOCH,
+        BLOCK,
+        JUMP_SEC,
+        N_USERS,
+        STEP_SEC,
+    )
+
+    rows = stream_rate_sessionize(spark, "unused").collect()
+    assert len(rows) >= 20
+    period = BLOCK * STEP_SEC + JUMP_SEC  # 5400
+    seen = set()
+    for r in rows:
+        assert 0 <= r["user_id"] < N_USERS
+        s, rem = divmod(r["session_start_epoch"] - BASE_EPOCH, period)
+        assert rem == 0, r
+        assert r["n_events"] == BLOCK, r
+        assert r["duration_sec"] == (BLOCK - 1) * STEP_SEC, r
+        key = (r["user_id"], s)
+        assert key not in seen, f"duplicate emission {key}"
+        seen.add(key)
