@@ -173,6 +173,7 @@ HEADLINE = [
     "er_em_weights",
     # r11 additions: real baseline-JPEG decode (the last image stub)
     "mm_jpeg_decode",
+    "mm_jpeg_resize",
 ]
 
 

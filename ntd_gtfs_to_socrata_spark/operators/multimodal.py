@@ -1693,6 +1693,45 @@ def decode_jpeg(with_payload: DataFrame) -> DataFrame:
     )
 
 
+JPEG_RESIZE_SCHEMA = "doc_id long, x long, y long, px long"
+
+
+def jpeg_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Full lossy decode + floor-convention nearest-neighbor thumbnail in
+    ONE Arrow pass — the vision-preprocessor front over a COMPRESSED
+    format: native-resolution pixels never leave the UDF, only the
+    RESIZE_W x RESIZE_H thumbnail rows do (the same posture as
+    bmp_resize_batch, now behind a real entropy decode). Malformed
+    payloads yield no rows."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_jpeg(bytes(payload or b""))
+            if parsed is None:
+                continue
+            w, h, img = parsed
+            xs = (np.arange(RESIZE_W) * w) // RESIZE_W
+            ys = (np.arange(RESIZE_H) * h) // RESIZE_H
+            small = img[np.ix_(ys, xs)]
+            for y in range(RESIZE_H):
+                for x in range(RESIZE_W):
+                    # grayscale: the pixel; color: channel sum (one long
+                    # either way — schema-stable across component counts)
+                    out.append(
+                        (doc_id, x, y, int(np.asarray(small[y, x]).sum()))
+                    )
+        yield pd.DataFrame(out, columns=["doc_id", "x", "y", "px"])
+
+
+def resize_jpeg(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode + thumbnail: one row per output pixel."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        jpeg_resize_batch, schema=JPEG_RESIZE_SCHEMA
+    )
+
+
 # --- Heterogeneous media lake: magic-byte dispatch over mixed blobs ------
 
 DISPATCH_SCHEMA = "doc_id long, kind string, n_units long, checksum long"

@@ -557,6 +557,55 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_jpeg(MM.make_jpeg_payload(docs))
 
 
+# Thumbnail over the LOSSY codec: decode + floor-convention NN resample
+# fused in one Arrow pass. Source pixel for thumbnail cell (x, y) is
+# (sx, sy) = (x*w//4, y*16//3); its value follows the construction
+# formula (block k = (sy//8)*nbx + sx//8, constant v_k, odd blocks
+# shifted by the signed AC delta at column sx%8) — so the oracle replays
+# BOTH the decoder and the resampler's index math per output pixel.
+MM_JPEG_RESIZE_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+dims AS (SELECT doc_id, nb % 4 + 2 AS nbx FROM d),
+grid AS (SELECT doc_id, nbx, unnest(range(4)) AS x FROM dims),
+g2 AS (SELECT doc_id, nbx, x, unnest(range(3)) AS y FROM grid),
+src AS (SELECT doc_id, nbx, x, y,
+               (x * nbx * 8) // 4 AS sx, (y * 16) // 3 AS sy
+        FROM g2),
+vals AS (SELECT doc_id, x, y, sx,
+                (sy // 8) * nbx + (sx // 8) AS k,
+                32 + (doc_id + 37 * ((sy // 8) * nbx + (sx // 8))) % 192 AS v
+         FROM src)
+SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(v + CASE WHEN k % 2 = 0 THEN 0
+                     ELSE (CASE WHEN v % 2 = 0 THEN 1 ELSE -1 END) *
+                          (CASE sx % 8 WHEN 0 THEN 6 WHEN 1 THEN 5
+                                       WHEN 2 THEN 3 WHEN 3 THEN 1
+                                       WHEN 4 THEN -1 WHEN 5 THEN -3
+                                       WHEN 6 THEN -5 ELSE -6 END)
+                END AS BIGINT) AS px
+FROM vals
+"""
+
+
+@register("mm_jpeg_resize", MM_JPEG_RESIZE_ORACLE)
+def mm_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RESIZE over the LOSSY codec: each genuine baseline JPEG is
+    fully entropy-decoded (canonical Huffman + dequant + IDCT) and
+    resampled to the fixed 4x3 thumbnail with floor-convention
+    nearest-neighbor — decode + resample in ONE Arrow mapInPandas pass,
+    so native-resolution pixels never leave the executor (the
+    vision-encoder preprocessor posture, same as mm_bmp_resize but
+    behind a real compressed-format decode). Every output pixel is
+    value-hash checked against the construction formula, which pins the
+    decoder AND the resampler's index math per pixel — a stricter
+    per-pixel oracle than mm_jpeg_decode's sums.
+
+    Scale posture: map-side only; bounded 12-rows/image fan-out; the
+    thumbnail, not the image, is what shuffles at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_jpeg(MM.make_jpeg_payload(docs))
+
+
 # --- REAL WAV decode (RIFF walk + signed PCM16 LE samples) ---------------
 # Construction contract (operators/multimodal.py make_wav_payload):
 # n = nb%200 + 50 samples; sample t = ((doc_id*31 + 7*t) % 65536) - 32768.

@@ -341,3 +341,32 @@ def test_jpeg_dispatch_routes_jpeg(spark, sf_dir):
         assert row["kind"] == "jpeg"
         assert row["n_units"] is not None and row["n_units"] % 128 == 0
         assert row["checksum"] > 0
+
+
+def test_jpeg_resize_matches_independent_nn_reference(spark, sf_dir):
+    """The fused decode+resize against an independent reference: decode
+    with _parse_jpeg directly, resample with the same floor convention,
+    compare every thumbnail pixel."""
+    from ntd_gtfs_to_socrata_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        make_jpeg_payload,
+        resize_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in make_jpeg_payload(docs).collect()
+    }
+    got = {
+        (r["doc_id"], r["x"], r["y"]): r["px"]
+        for r in resize_jpeg(make_jpeg_payload(docs)).collect()
+    }
+    assert len(got) == len(payloads) * RESIZE_W * RESIZE_H
+    for doc_id, blob in payloads.items():
+        w, h, img = MM._parse_jpeg(blob)
+        for y in range(RESIZE_H):
+            for x in range(RESIZE_W):
+                sx, sy = (x * w) // RESIZE_W, (y * h) // RESIZE_H
+                assert got[(doc_id, x, y)] == int(img[sy, sx])
