@@ -438,7 +438,11 @@ _HITS_ITERS = 2
 
 def _hits_oracle() -> str:
     """Unrolled fixed-iteration HITS as chained CTEs (the _pagerank_oracle
-    pattern) over the DIRECTED df-capped containment edge set. Every
+    pattern) over the DIRECTED df-capped containment edge set. Each
+    a/h step is MATERIALIZED: the chain references its predecessor and
+    the final select references a{k}/h{k} twice — unfenced, DuckDB
+    inlines (and re-plans) the whole chain per reference (part of the
+    94 s sf1 oracle tail measured in r11). Every
     intermediate score is a BIGINT (h0=1 and integer sums stay integer),
     so the oracle needs no float-tolerance anywhere — only the final
     normalization divides, under the floor(x*1e6+0.5)/1e6 policy."""
@@ -447,7 +451,7 @@ def _hits_oracle() -> str:
     steps = []
     for i in range(_HITS_ITERS):
         steps.append(
-            f"a{i + 1} AS (\n"
+            f"a{i + 1} AS MATERIALIZED (\n"
             f"  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS a\n"
             f"  FROM nodes n LEFT JOIN (\n"
             f"    SELECT e.dst AS node, sum(h.h) AS v\n"
@@ -455,7 +459,7 @@ def _hits_oracle() -> str:
             f"  ) s ON s.node = n.node\n)"
         )
         steps.append(
-            f"h{i + 1} AS (\n"
+            f"h{i + 1} AS MATERIALIZED (\n"
             f"  SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS h\n"
             f"  FROM nodes n LEFT JOIN (\n"
             f"    SELECT e.src AS node, sum(a.a) AS v\n"

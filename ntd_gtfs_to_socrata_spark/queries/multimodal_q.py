@@ -196,19 +196,43 @@ bits AS (
              'sum'), 0) > total THEN 1 ELSE 0 END) AS b
   FROM tot
 ),
-bands AS (
+-- MATERIALIZED: bands self-joins (two references); unfenced, DuckDB
+-- re-plans the whole 64-slice signature chain per side (part of the
+-- measured 142.5 s sf1 oracle tail, r11).
+bands AS MATERIALIZED (
   SELECT doc_id,
     list_aggregate(list_transform(range(0,16), j -> b[j+1]  * (1<<j)),'sum') AS b0,
     list_aggregate(list_transform(range(0,16), j -> b[j+17] * (1<<j)),'sum') AS b1,
     list_aggregate(list_transform(range(0,16), j -> b[j+33] * (1<<j)),'sum') AS b2,
     list_aggregate(list_transform(range(0,16), j -> b[j+49] * (1<<j)),'sum') AS b3
   FROM bits
+),
+-- Pigeonhole-EXACT banded candidates instead of the n^2 self-join: a
+-- pair at hamming <= 3 differs in at most 3 of the 4 16-bit bands, so
+-- it MUST share at least one band value — the equi-join below loses no
+-- qualifying pair (the same argument the Spark side uses; their
+-- equivalence to brute force is separately pinned by
+-- tests/test_multimodal_privacy_more.py::test_phash_banding_loses_no_pair_vs_bruteforce).
+-- The all-pairs formulation measured 142.5 s at sf1 (1.25e9 hamming
+-- evaluations); the banded hash join is the linear-work twin.
+bl AS MATERIALIZED (
+  SELECT doc_id, 0 AS band, b0 AS v FROM bands
+  UNION ALL SELECT doc_id, 1, b1 FROM bands
+  UNION ALL SELECT doc_id, 2, b2 FROM bands
+  UNION ALL SELECT doc_id, 3, b3 FROM bands
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+  FROM bl a JOIN bl x ON a.band = x.band AND a.v = x.v
+                     AND a.doc_id < x.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM (
-  SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+  SELECT c.doc_a, c.doc_b,
          CAST(bit_count(xor(a.b0,x.b0)) + bit_count(xor(a.b1,x.b1))
             + bit_count(xor(a.b2,x.b2)) + bit_count(xor(a.b3,x.b3)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands x ON a.doc_id < x.doc_id
+  FROM cand c
+  JOIN bands a ON a.doc_id = c.doc_a
+  JOIN bands x ON x.doc_id = c.doc_b
 ) WHERE hamming <= {_PHASH_T}
 """
 

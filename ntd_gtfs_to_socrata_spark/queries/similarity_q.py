@@ -2113,11 +2113,11 @@ def _mmr_oracle() -> str:
     union = "SELECT qid, cid FROM sel1"
     for i in range(2, _MMR_K + 1):
         steps.append(
-            f"pen{i} AS (\n"
+            f"pen{i} AS MATERIALIZED (\n"
             f"  SELECT p.qid, p.ca AS cid, max(p.sim) AS pen\n"
             f"  FROM pairs p JOIN ({union}) s ON p.qid = s.qid AND p.cb = s.cid\n"
             f"  GROUP BY p.qid, p.ca\n), "
-            f"sc{i} AS (\n"
+            f"sc{i} AS MATERIALIZED (\n"
             f"  SELECT c.qid, c.cid, 7 * c.rel - 3 * pe.pen AS score10,\n"
             f"         row_number() OVER (PARTITION BY c.qid\n"
             f"           ORDER BY 7 * c.rel - 3 * pe.pen DESC, c.cid ASC) AS rn\n"
@@ -2125,7 +2125,7 @@ def _mmr_oracle() -> str:
             f"  JOIN pen{i} pe ON c.qid = pe.qid AND c.cid = pe.cid\n"
             f"  LEFT JOIN ({union}) s ON c.qid = s.qid AND c.cid = s.cid\n"
             f"  WHERE s.cid IS NULL\n), "
-            f"sel{i} AS (\n"
+            f"sel{i} AS MATERIALIZED (\n"
             f"  SELECT qid, cid, {i} AS step, score10 FROM sc{i} WHERE rn = 1\n)"
         )
         union = f"{union} UNION ALL SELECT qid, cid FROM sel{i}"
@@ -2140,7 +2140,7 @@ WITH q AS (
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
   FROM embeddings WHERE vec_id % 50 = 0
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
          sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
   FROM embeddings
@@ -2159,17 +2159,22 @@ ranked AS (
            ORDER BY cosine DESC, cid ASC) AS rnk
   FROM scored
 ),
-cands AS (
+-- MATERIALIZED on every multi-referenced CTE: cands feeds sel1, pairs,
+-- and all k-1 sc-steps; pairs feeds all k-1 pen-steps. DuckDB's default
+-- inlining re-plans the (queries x corpus) brute-force cosine PER
+-- REFERENCE — measured 992.6 s at sf1 vs 22.8 s Spark-side (r11); the
+-- fences bind each frame once. Purely an optimization fence.
+cands AS MATERIALIZED (
   SELECT r.qid, r.cid, c.ce, c.cn, r.rel
   FROM ranked r JOIN c USING (cid) WHERE r.rnk <= {_MMR_C}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.qid, a.cid AS ca, b.cid AS cb,
          CAST(floor(round(list_inner_product(a.ce, b.ce) / (a.cn * b.cn), 6)
                     * 1000000 + 0.5) AS BIGINT) AS sim
   FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid <> b.cid
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT qid, cid, 1 AS step, 7 * rel AS score10
   FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
           ORDER BY rel DESC, cid ASC) AS rn FROM cands)

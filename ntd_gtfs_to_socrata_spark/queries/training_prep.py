@@ -238,15 +238,19 @@ def tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAMINATION_ORACLE = f"""
 WITH tagged AS (
-  SELECT doc_id, text, ({_BUCKET_SQL}) >= 98 AS is_eval FROM documents
+  SELECT doc_id, ({_BUCKET_SQL}) >= 98 AS is_eval,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
 ),
-shingled AS (
+-- MATERIALIZED: shingled feeds BOTH the train and eval legs; DuckDB's
+-- default inlining re-plans the tokenize+shingle pipeline per reference
+-- (measured 390.7 s at sf1 vs 6.8 s Spark-side, r11). The hoisted `t`
+-- also binds the regexp split once per doc instead of 3x per shingle.
+shingled AS MATERIALIZED (
   SELECT doc_id, is_eval,
          unnest(list_distinct(list_transform(
-           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1)),
-           i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                regexp_split_to_array(trim(text), '\\s+')[i+2]))) AS shingle
+           range(1, greatest(len(t) - 1, 1)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
   FROM tagged
 ),
 train_sh AS (SELECT DISTINCT shingle FROM shingled WHERE NOT is_eval),

@@ -129,7 +129,23 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = only or list(qs)
     failures = 0
-    for name in names:
+    # Long-gate memory hygiene (r11): a 271-query pass accumulates
+    # persisted stage boundaries, cached relations, and checkpoint blocks
+    # in the ONE long-lived JVM; an hour in, the process RSS squeezes the
+    # heavy DuckDB oracles into spill thrash — the r9/r10 "run the gate
+    # ALONE" corollary applied WITHIN the gate process (r11 measured
+    # sim_matryoshka_topk 378.8 s in-gate vs 55.6 s standalone on the
+    # same tree and data). Release per query; nudge a full GC
+    # periodically so G1 uncommits freed heap back to the OS.
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import release_all
+
+    def _hygiene(i: int) -> None:
+        release_all()
+        spark.catalog.clearCache()
+        if (i + 1) % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
+
+    for i, name in enumerate(names):
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
@@ -137,6 +153,8 @@ def main() -> int:
             print(f"[FAIL] {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            _hygiene(i)
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
