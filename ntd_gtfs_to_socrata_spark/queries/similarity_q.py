@@ -743,18 +743,22 @@ _MRL_DIM = 16  # screening prefix (Matryoshka front-loaded dims)
 _MRL_CAND = 50  # candidates kept per query for the full-dim rerank
 
 MRL_ORACLE = f"""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
          embedding[1:{_MRL_DIM}]::DOUBLE[] AS qp
   FROM embeddings WHERE vec_id % 50 = 0
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
          embedding[1:{_MRL_DIM}]::DOUBLE[] AS cp
   FROM embeddings
 ),
+-- rank BARE (qid, cid) and re-join the arrays afterwards: carrying the
+-- full-dim vectors through the (queries x corpus)-row window sort was
+-- the 117 s sf1 oracle tail (r11) — the MMR oracle's memory-shape
+-- lesson applied here; q/c MATERIALIZED since both now have 2 readers
 screened AS (
-  SELECT qid, cid, qe, ce,
+  SELECT qid, cid,
          row_number() OVER (
            PARTITION BY qid
            ORDER BY round(list_inner_product(qp, cp)
@@ -763,13 +767,15 @@ screened AS (
                     cid ASC) AS prank
   FROM q JOIN c ON qid <> cid
 ),
-cand AS (SELECT * FROM screened WHERE prank <= {_MRL_CAND}),
+cand AS MATERIALIZED (
+  SELECT qid, cid FROM screened WHERE prank <= {_MRL_CAND}
+),
 reranked AS (
-  SELECT qid, cid,
+  SELECT cand.qid, cand.cid,
          round(list_inner_product(qe, ce)
                / (sqrt(list_inner_product(qe, qe))
                   * sqrt(list_inner_product(ce, ce))), 6) AS cosine
-  FROM cand
+  FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid
 )
 SELECT qid, cid, cosine,
        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
