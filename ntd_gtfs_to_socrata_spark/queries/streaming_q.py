@@ -576,3 +576,29 @@ def stream_rate_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = STF.sessionize_with_timeout(ev, gap_sec=1800)
     name = RS.run_rate_to_memory(sessions, "ratesess", min_rows=20)
     return spark.table(name)
+
+
+@register("stream_rate_lsh_dedup")  # rows-only: UNBOUNDED source, stop-point-dependent count
+def stream_rate_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental MinHash-LSH dedup against an UNBOUNDED rate
+    source (r11 — the second unbounded-tier query): same per-micro-batch
+    body and post-drain reconciliation as the file-staged
+    ``stream_incremental_lsh_dedup`` (shared ``_make_apply_batch`` /
+    ``_final_verdict``), driven by a real processing-time trigger and a
+    drain-then-stop policy. Documents derive deterministically from the
+    rate counter with EXACT duplicates planted every 5th doc, so the
+    verdict over the consumed prefix is closed-form at ANY stop point:
+    doc v ≡ 4 (mod 5) is kept=False in component v−4; everything else
+    is a kept singleton — pinned per row in tests/test_streaming.py.
+    Row count varies with the stop point (hence rows-only).
+
+    Scale posture: identical to the file harness (bucketed compacting
+    state, capped buckets, epoch-idempotent writes); the source swap is
+    the Kafka shape — format("kafka") + a parse select and nothing
+    downstream changes. ``sf_dir`` is unused: the generator is the
+    source."""
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import (
+        rate_incremental_lsh_dedup,
+    )
+
+    return rate_incremental_lsh_dedup(spark)

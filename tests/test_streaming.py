@@ -678,3 +678,28 @@ def test_stream_rate_sessionize_unbounded_parity(spark):
         key = (r["user_id"], s)
         assert key not in seen, f"duplicate emission {key}"
         seen.add(key)
+
+
+def test_rate_lsh_dedup_planted_duplicates(spark):
+    """Unbounded-source incremental LSH dedup: at ANY stop point, the
+    verdict over the consumed prefix equals the planted-duplicate
+    formula — doc v = 4 (mod 5) is an exact copy of v-4 (the gapless
+    rate prefix guarantees the original precedes the copy), everything
+    else is a unique singleton."""
+    from ntd_gtfs_to_socrata_spark.streaming.dedup_stream import (
+        RATE_DUP_PERIOD,
+        rate_incremental_lsh_dedup,
+    )
+
+    rows = rate_incremental_lsh_dedup(spark, min_docs=40).collect()
+    assert len(rows) >= 40
+    n_dups = 0
+    for r in rows:
+        if r["doc_id"] % RATE_DUP_PERIOD == RATE_DUP_PERIOD - 1:
+            assert not r["kept"], r
+            assert r["component_id"] == r["doc_id"] - (RATE_DUP_PERIOD - 1), r
+            n_dups += 1
+        else:
+            assert r["kept"], r
+            assert r["component_id"] == r["doc_id"], r
+    assert n_dups > 0  # the duplicate path actually ran
