@@ -22,6 +22,7 @@ column, processed by an adapter, never interpreted by the engine itself.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -1329,57 +1330,41 @@ _JPEG_ZIGZAG = (
 )
 
 
-def _jpeg_huff_table(counts, symbols):
-    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
-    table, code, i = {}, 0, 0
+@lru_cache(maxsize=64)
+def _jpeg_huff_lut(counts_syms: bytes):
+    """Canonical Huffman per T.81 Annex C, compiled to a 16-bit-peek
+    lookup table: ``counts_syms`` is the raw DHT payload (16 count bytes
+    + symbol bytes); returns ``(sym, length)`` int arrays of size 65536
+    where ``length[peek16] == 0`` marks "no code is a prefix of these
+    bits". One array index replaces the old bit-by-bit dict walk — the
+    r12 fix for the tree's worst cross-scale kernel (mm_jpeg_* was 6.4x
+    at 10x data because every Huffman symbol cost up to 16 Python-level
+    bit reads). Memoized on the DHT bytes: a media lake re-uses a
+    handful of table definitions across millions of blobs. Returns None
+    for overfull tables (counts claim more symbols than provided);
+    codes whose canonical value overflows their bit length are simply
+    unreachable, matching the sequential-walk semantics."""
+    import numpy as np
+
+    counts, syms = counts_syms[:16], counts_syms[16:]
+    sym_arr = np.zeros(65536, dtype=np.int16)
+    len_arr = np.zeros(65536, dtype=np.uint8)
+    code, i = 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            if i >= len(symbols):
+            if i >= len(syms):
                 return None
-            table[(length, code)] = symbols[i]
+            lo = code << (16 - length)
+            if lo < 65536:
+                hi = min((code + 1) << (16 - length), 65536)
+                sym_arr[lo:hi] = syms[i]
+                len_arr[lo:hi] = length
             i += 1
             code += 1
         code <<= 1
-    return table
-
-
-class _JpegBitReader:
-    """MSB-first bit reader over the unstuffed entropy bytes."""
-
-    __slots__ = ("data", "pos", "bit")
-
-    def __init__(self, data):
-        self.data, self.pos, self.bit = data, 0, 0
-
-    def read_bit(self):
-        if self.pos >= len(self.data):
-            raise EOFError
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit, self.pos = 0, self.pos + 1
-        return b
-
-    def read_bits(self, n):
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align(self):
-        if self.bit:
-            self.bit, self.pos = 0, self.pos + 1
-
-
-def _jpeg_decode_huff(reader, table):
-    """Walk bits through a canonical table; None past max length 16."""
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    return None
+    # plain lists: native-int indexing in the per-symbol loop is several
+    # times faster than numpy scalar extraction
+    return sym_arr.tolist(), len_arr.tolist()
 
 
 def _jpeg_extend(v, size):
@@ -1410,8 +1395,11 @@ def _parse_jpeg(b: bytes):
     dequantize, float IDCT, level shift, and YCbCr->RGB (BT.601) for
     color. Returns (w, h, pixels) — (h, w) int64 grayscale or
     (h, w, 3) RGB — or None on ANY malformed input (errors as data;
-    every length is bounds-checked and the entropy decode loop is
-    wrapped so truncation can't raise out of the task)."""
+    every length is bounds-checked and every entropy-stream read is
+    bounds-guarded so truncation can't raise out of the task). The
+    entropy decode is numpy-vectorized: peek-LUT Huffman (one array
+    lookup per symbol), batched dezigzag/dequant/IDCT (r12 — the
+    per-bit Python walk was the tree's worst cross-scale kernel)."""
     import struct
 
     import numpy as np
@@ -1425,6 +1413,13 @@ def _parse_jpeg(b: bytes):
     data_start = None
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
+            return None
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # conformant encoders do pad (r11 ADVICE), so skip the run and
+        # read the marker byte proper.
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
             return None
         marker = b[pos + 1]
         pos += 2
@@ -1458,15 +1453,15 @@ def _parse_jpeg(b: bytes):
                 tc, th = seg[p] >> 4, seg[p] & 15
                 if tc > 1:
                     return None
-                counts = list(seg[p + 1 : p + 17])
+                counts = seg[p + 1 : p + 17]
                 p += 17
                 ns = sum(counts)
                 if p + ns > len(seg):
                     return None
-                tbl = _jpeg_huff_table(counts, list(seg[p : p + ns]))
-                if tbl is None:
+                lut = _jpeg_huff_lut(bytes(counts) + bytes(seg[p : p + ns]))
+                if lut is None:
                     return None
-                huff[tc][th] = tbl
+                huff[tc][th] = lut
                 p += ns
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (Huffman sequential)
             if len(seg) < 6:
@@ -1525,29 +1520,41 @@ def _parse_jpeg(b: bytes):
         return None
 
     # unstuff the entropy-coded segment; restart markers become segment
-    # boundaries (DC predictors + bit alignment reset there)
-    ent, boundaries = bytearray(), []
-    i = data_start
-    while i < len(b):
-        byte = b[i]
-        if byte != 0xFF:
-            ent.append(byte)
-            i += 1
-            continue
-        if i + 1 >= len(b):
+    # boundaries (DC predictors + bit alignment reset there). Vectorized
+    # (r12): only 0xFF positions are visited in Python — clean runs
+    # between them are zero-copy numpy slices — instead of the old
+    # byte-at-a-time append loop (it profiled as ~1/4 of a small-blob
+    # decode).
+    arr = np.frombuffer(b, dtype=np.uint8)[data_start:]
+    ff_positions = np.flatnonzero(arr == 0xFF).tolist()
+    ff_one = np.frombuffer(b"\xff", dtype=np.uint8)
+    chunks, boundaries = [], []
+    out_len, cur, found_eoi = 0, 0, False
+    n_arr = arr.size
+    for j in ff_positions:
+        if j < cur:
+            continue  # consumed as a marker/stuffing byte already
+        if j > cur:
+            chunks.append(arr[cur:j])
+            out_len += j - cur
+        if j + 1 >= n_arr:
             return None
-        nxt = b[i + 1]
+        nxt = arr[j + 1]
         if nxt == 0x00:
-            ent.append(0xFF)
-            i += 2
+            chunks.append(ff_one)
+            out_len += 1
+            cur = j + 2
+        elif nxt == 0xFF:
+            cur = j + 1  # T.81 fill byte before a marker: re-examine
         elif 0xD0 <= nxt <= 0xD7:
-            boundaries.append(len(ent))
-            i += 2
+            boundaries.append(out_len)
+            cur = j + 2
         elif nxt == 0xD9:
+            found_eoi = True
             break
         else:
             return None
-    else:
+    if not found_eoi:
         return None  # ran off the buffer without EOI
 
     w, h, comps = frame
@@ -1565,70 +1572,140 @@ def _parse_jpeg(b: bytes):
         planes[c["id"]] = np.zeros(
             (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
         )
-    reader = _JpegBitReader(bytes(ent))
+    # --- vectorized entropy decode (r12) -----------------------------
+    # A byte-level 24-bit window array makes any 16-bit peek O(1) int
+    # arithmetic; Huffman symbols resolve in ONE LUT lookup (see
+    # _jpeg_huff_lut); coefficients accumulate into an (n_blocks, 64)
+    # array per component so dezigzag + dequant + IDCT run as three
+    # batched numpy ops after the scan instead of per-block Python
+    # matmuls. EOF semantics are preserved exactly: a symbol or
+    # magnitude read that would consume bits past the stream end returns
+    # None (the old reader raised EOFError there), and a peek that only
+    # matches thanks to the zero padding fails the same p+len bound.
+    ent_arr = (
+        np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.uint8)
+    )
+    nbits = ent_arr.size * 8
+    # 24-bit byte windows: W[i] = bytes i,i+1,i+2 big-endian, so the
+    # 16-bit peek at bit position p is (W[p>>3] >> (8-(p&7))) & 0xFFFF.
+    # Built with 5 numpy ops over an nbytes-sized array (zero-padding
+    # past the end keeps every in-range peek safe) and dumped to a plain
+    # list — native-int indexing beats numpy scalars in the hot loop.
+    ext = np.concatenate([ent_arr, np.zeros(3, dtype=np.uint8)]).astype(
+        np.uint32
+    )
+    W = ((ext[:-2] << 16) | (ext[1:-1] << 8) | ext[2:]).tolist()
+
+    n_blk = {
+        c["id"]: mcux * mcuy * c["h"] * c["v"] for c in comps
+    }
+    coef_store = {
+        cid: np.zeros((n, 64), dtype=np.float64) for cid, n in n_blk.items()
+    }
+    pos_store = {c["id"]: [] for c in comps}
+    counters = {c["id"]: 0 for c in comps}
     predictors = {c["id"]: 0 for c in comps}
-    try:
-        mcu_no = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-                    # next restart segment: realign and reset predictors
-                    if not boundaries:
-                        return None
-                    reader.pos, reader.bit = boundaries.pop(0), 0
-                    predictors = {c["id"]: 0 for c in comps}
-                mcu_no += 1
-                for comp, tdc, tac in scan:
-                    dc_tbl = huff[0].get(tdc)
-                    ac_tbl = huff[1].get(tac)
-                    if dc_tbl is None or ac_tbl is None:
-                        return None
-                    quant = qt[comp["tq"]]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            sym = _jpeg_decode_huff(reader, dc_tbl)
-                            if sym is None or sym > 15:
+    p = 0
+    mcu_no = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                # next restart segment: realign and reset predictors
+                if not boundaries:
+                    return None
+                p = boundaries.pop(0) * 8
+                predictors = {c["id"]: 0 for c in comps}
+            mcu_no += 1
+            for comp, tdc, tac in scan:
+                dc_lut = huff[0].get(tdc)
+                ac_lut = huff[1].get(tac)
+                if dc_lut is None or ac_lut is None:
+                    return None
+                dc_sym, dc_len = dc_lut
+                ac_sym, ac_len = ac_lut
+                cid = comp["id"]
+                row = coef_store[cid]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        pk = (W[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+                        ln = dc_len[pk]
+                        if ln == 0 or p + ln > nbits:
+                            return None
+                        sym = dc_sym[pk]
+                        p += ln
+                        if sym > 15:
+                            return None
+                        if sym:
+                            if p + sym > nbits:
                                 return None
+                            mag = (
+                                (W[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+                            ) >> (16 - sym)
+                            # T.81 EXTEND, inlined (hot loop)
                             diff = (
-                                _jpeg_extend(reader.read_bits(sym), sym)
-                                if sym
-                                else 0
+                                mag
+                                if mag >= 1 << (sym - 1)
+                                else mag - (1 << sym) + 1
                             )
-                            predictors[comp["id"]] += diff
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[0] = predictors[comp["id"]] * quant[0]
-                            k = 1
-                            while k <= 63:
-                                sym = _jpeg_decode_huff(reader, ac_tbl)
-                                if sym is None:
-                                    return None
-                                if sym == 0x00:  # EOB
-                                    break
-                                if sym == 0xF0:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                run, size = sym >> 4, sym & 15
-                                k += run
-                                if k > 63 or size == 0:
-                                    return None
-                                coef[k] = (
-                                    _jpeg_extend(reader.read_bits(size), size)
-                                    * quant[k]
-                                )
-                                k += 1
-                            fmat = np.zeros((8, 8), dtype=np.float64)
-                            for z in range(64):
-                                if coef[z]:
-                                    fmat[divmod(_JPEG_ZIGZAG[z], 8)] = coef[z]
-                            block = a_mat.T @ fmat @ a_mat + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-    except EOFError:
-        return None
+                            p += sym
+                        else:
+                            diff = 0
+                        predictors[cid] += diff
+                        idx = counters[cid]
+                        row[idx, 0] = predictors[cid]
+                        k = 1
+                        while k <= 63:
+                            pk = (W[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+                            ln = ac_len[pk]
+                            if ln == 0 or p + ln > nbits:
+                                return None
+                            sym = ac_sym[pk]
+                            p += ln
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 15
+                            k += run
+                            if k > 63 or size == 0:
+                                return None
+                            if p + size > nbits:
+                                return None
+                            mag = (
+                                (W[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+                            ) >> (16 - size)
+                            row[idx, k] = (
+                                mag
+                                if mag >= 1 << (size - 1)
+                                else mag - (1 << size) + 1
+                            )
+                            p += size
+                            k += 1
+                        pos_store[cid].append(
+                            ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
+                        )
+                        counters[cid] += 1
+
+    zig = np.array(_JPEG_ZIGZAG)
+    for c in comps:
+        cid = c["id"]
+        n = counters[cid]
+        if not n:
+            continue
+        quant_z = np.asarray(qt[c["tq"]], dtype=np.float64)
+        dq = coef_store[cid][:n] * quant_z  # dequant in zigzag order
+        nat = np.zeros_like(dq)
+        nat[:, zig] = dq  # dezigzag (zig is a permutation)
+        blocks = a_mat.T @ nat.reshape(-1, 8, 8) @ a_mat + 128.0
+        plane = planes[cid]
+        for i2, (y0, x0) in enumerate(pos_store[cid]):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blocks[i2]
 
     def upsample(comp):
         plane = planes[comp["id"]]
+        if comp["h"] == hmax and comp["v"] == vmax:
+            return plane[:h, :w]  # full-res component: crop, no gather
         ys = (np.arange(h) * comp["v"]) // vmax
         xs = (np.arange(w) * comp["h"]) // hmax
         return plane[np.ix_(ys, xs)]
@@ -1715,13 +1792,13 @@ def jpeg_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             xs = (np.arange(RESIZE_W) * w) // RESIZE_W
             ys = (np.arange(RESIZE_H) * h) // RESIZE_H
             small = img[np.ix_(ys, xs)]
+            # grayscale: the pixel; color: channel sum (one long either
+            # way — schema-stable across component counts)
+            if small.ndim == 3:
+                small = small.sum(axis=2)
             for y in range(RESIZE_H):
                 for x in range(RESIZE_W):
-                    # grayscale: the pixel; color: channel sum (one long
-                    # either way — schema-stable across component counts)
-                    out.append(
-                        (doc_id, x, y, int(np.asarray(small[y, x]).sum()))
-                    )
+                    out.append((doc_id, x, y, int(small[y, x])))
         yield pd.DataFrame(out, columns=["doc_id", "x", "y", "px"])
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ntd_gtfs_to_socrata_spark.io import load_table
+from ntd_gtfs_to_socrata_spark.io import ensure_min_parallelism, load_table
 from ntd_gtfs_to_socrata_spark.operators import multimodal as MM
 from ntd_gtfs_to_socrata_spark.queries import register
 
@@ -40,7 +40,7 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything. The metadata-only scan path at 100 TB. The oracle replays
     the integers from the deterministic payload construction
     (operators/multimodal.py make_image_payload)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = MM.make_image_payload(docs)
     n_bytes = F.length(F.col("payload"))
     return payload.select(
@@ -81,7 +81,7 @@ def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (width, height, bit depth, channels) is value-hash checked against
     the construction formula; only PIXEL decode remains a sanctioned
     stub (mm_decode_stub)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.parse_image_headers(MM.make_image_payload(docs))
 
 
@@ -102,7 +102,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the deterministic fake's formula — so the contract
     checked here is the UDF batch path: schema, binary transfer, partition
     iteration."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.decode_media(MM.attach_payload(docs))
 
 
@@ -122,7 +122,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling shape: one row per sampled frame (explode over a
     per-blob frame index), the video-preprocessing fan-out pattern. Frame
     count derived from payload size (stub); explode stays JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     payload = MM.attach_payload(docs)
     n_frames = F.least(
         (F.length("payload").cast("long") / 100).cast("long") + 1, F.lit(4)
@@ -169,7 +169,7 @@ def mm_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudness-filter front of an audio training pipeline; swapping the
     stub for soundfile/ffmpeg changes one function
     (operators/multimodal.py::audio_window_batch)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.audio_window_stats(MM.attach_payload(docs))
 
 
@@ -256,7 +256,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists that carry the full 4-band signature — verification is pure
     map-side bit arithmetic, NO join-back to the hash table and no
     all-pairs product anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     bands = MM.phash_bands(MM.attach_payload(docs))
     sig = F.struct("doc_id", "b0", "b1", "b2", "b3")
     stacked = bands.select(
@@ -341,7 +341,7 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY VIDEO (bounded by frames-per-video), so scene detection
     distributes with the corpus. Integer arithmetic end to end —
     bit-exact value-hash across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     frames = MM.frame_intensities(MM.attach_payload(docs))
     w = Window.partitionBy("doc_id").orderBy("frame_no")
     delta = F.abs(F.col("intensity") - F.lag("intensity").over(w))
@@ -384,7 +384,7 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer per-channel sums — every decoded value is value-hash
     checked against the construction formula. For BMP the multimodal
     stub surface is EMPTY."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.decode_bmp(MM.make_bmp_payload(docs))
 
 
@@ -424,7 +424,7 @@ def mm_bmp_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: decode is map-side Arrow batches; the window
     partitions by doc_id (bounded rows per image), never over the
     corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     rows = MM.bmp_row_intensities(MM.make_bmp_payload(docs))
     w = Window.partitionBy("doc_id").orderBy("y")
     return (
@@ -478,7 +478,7 @@ def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution — the thumbnail, not the image, is what shuffles, which
     is the whole point at 100 TB of media); output fan-out is a bounded
     12 rows per blob. No joins, no windows, no driver collect."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.resize_bmp(MM.make_bmp_payload(docs))
 
 
@@ -523,7 +523,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: decode is one map-side Arrow pass (no joins, no
     windows, no shuffle); per-blob output is a single stats row, so 100
     TB of media reduces at scan speed."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.decode_png(MM.make_png_payload(docs))
 
 
@@ -577,7 +577,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: decode is one map-side Arrow pass (no joins, no
     shuffle); per-blob output is a single stats row, so 100 TB of media
     reduces at scan speed."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.decode_jpeg(MM.make_jpeg_payload(docs))
 
 
@@ -626,7 +626,7 @@ def mm_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: map-side only; bounded 12-rows/image fan-out; the
     thumbnail, not the image, is what shuffles at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.resize_jpeg(MM.make_jpeg_payload(docs))
 
 
@@ -668,7 +668,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: decode + windowing is one map-side Arrow pass with
     bounded per-blob fan-out (<= 4 window rows); 100 TB of audio reduces
     at scan speed with no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.wav_window_stats(MM.make_wav_payload(docs))
 
 
@@ -718,7 +718,7 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames/blob); the sampled STATS shuffle, never the frames — at 100
     TB of video that is the difference between a working pipeline and a
     network-bound one."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return MM.avi_frame_sample(MM.make_avi_payload(docs))
 
 
@@ -796,7 +796,7 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed media reduces at scan speed."""
     from functools import reduce
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     parts = [
         MM.make_bmp_payload(docs.filter(F.col("doc_id") % 5 == 0)),
         MM.make_png_payload(docs.filter(F.col("doc_id") % 5 == 1)),

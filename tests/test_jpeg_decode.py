@@ -287,6 +287,29 @@ def test_jpeg_decode_color_420():
     assert (img == ref).all()
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker —
+    conformant encoders pad both between header segments and before
+    RSTn/EOI in the entropy stream. The decoder must skip them (r11
+    ADVICE: they previously parsed as a bad marker -> ok=False)."""
+    plane = _gray_plane(13, 8, 32)
+    blob, recon = _encode_jpeg(
+        [plane], [(1, 1)], {0: STD_Q}, [0], restart_interval=1
+    )
+    ref = _ref_pixels(recon, [(1, 1)], 32, 8)
+    # fill before a header segment marker (after SOI) ...
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    # ... and before every restart marker and the EOI in the scan
+    for rst in range(8):
+        padded = padded.replace(bytes([0xFF, 0xD0 + rst]), bytes([0xFF, 0xFF, 0xD0 + rst]))
+    padded = padded[:-2] + b"\xff" + padded[-2:]
+    parsed = MM._parse_jpeg(padded)
+    assert parsed is not None
+    w, h, img = parsed
+    assert (w, h) == (32, 8)
+    assert (img == ref).all()
+
+
 def test_jpeg_parse_rejects_malformed_payloads():
     plane = _gray_plane(2, 8, 8)
     blob, _ = _encode_jpeg([plane], [(1, 1)], {0: STD_Q}, [0])
