@@ -9,10 +9,11 @@ decode (full entropy decode: canonical Huffman, byte unstuffing, RSTn,
 run-length AC, dezigzag, dequantize, float IDCT, YCbCr->RGB), NN resize,
 and PNG/JPEG/BMP header parsing are REAL implementations with no library
 dependency, as are WAV audio decode (RIFF chunk walk + signed PCM16 LE
-samples) and AVI frame sampling; only compressed AUDIO/VIDEO codecs
-(MP3/AAC, H.264 etc.) remain STUBBED with a deterministic fake (this
-container has no codec libraries), clearly marked below, so swapping in
-ffmpeg is a one-function change.
+samples) and AVI frame sampling, and IMA-ADPCM compressed-audio decode
+(WAV format tag 0x11: block parse + 4-bit predictive nibble decode);
+only PERCEPTUAL codecs (MP3/AAC, H.264 etc.) remain STUBBED with a
+deterministic fake (this container has no codec libraries), clearly
+marked below, so swapping in ffmpeg is a one-function change.
 
 Reference analog: the GTFS .zip payload round-trip
 (/root/reference/publish_to_catalog.py:316-320, 451-454) — bytes in a
@@ -952,6 +953,224 @@ def wav_window_stats(with_payload: DataFrame) -> DataFrame:
     )
 
 
+# --- REAL compressed-audio decode: IMA-ADPCM (WAV format tag 0x11) -------
+#
+# The first COMPRESSED audio codec leaves the sanctioned stub (r11
+# VERDICT item 4): IMA/DVI ADPCM is the WAV-embedded 4-bit predictive
+# codec with a closed-form integer decoder (step/index tables are public
+# in the IMA "Recommended Practices for Enhancing Digital Audio
+# Compatibility" spec and multiple RFCs). Only perceptual codecs
+# (MP3/AAC, H.264) remain behind fake_decode_batch.
+#
+# Exact-oracle construction (the JPEG/WAV trick adapted to a recurrence):
+# the step-INDEX trajectory depends only on the nibble stream, never on
+# the predictor — so a FIXED nibble pattern makes every signed delta a
+# fixed constant, and sample_k = pred0 + C_k for per-doc pred0 as long
+# as no predictor clamp engages. ADPCM_NIBBLES below was chosen so that
+# over the maximum fixture length C_k stays in [-397, 176] (pred0 spans
+# +-1024: clamp-free with >31k margin), the index walks 0..37 and HITS
+# the low clamp, and all 8 magnitudes and both signs occur. The oracle
+# inlines the C_k prefix tables as SQL list literals.
+
+ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+# fixture nibble pattern, period 28: index-balanced (net -4/period),
+# strictly alternating sign, all magnitudes 0..7 present
+ADPCM_NIBBLES = (
+    4, 8, 0, 13, 0, 8, 0, 8, 0, 14, 0, 8, 0, 8, 0, 8, 0, 9, 2, 11, 7, 8,
+    0, 8, 0, 8, 0, 8,
+)
+ADPCM_INIT_INDEX = 32
+_ADPCM_B_MOD, _ADPCM_B_MIN = 96, 24  # nibble-pair bytes: nb%96 + 24
+ADPCM_DECODE_SCHEMA = (
+    "doc_id long, n_samples long, sum_s long, last_s long, peak long,"
+    " trough long, ok boolean"
+)
+# pattern bytes, low nibble first, repeated past the max fixture length
+_ADPCM_PAT_BYTES = bytes(
+    ADPCM_NIBBLES[2 * i] | (ADPCM_NIBBLES[2 * i + 1] << 4)
+    for i in range(len(ADPCM_NIBBLES) // 2)
+) * 9  # 14-byte period x 9 = 126 >= max 119 data bytes
+
+
+def make_adpcm_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL one-block IMA-ADPCM WAV:
+    RIFF header, WAVE_FORMAT_IMA_ADPCM fmt chunk (tag 0x11, mono, 4-bit,
+    cbSize=2 with wSamplesPerBlock), a fact chunk with the true sample
+    total, and a data chunk holding the 4-byte block header (per-doc
+    initial predictor as int16 LE, step index, reserved) + the fixed
+    nibble pattern truncated to n_bytes = nb%96+24. pred0 =
+    (doc_id*37)%2048 - 1024. All Column expressions; the nibble stream
+    is a literal-substring, so fixture construction never leaves the
+    JVM."""
+    nb = F.octet_length("text")
+    n_bytes = (nb % _ADPCM_B_MOD + _ADPCM_B_MIN).cast("long")
+    n_samples = n_bytes * 2 + 1
+    pred0 = (F.col("doc_id") * 37) % 2048 - 1024
+    u16 = (pred0 + 65536) % 65536
+    block_align = n_bytes + 4
+    fmt = F.concat(
+        F.lit(b"fmt "),
+        _le(F.lit(20), 4),  # chunk size: 16 + cbSize(2) + extra(2)
+        _le(F.lit(0x11), 2),  # WAVE_FORMAT_IMA_ADPCM
+        _le(F.lit(1), 2),  # mono
+        _le(F.lit(8000), 4),  # sample rate
+        _le((block_align * 8000 / n_samples).cast("long"), 4),  # byte rate
+        _le(block_align, 2),
+        _le(F.lit(4), 2),  # bits per sample
+        _le(F.lit(2), 2),  # cbSize
+        _le(n_samples, 2),  # wSamplesPerBlock
+    )
+    fact = F.concat(F.lit(b"fact"), _le(F.lit(4), 4), _le(n_samples, 4))
+    header = F.concat(
+        _le(u16, 2), _le(F.lit(ADPCM_INIT_INDEX), 1), F.lit(b"\x00")
+    )
+    nibbles = F.substring(F.lit(_ADPCM_PAT_BYTES), F.lit(1), n_bytes.cast("int"))
+    data = F.concat(F.lit(b"data"), _le(n_bytes + 4, 4), header, nibbles)
+    riff_size = n_bytes + 56  # WAVE(4) + fmt(28) + fact(12) + data hdr+4+4
+    payload = F.concat(
+        F.lit(b"RIFF"), _le(riff_size, 4), F.lit(b"WAVE"), fmt, fact, data
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _parse_adpcm_wav(b: bytes):
+    """Real IMA-ADPCM WAV decode, no codec library: RIFF chunk walk, fmt
+    tag-0x11 validation (mono, 4-bit), block-aligned data parse (int16
+    LE predictor + step index per block header), low-nibble-first 4-bit
+    entropy decode with the IMA step/index tables and both clamps, fact
+    chunk sample-count truncation. Returns an int64 ndarray of samples
+    or None on ANY malformed input (errors as data)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size + 8 > len(b):
+        return None
+    pos, fmt_info, data, fact_n = 12, None, None, None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + length > len(b):
+            return None
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            if length < 16:
+                return None
+            tag, channels, _, _, block, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != 0x11 or channels != 1 or bits != 4 or block < 5:
+                return None
+            if length >= 20:
+                (spb,) = struct.unpack_from("<H", body, 18)
+            else:
+                spb = (block - 4) * 2 + 1
+            if spb < 1 or spb > (block - 4) * 2 + 1:
+                return None
+            fmt_info = (block, spb)
+        elif ctype == b"fact":
+            if length < 4:
+                return None
+            (fact_n,) = struct.unpack_from("<I", body, 0)
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)
+    if fmt_info is None or data is None:
+        return None
+    block, spb = fmt_info
+    if len(data) == 0 or len(data) % block:
+        return None
+    step_t, idx_t = ADPCM_STEP_TABLE, ADPCM_INDEX_TABLE
+    out = []
+    for b0 in range(0, len(data), block):
+        (pred,) = struct.unpack_from("<h", data, b0)
+        index = data[b0 + 2]
+        if index > 88:
+            return None
+        samples = [pred]
+        nib_bytes = data[b0 + 4 : b0 + block]
+        need = spb - 1  # nibbles to decode in this block
+        for byte in nib_bytes:
+            for nn in (byte & 15, byte >> 4):  # low nibble first
+                if need == 0:
+                    break
+                step = step_t[index]
+                diff = step >> 3
+                if nn & 4:
+                    diff += step
+                if nn & 2:
+                    diff += step >> 1
+                if nn & 1:
+                    diff += step >> 2
+                pred = pred - diff if nn & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                samples.append(pred)
+                index = max(0, min(88, index + idx_t[nn & 7]))
+                need -= 1
+            if need == 0:
+                break
+        out.extend(samples)
+    if fact_n is not None:
+        if fact_n > len(out):
+            return None
+        out = out[:fact_n]
+    return np.asarray(out, dtype=np.int64)
+
+
+def adpcm_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL COMPRESSED-AUDIO DECODE: full IMA-ADPCM nibble decode per
+    blob, reduced to exact integer stats (count / sum / last / peak /
+    trough) — the loudness-and-clipping screen over a compressed audio
+    lake. Malformed payloads return ok=False with null stats (errors as
+    data)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = _parse_adpcm_wav(bytes(payload or b""))
+            if s is None or not s.size:
+                out.append((doc_id, None, None, None, None, None, False))
+                continue
+            out.append(
+                (
+                    doc_id,
+                    int(s.size),
+                    int(s.sum()),
+                    int(s[-1]),
+                    int(s.max()),
+                    int(s.min()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "n_samples", "sum_s", "last_s", "peak", "trough",
+                "ok",
+            ],
+        )
+
+
+def decode_adpcm(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched IMA-ADPCM decode: per-blob exact integer stats."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        adpcm_stats_batch, schema=ADPCM_DECODE_SCHEMA
+    )
+
+
 # --- REAL video-container decode: AVI (RIFF-AVI walk + DIB frames) -------
 
 AVI_FRAME_SCHEMA = (
@@ -1851,6 +2070,12 @@ def dispatch_decode_batch(
                     kind = "wav"
                     n_units = len(samples)
                     checksum = int((samples + 32768).sum())  # unsigned view
+                else:
+                    samples = _parse_adpcm_wav(b)
+                    if samples is not None and samples.size:
+                        kind = "adpcm"
+                        n_units = len(samples)
+                        checksum = int((samples + 32768).sum())
             elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                 parsed = _parse_avi(b)
                 if parsed is not None:

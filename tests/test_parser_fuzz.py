@@ -76,12 +76,16 @@ def _valid_blobs(spark_free: bool = True) -> dict:
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
         + rows
     )
+    from tests.test_adpcm import _encode_ima_wav, _ramp
+
+    adpcm, _ = _encode_ima_wav(_ramp(66).tolist(), spb=33)
     return {
         "png": _valid_png(),
         "jpeg": jpeg,
         "wav": wav,
         "bmp": bmp,
         "avi": _valid_avi(),
+        "adpcm": adpcm,
     }
 
 
@@ -124,6 +128,7 @@ PARSERS = {
     "wav": MM._parse_wav,
     "bmp": MM._parse_bmp,
     "avi": MM._parse_avi,
+    "adpcm": MM._parse_adpcm_wav,
 }
 
 
