@@ -25,15 +25,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Oracles that need a Python scalar registered in DuckDB (e.g. zlib_len
+# for text_compression_ratio). The DRIVER's harness runs plain DuckDB, so
+# these are NOT exported through __spark_entry__.oracle_sql() — the entry
+# stays rows-only there. tools/check_oracle.py registers the UDFs (see
+# duck_con) and checks these at FULL value-hash strength locally; if the
+# driver harness ever grows duckdb.create_function support, moving a
+# query here into ORACLES is a one-line change.
+LOCAL_ORACLES: dict[str, str] = {}
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    local_oracle: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if local_oracle is not None:
+            LOCAL_ORACLES[name] = local_oracle
         return fn
 
     return deco

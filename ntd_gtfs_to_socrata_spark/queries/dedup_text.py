@@ -2984,7 +2984,26 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZR_LEVEL = 6  # fixed zlib level: output length is deterministic per level
 
 
-@register("text_compression_ratio")  # rows-only: zlib isn't SQL-replayable
+# Local-only oracle (r12 verdict item 2): zlib has no DuckDB-core twin,
+# but duckdb.create_function can register one — tools/check_oracle.py
+# binds zlib_len(s) = len(zlib.compress(s.encode('utf-8'), _ZR_LEVEL)),
+# mirroring the query's exact level and quantization, so the entry is
+# value-hash checked locally while staying rows-only for the driver
+# (whose plain-DuckDB harness would error on the unknown function).
+TEXT_COMPRESSION_LOCAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+       CAST(zlib_len(text) AS BIGINT) AS compressed_bytes,
+       CAST((zlib_len(text) * 1000000 + octet_length(encode(text)) // 2)
+            // octet_length(encode(text)) AS BIGINT) AS ratio_micro
+FROM documents
+"""
+
+
+@register(
+    "text_compression_ratio",  # rows-only for the DRIVER: zlib UDF needed
+    local_oracle=TEXT_COMPRESSION_LOCAL_ORACLE,
+)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document — the quality signal rule
     bundles approximate with entropy/repetition features but production

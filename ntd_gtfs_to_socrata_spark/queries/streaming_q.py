@@ -37,25 +37,44 @@ def stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).select("user_id", "event_type", "event_id")
 
 
-@register("stream_stateful_user_totals")  # rows-only: custom stateful op
+USER_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_user_totals", USER_TOTALS_ORACLE)
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user running (count, sum) state;
     final state per user returned. Routed through the stateful_v2
     dispatcher — transformWithStateInPandas (the current-generation API)
     when the runtime supports it, applyInPandasWithState otherwise; both
-    paths share the same arithmetic and parity tests."""
+    paths share the same arithmetic and parity tests.
+
+    PROMOTED from rows-only to full value-hash (r12 verdict item 3):
+    the streamed values are pre-quantized to integer-valued cent doubles
+    (floor(v*100+0.5)), so the processor's running float accumulation is
+    EXACT (integers <= 2^53 add associatively in IEEE double) and the
+    final state per user equals the batch count/sum bit-for-bit — the
+    second stateful_v2 processor under the oracle, same strength as
+    stream_ewma's power-of-two-exact parity."""
     from ntd_gtfs_to_socrata_spark.streaming.stateful_v2 import (
         default_running_user_totals,
     )
 
-    stream = EW.read_events_stream(spark, sf_dir)
+    stream = EW.read_events_stream(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + 0.5).cast("double")
+    )
     name = _run_to_table(default_running_user_totals(stream), "srut", "update")
     return (
         spark.table(name)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+            F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
 

@@ -48,6 +48,23 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(f"SET memory_limit='{mem_limit}'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     con.execute("SET max_temp_directory_size='60GiB'")
+    # Python scalar UDFs for LOCAL_ORACLES (queries/__init__.py): the
+    # driver's harness runs plain DuckDB so these oracles never ship via
+    # oracle_sql(); locally they lift rows-only entries to full value-hash
+    # strength. zlib_len mirrors text_compression_ratio's exact fixed
+    # level (a zlib output is deterministic per (bytes, level) per build).
+    # PROPOSAL for the driver harness: one create_function call like this
+    # would make the last no_oracle entry in its sample checkable.
+    import zlib
+
+    from ntd_gtfs_to_socrata_spark.queries.dedup_text import _ZR_LEVEL
+
+    con.create_function(
+        "zlib_len",
+        lambda s: len(zlib.compress(s.encode("utf-8"), _ZR_LEVEL)),
+        [duckdb.typing.VARCHAR],
+        duckdb.typing.BIGINT,
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -124,9 +141,13 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
+    from ntd_gtfs_to_socrata_spark.queries import LOCAL_ORACLES
+
     spark = get_spark("check-oracle")
     con = duck_con(sf_dir)
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs = entrymod.queries()
+    # driver-facing oracles + local-UDF oracles (full strength here only)
+    oracles = {**entrymod.oracle_sql(), **LOCAL_ORACLES}
     names = only or list(qs)
     failures = 0
     # Long-gate memory hygiene (r11): a 271-query pass accumulates
