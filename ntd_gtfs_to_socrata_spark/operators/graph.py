@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate(df: DataFrame) -> DataFrame:
+def _truncate(df: DataFrame, supersedes: DataFrame | None = None) -> DataFrame:
     """Lineage truncation for iterative loops: reliable ``checkpoint()``
     (DFS-backed; survives executor loss and lets a 1000-executor run
     recover a mid-loop failure from storage) when the session has a
@@ -53,11 +53,42 @@ def _truncate(df: DataFrame) -> DataFrame:
     dir raises). ``observe()`` metrics attached upstream fire on either
     materialization, so the one-job-per-round convergence probe works
     identically in both modes (pinned by test_graph_reliable_checkpoint).
+
+    ``supersedes`` (r11 ADVICE): the loop-carried frame this result
+    replaces. Once the new checkpoint has materialized (eager=True), the
+    old round's DFS checkpoint is dead weight — Spark only reclaims it
+    via referenceTracking GC with cleanCheckpoints=true, so a long
+    reliable-mode run would otherwise grow checkpoint storage linearly
+    with rounds. The superseded frame's files are deleted here,
+    best-effort; only pass a frame nothing downstream will recompute.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
+        out = df.checkpoint(eager=True)
+        if supersedes is not None:
+            _drop_checkpoint(supersedes)
+        return out
     return df.localCheckpoint(eager=True)
+
+
+def _drop_checkpoint(df: DataFrame) -> None:
+    """Best-effort delete of a SUPERSEDED reliable checkpoint's files.
+
+    The checkpoint path lives on the LogicalRDD the checkpointed Dataset
+    wraps; a frame that was never reliably checkpointed (plain plan, or
+    localCheckpoint) yields no path and this is a no-op. Deletion
+    failures are swallowed: cleanup must never fail the loop."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if not opt.isDefined():
+            return
+        path = opt.get()
+        sc = df.sparkSession.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 — cleanup is advisory by design
+        return
 
 
 def connected_components(
@@ -130,7 +161,7 @@ def connected_components(
                 ).alias("label"),
             )
             .observe(obs, F.sum("label").alias("s"))
-            .transform(_truncate)
+            .transform(lambda d, prev=labels: _truncate(d, supersedes=prev))
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
@@ -210,7 +241,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=ranks: _truncate(d, supersedes=prev))
         )
     return ranks
 
@@ -306,7 +337,7 @@ def connected_components_star(
                 F.sum("u").alias("su"),
                 F.sum("v").alias("sv"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=e: _truncate(d, supersedes=prev))
         )
         got = obs.get
         sig = (got["n"], got["su"], got["sv"])
@@ -384,7 +415,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=labels: _truncate(d, supersedes=prev))
         )
     return labels
 
@@ -460,6 +491,7 @@ def k_core(
         # one round per node is a hard upper bound (each non-terminal
         # round removes >= 1 node); +1 for the terminal fixpoint check
         max_iterations = deg.count() + 1
+    prev_low = None
     for i in range(max_iterations):
         obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
         # low is embedded three times below (two anti-joins + the delta
@@ -469,8 +501,9 @@ def k_core(
             deg.filter(F.col("deg") < k)
             .select("s")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .transform(_truncate)
+            .transform(lambda d, prev=prev_low: _truncate(d, supersedes=prev))
         )
+        prev_low = low
         if obs.get["n"] == 0:
             return deg.select(
                 F.col("s").alias("node"),
@@ -493,14 +526,14 @@ def k_core(
                 "s",
                 (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias("deg"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=deg: _truncate(d, supersedes=prev))
         )
         # shrink the surviving edge set (map-side with a broadcast low;
         # needed so later delta joins see only surviving edges)
         e = (
             e.join(low, "s", "left_anti")
             .join(low_d, "d", "left_anti")
-            .transform(_truncate)
+            .transform(lambda d, prev=e: _truncate(d, supersedes=prev))
         )
     raise RuntimeError(
         f"k_core did not reach a fixpoint within the caller-imposed bound of "
@@ -573,7 +606,7 @@ def hits(
                 "node",
                 F.coalesce(F.col("a_sum"), F.lit(0)).cast("long").alias("a"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=auth: _truncate(d, supersedes=prev))
         )
         h_out = (
             e.join(auth, e.e_dst == auth.node)
@@ -586,7 +619,7 @@ def hits(
                 "node",
                 F.coalesce(F.col("h_sum"), F.lit(0)).cast("long").alias("h"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=hub: _truncate(d, supersedes=prev))
         )
     return nodes.join(auth, "node").join(hub, "node").select(
         "node",
@@ -649,7 +682,7 @@ def bfs_distances(
                     F.coalesce(F.col("nd"), F.lit(2147483647)),
                 ).alias("dist"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=dist: _truncate(d, supersedes=prev))
         )
     return dist
 
@@ -716,6 +749,6 @@ def bfs_distances_per_seed(
                     F.coalesce(F.col("nd"), F.lit(2147483647)),
                 ).alias("dist"),
             )
-            .transform(_truncate)
+            .transform(lambda d, prev=dist: _truncate(d, supersedes=prev))
         )
     return dist

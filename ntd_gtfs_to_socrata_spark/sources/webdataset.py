@@ -50,6 +50,18 @@ def _make_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     of the key distribution."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     base = int(pdf["shard_id"].iloc[0]) * _SHARD_SUB
+    # uniqueness guard (r11 ADVICE): chunk numbers live in the low
+    # _SHARD_SUB bits of the composite id — a hash group needing more
+    # than 2^20 chunks (~26M docs in ONE residue) would silently collide
+    # with the next group's id space. Raise instead: at that skew the
+    # group key width is misconfigured, and duplicate shard_ids would
+    # corrupt every downstream join on the id.
+    if (len(pdf) + SHARD_DOCS - 1) // SHARD_DOCS > _SHARD_SUB:
+        raise ValueError(
+            f"shard group {int(pdf['shard_id'].iloc[0])} needs more than "
+            f"{_SHARD_SUB} chunks ({len(pdf)} docs); composite shard_id "
+            "space exhausted — raise n_shards_hint (wider group key)"
+        )
     out = []
     for chunk_no, lo in enumerate(range(0, len(pdf), SHARD_DOCS)):
         chunk = pdf.iloc[lo : lo + SHARD_DOCS]

@@ -530,6 +530,17 @@ def _make_apply_batch(bands_state, shingles_state, edges_path, bucket_cap):
 
         _write_epoch(verified, edges_path, epoch_id)
         _mark("verify_write")
+        # ORDERING INVARIANT (r11 ADVICE — load-bearing for the unbounded
+        # rate tier): the verified-edge write above must COMPLETE before
+        # the bands-state commit below STARTS. After an abrupt q.stop(),
+        # _final_verdict derives the consumed prefix from the bands state
+        # — any doc visible in the final band census must therefore have
+        # its epoch's edges already on disk, or the closed-form verdict
+        # under-counts duplicate edges. Do NOT move the edge write into
+        # the commit pool (an r11 A/B that overlapped verify with the
+        # bands commit was also ~20% slower; see below) — if you ever
+        # overlap them, the verdict must switch to an edges-derived
+        # consumed-prefix instead.
         # commit_epoch folds a compaction epoch's contribution straight
         # into the bucketed snapshot (no epoch partition written just to
         # be re-read and folded one call later). The two states touch

@@ -81,3 +81,25 @@ def test_cc_star_and_pagerank_match_local_mode(spark, reliable_dir):
     }
     assert reliable_cc == local_cc
     assert reliable_pr == local_pr
+
+
+def test_cc_superseded_checkpoints_deleted(spark, reliable_dir):
+    """r11 ADVICE: each round's checkpoint must supersede the previous
+    round's — after convergence only the still-referenced frames (bidir,
+    seed labels' successor chain tail) may remain, so the rdd-* dir count
+    is bounded by a constant, not the round count."""
+    # a 9-node chain needs ~8 propagation rounds — enough that leaked
+    # per-round checkpoints would dominate the count
+    rows = [(i, i + 1) for i in range(1, 9)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {tuple(r) for r in connected_components(edges).collect()}
+    assert out == {(i, 1) for i in range(1, 10)}
+    rdd_dirs = [
+        d
+        for root, dirs, _ in os.walk(reliable_dir)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    # bidir + the live tail of the labels chain; rounds ~8, so any leak
+    # shows up immediately
+    assert len(rdd_dirs) <= 3, rdd_dirs
