@@ -750,6 +750,7 @@ def rate_incremental_lsh_dedup(
     min_docs: int = 60,
     compact_every: int = 2,
     timeout_sec: int = 120,
+    interrupt_after: int | None = None,
 ) -> DataFrame:
     """The incremental LSH dedup against an UNBOUNDED source: the same
     per-micro-batch body (_make_apply_batch) and the same post-drain
@@ -763,7 +764,15 @@ def rate_incremental_lsh_dedup(
     drain check stopped the query): rows vary run to run, but every row
     must match the planted-duplicate formula at ANY stop point — the
     testable invariant for an unbounded run (see
-    tests/test_streaming.py::test_rate_lsh_dedup_planted_duplicates)."""
+    tests/test_streaming.py::test_rate_lsh_dedup_planted_duplicates).
+
+    ``interrupt_after`` (r11 verdict item 7): when set, the query is
+    stopped abruptly once that many docs have been consumed and a NEW
+    query generation restarts from the same checkpoint — the rate source
+    resumes at its committed offsets (the gapless prefix survives) and
+    any half-applied epoch replays through the idempotent epoch writes.
+    The kill-and-restart recovery path of a production Kafka consumer,
+    under the same any-stop-point verdict."""
     import time as _time
 
     _retire_previous()
@@ -809,23 +818,40 @@ def rate_incremental_lsh_dedup(
         LAST_RUN["consumed"] += n
 
     docs = rate_documents(spark, rows_per_second)
-    q = (
-        docs.writeStream.foreachBatch(apply_batch)
-        .trigger(processingTime="500 milliseconds")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .queryName(f"rate_lsh_dedup_{run_id}")
-        .start()
-    )
-    try:
+
+    def start_query():
+        return (
+            docs.writeStream.foreachBatch(apply_batch)
+            .trigger(processingTime="500 milliseconds")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .queryName(f"rate_lsh_dedup_{run_id}")
+            .start()
+        )
+
+    def drain_until(q, target: int) -> None:
         deadline = _time.time() + timeout_sec
-        while LAST_RUN["consumed"] < min_docs:
+        while LAST_RUN["consumed"] < target:
             if _time.time() > deadline:
                 raise RuntimeError(
-                    f"rate LSH drain: < {min_docs} docs after {timeout_sec}s"
+                    f"rate LSH drain: < {target} docs after {timeout_sec}s"
                 )
             if q.exception() is not None:
                 raise q.exception()
             _time.sleep(0.25)
+
+    q = start_query()
+    try:
+        if interrupt_after is not None:
+            # generation 1: consume a partial prefix, then stop ABRUPTLY
+            # (mid-trigger; whatever epoch is in flight stays half-applied)
+            drain_until(q, interrupt_after)
+            q.stop()
+            q.awaitTermination()
+            LAST_RUN["restarts"] = LAST_RUN.get("restarts", 0) + 1
+            # generation 2: same checkpoint — committed offsets resume,
+            # the uncommitted epoch replays through the idempotent writes
+            q = start_query()
+        drain_until(q, min_docs)
     finally:
         q.stop()
     q.awaitTermination()
