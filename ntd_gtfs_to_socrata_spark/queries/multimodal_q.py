@@ -811,7 +811,10 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Heterogeneous media lake: one decode pass over mixed containers -----
-MM_DISPATCH_ORACLE = """
+def _dispatch_oracle() -> str:
+    ps = _adpcm_const_tables()[0]
+    ps_lit = "[" + ",".join(str(x) for x in ps) + "]"
+    return f"""
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
 bmp AS (
   SELECT doc_id, 'bmp' AS kind, CAST(w * h AS BIGINT) AS n_units,
@@ -819,7 +822,7 @@ bmp AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 5 = 0))
+          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 6 = 0))
   ) GROUP BY doc_id, w, h
 ),
 png AS (
@@ -828,14 +831,14 @@ png AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 5 = 1))
+          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 6 = 1))
   ) GROUP BY doc_id, w, h
 ),
 wav AS (
   SELECT doc_id, 'wav' AS kind, CAST(n AS BIGINT) AS n_units,
          CAST(SUM((doc_id*31 + 7*t) % 65536) AS BIGINT) AS checksum
   FROM (SELECT doc_id, n, unnest(range(n)) AS t
-        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 5 = 2))
+        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 6 = 2))
   GROUP BY doc_id, n
 ),
 avi AS (
@@ -847,7 +850,7 @@ avi AS (
       SELECT doc_id, w, nf, f, unnest(range(h)) AS r
       FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f
             FROM (SELECT doc_id, nb%4+1 AS w, nb%3+1 AS h, nb%5+2 AS nf
-                  FROM d WHERE doc_id % 5 = 3))
+                  FROM d WHERE doc_id % 6 = 3))
     )
   ) GROUP BY doc_id, nf
 ),
@@ -855,27 +858,35 @@ jpg AS (
   SELECT doc_id, 'jpeg' AS kind, CAST(nbx * 8 * 16 AS BIGINT) AS n_units,
          CAST(SUM(64 * (32 + (doc_id + 37*k) % 192)) AS BIGINT) AS checksum
   FROM (SELECT doc_id, nbx, unnest(range(nbx * 2)) AS k
-        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 5 = 4))
+        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 6 = 4))
   GROUP BY doc_id, nbx
+),
+adp AS (
+  SELECT doc_id, 'adpcm' AS kind, CAST(n AS BIGINT) AS n_units,
+         CAST(n * (pred0 + 32768) + ps[n] AS BIGINT) AS checksum
+  FROM (SELECT doc_id, 2*(nb%96+24)+1 AS n, (doc_id*37)%2048-1024 AS pred0
+        FROM d WHERE doc_id % 6 = 5),
+       (SELECT {ps_lit} AS ps)
 )
 SELECT * FROM bmp UNION ALL SELECT * FROM png
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM avi
-UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM adp
 """
 
 
-@register("mm_dispatch_decode", MM_DISPATCH_ORACLE)
+@register("mm_dispatch_decode", _dispatch_oracle())
 def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HETEROGENEOUS MEDIA LAKE: the corpus lands as a mixed binary
-    column — each doc a genuine BMP, PNG, WAV, AVI, or baseline JPEG
-    by doc_id residue
+    column — each doc a genuine BMP, PNG, WAV, AVI, baseline JPEG, or
+    IMA-ADPCM WAV by doc_id residue
     — and ONE Arrow-batched pass sniffs the container by magic bytes
     (extensions don't survive object stores) and dispatches to the real
     decoder: BMP pixel slice, PNG inflate+unfilter, WAV RIFF walk, AVI
-    frame walk, JPEG entropy decode + IDCT. Normalized (kind, unit
-    count, exact integer checksum of every decoded value) output means
-    the value hash exercises all five decode paths in a single oracled
-    query — the realistic shape of a
+    frame walk, JPEG entropy decode + IDCT, ADPCM nibble decode (the
+    PCM-then-ADPCM fall-through inside the RIFF/WAVE branch). Normalized
+    (kind, unit count, exact integer checksum of every decoded value)
+    output means the value hash exercises all six decode paths in a
+    single oracled query — the realistic shape of a
     multimodal curation pipeline's first stage.
 
     Scale posture: the mixed column is built branch-per-format and
@@ -886,11 +897,12 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     parts = [
-        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 5 == 0)),
-        MM.make_png_payload(docs.filter(F.col("doc_id") % 5 == 1)),
-        MM.make_wav_payload(docs.filter(F.col("doc_id") % 5 == 2)),
-        MM.make_avi_payload(docs.filter(F.col("doc_id") % 5 == 3)),
-        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 5 == 4)),
+        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 6 == 0)),
+        MM.make_png_payload(docs.filter(F.col("doc_id") % 6 == 1)),
+        MM.make_wav_payload(docs.filter(F.col("doc_id") % 6 == 2)),
+        MM.make_avi_payload(docs.filter(F.col("doc_id") % 6 == 3)),
+        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 6 == 4)),
+        MM.make_adpcm_payload(docs.filter(F.col("doc_id") % 6 == 5)),
     ]
     blobs = reduce(lambda a, b: a.unionByName(b), parts)
     return MM.dispatch_decode(blobs)
