@@ -1217,8 +1217,8 @@ def f15_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     default, where a single malformed cell KILLS the job unless the
     expression is written with try_* (try_cast / try_divide /
     try_element_at → NULL instead of raise). This is the contract every
-    ingest expression in this repo follows (the driver's plain session is
-    ANSI; see .claude/skills/verify/SKILL.md), swept here end-to-end."""
+    ingest expression in this repo follows (the driver's plain session
+    is ANSI-mode), swept here end-to-end."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
