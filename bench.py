@@ -174,6 +174,8 @@ HEADLINE = [
     # r11 additions: real baseline-JPEG decode (the last image stub)
     "mm_jpeg_decode",
     "mm_jpeg_resize",
+    # r12 addition: real IMA-ADPCM compressed-audio decode
+    "mm_adpcm_decode",
 ]
 
 
