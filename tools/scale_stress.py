@@ -149,6 +149,23 @@ def main() -> int:
 
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
+        # Cold-JVM warm-up (r12): per-query isolation means the timed run
+        # would otherwise pay classloading/codegen/JIT inside its number
+        # (measured +8-14 s at sf1 on a fresh JVM). Run the SAME query at
+        # the tiniest fixture untimed first — JIT warmth survives the
+        # cache clear below, data caching does not.
+        warmup_dir = "/root/testdata/sf0.001"
+        if os.path.isdir(warmup_dir) and os.path.abspath(
+            warmup_dir
+        ) != os.path.abspath(sf_dir):
+            try:
+                REGISTRY[name](spark, warmup_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — warm-up is best-effort
+                pass
+            release_all()
+            spark.catalog.clearCache()
         t0 = time.time()
         try:
             REGISTRY[name](spark, sf_dir).write.format("noop").mode(
