@@ -745,14 +745,24 @@ _MRL_CAND = 50  # candidates kept per query for the full-dim rerank
 MRL_ORACLE = f"""
 WITH q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
-         embedding[1:{_MRL_DIM}]::DOUBLE[] AS qp
+         embedding[1:{_MRL_DIM}]::DOUBLE[] AS qp,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qen,
+         sqrt(list_inner_product(embedding[1:{_MRL_DIM}]::DOUBLE[],
+                                 embedding[1:{_MRL_DIM}]::DOUBLE[])) AS qpn
   FROM embeddings WHERE vec_id % 50 = 0
 ),
 c AS MATERIALIZED (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
-         embedding[1:{_MRL_DIM}]::DOUBLE[] AS cp
+         embedding[1:{_MRL_DIM}]::DOUBLE[] AS cp,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cen,
+         sqrt(list_inner_product(embedding[1:{_MRL_DIM}]::DOUBLE[],
+                                 embedding[1:{_MRL_DIM}]::DOUBLE[])) AS cpn
   FROM embeddings
 ),
+-- norms precomputed ONCE per vector (r12): the 50M screening pairs each
+-- re-derived both prefix norms inline, tripling the oracle's inner-
+-- product count; sqrt of the same double times the same double is
+-- bit-identical, so the rounded cosine — and the value hash — cannot move
 -- rank BARE (qid, cid) and re-join the arrays afterwards: carrying the
 -- full-dim vectors through the (queries x corpus)-row window sort was
 -- the 117 s sf1 oracle tail (r11) — the MMR oracle's memory-shape
@@ -762,8 +772,7 @@ screened AS (
          row_number() OVER (
            PARTITION BY qid
            ORDER BY round(list_inner_product(qp, cp)
-                          / (sqrt(list_inner_product(qp, qp))
-                             * sqrt(list_inner_product(cp, cp))), 6) DESC,
+                          / (qpn * cpn), 6) DESC,
                     cid ASC) AS prank
   FROM q JOIN c ON qid <> cid
 ),
@@ -772,9 +781,7 @@ cand AS MATERIALIZED (
 ),
 reranked AS (
   SELECT cand.qid, cand.cid,
-         round(list_inner_product(qe, ce)
-               / (sqrt(list_inner_product(qe, qe))
-                  * sqrt(list_inner_product(ce, ce))), 6) AS cosine
+         round(list_inner_product(qe, ce) / (qen * cen), 6) AS cosine
   FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.cid = cand.cid
 )
 SELECT qid, cid, cosine,
