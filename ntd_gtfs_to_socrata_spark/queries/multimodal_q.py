@@ -895,7 +895,18 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed media reduces at scan speed."""
     from functools import reduce
 
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    from ntd_gtfs_to_socrata_spark.operators.stagecache import stage_boundary
+
+    # six branches re-list the rebalanced scan; per-branch column pruning
+    # breaks AQE exchange reuse, so without a boundary the single-file
+    # fixture pays SIX rebalance shuffles (plan audit r12). One persisted
+    # stage = one exchange, every branch reads the cache; against a real
+    # multi-file lake the rebalance is a no-op and the boundary merely
+    # dedupes the scan.
+    docs = stage_boundary(
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents")),
+        "mm_dispatch_docs",
+    )
     parts = [
         MM.make_bmp_payload(docs.filter(F.col("doc_id") % 6 == 0)),
         MM.make_png_payload(docs.filter(F.col("doc_id") % 6 == 1)),
