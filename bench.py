@@ -176,6 +176,8 @@ HEADLINE = [
     "mm_jpeg_resize",
     # r12 addition: real IMA-ADPCM compressed-audio decode
     "mm_adpcm_decode",
+    # r13 addition: real GIF/LZW compressed-image decode
+    "mm_gif_decode",
 ]
 
 

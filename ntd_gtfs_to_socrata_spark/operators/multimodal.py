@@ -2028,6 +2028,311 @@ def resize_jpeg(with_payload: DataFrame) -> DataFrame:
     )
 
 
+# --- REAL compressed-image decode: GIF (LZW entropy coding) --------------
+#
+# The second compressed IMAGE codec leaves the stub surface (r12 VERDICT
+# item 2): GIF's LZW is an exact integer algorithm (variable-width
+# LSB-first codes, dictionary rebuild, clear/EOI controls — the public
+# GIF89a spec + Welch's 1984 paper), so a fixed-code-stream fixture gives
+# a closed-form oracle the same way ADPCM's fixed nibble pattern did.
+#
+# Exact-oracle construction (the ADPCM trick adapted to entropy coding):
+# with LZW min code size 7 every code starts 8 bits wide, and the width
+# only grows once the decoder's table reaches 256 entries — which takes
+# 126 consecutive pixel codes after a Clear. The builder emits ONLY
+# literal root codes (a valid LZW stream from a compressor that never
+# finds a match) and re-emits Clear every 16 pixels, so every code in
+# the fixture is exactly one byte and the JVM-side construction is plain
+# binary concat. The DECODER is the full variable-width algorithm
+# (dictionary growth, width bumps at 256/512/.../4096, KwKwK, deferred
+# clears) — unit tests drive those paths with a genuine in-test LZW
+# compressor; the fixture drives the container walk, palette mapping,
+# multi-sub-block reassembly, and interlace reordering under the value
+# hash. Every fixture is INTERLACED and the decode emits display-row-1's
+# intensity, so a decoder that skips the four-pass deinterlace
+# hash-mismatches the oracle (the BMP bottom-up-flip discipline).
+
+GIF_MIN_CODE_SIZE = 7
+GIF_CLEAR_EVERY = 16  # pixels between re-emitted Clear codes (width stays 8)
+GIF_SUB_BLOCK = 15  # fixture sub-block size: forces multi-block reassembly
+# 128-entry global palette: entry i = ((2i)%256, (3i)%256, (5i)%256)
+GIF_PALETTE = bytes(
+    v % 256 for i in range(128) for v in (2 * i, 3 * i, 5 * i)
+)
+GIF_DECODE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, sum_r long,"
+    " sum_g long, sum_b long, row1_sum long, ok boolean"
+)
+
+
+def make_gif_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL interlaced GIF89a: header
+    + logical screen descriptor, 128-entry global color table, a graphic
+    control extension AND a comment extension (a naive parser trips over
+    the sub-block walk), image descriptor with the interlace flag set,
+    LZW min-code-size 7, and the code stream split into 15-byte data
+    sub-blocks. Pixel index at row-major position k is
+    (doc_id + 9*k) % 128; w = nb%7+1, h = nb%5+1 (nb =
+    octet_length(text)). The code stream is Clear + literal codes with a
+    Clear every 16 pixels + EOI — every code one byte (see the section
+    comment), so construction never leaves the JVM."""
+    nb = F.octet_length("text")
+    w = (nb % 7 + 1).cast("long")
+    h = (nb % 5 + 1).cast("long")
+    n_px = (w * h).cast("long")
+    clear = bytes([1 << GIF_MIN_CODE_SIZE])  # 0x80
+    eoi = bytes([(1 << GIF_MIN_CODE_SIZE) + 1])  # 0x81
+    codes = F.concat(
+        F.aggregate(
+            F.sequence(F.lit(0).cast("long"), n_px - 1),
+            F.lit(clear),
+            lambda acc, k: F.concat(
+                acc,
+                _be((F.col("doc_id") + 9 * k) % 128, 1),
+                F.when(
+                    ((k + 1) % GIF_CLEAR_EVERY == 0) & (k + 1 < n_px),
+                    F.lit(clear),
+                ).otherwise(F.lit(b"")),
+            ),
+        ),
+        F.lit(eoi),
+    )
+    dlen = F.octet_length(codes).cast("long")
+    n_blocks = F.ceil(dlen / GIF_SUB_BLOCK).cast("long")
+    sub_blocks = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), n_blocks - 1),
+        F.lit(b""),
+        lambda acc, bi: F.concat(
+            acc,
+            _be(F.least(dlen - bi * GIF_SUB_BLOCK, F.lit(GIF_SUB_BLOCK)), 1),
+            F.substring(
+                codes, (bi * GIF_SUB_BLOCK + 1).cast("int"), GIF_SUB_BLOCK
+            ),
+        ),
+    )
+    # LSD packed: GCT present (0x80) | color resolution 6 (0x60) | GCT
+    # size 6 => 2^7 = 128 entries (0x06)
+    lsd = F.concat(_le(w, 2), _le(h, 2), F.lit(bytes([0xE6, 0, 0])))
+    extensions = F.lit(
+        b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        b"\x21\xfe\x05lake!\x00"  # comment ext: one sub-block + terminator
+    )
+    img_desc = F.concat(
+        F.lit(b"\x2c\x00\x00\x00\x00"),  # separator, left=0, top=0
+        _le(w, 2),
+        _le(h, 2),
+        F.lit(bytes([0x40])),  # interlaced, no local color table
+    )
+    payload = F.concat(
+        F.lit(b"GIF89a"),
+        lsd,
+        F.lit(GIF_PALETTE),
+        extensions,
+        img_desc,
+        F.lit(bytes([GIF_MIN_CODE_SIZE])),
+        sub_blocks,
+        F.lit(b"\x00\x3b"),  # block terminator + trailer
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _gif_lzw_decode(stream: bytes, min_code_size: int, max_pixels: int):
+    """Real GIF-LZW decode: variable-width LSB-first codes, dictionary
+    rebuild on Clear, width bumps when the table reaches 2^width (cap
+    12 bits / 4096 entries per the spec), the KwKwK case (code == next
+    free entry), EOI termination. Returns the pixel-index bytes or None
+    on any malformed stream (errors as data); max_pixels bounds output
+    so corrupt streams cannot balloon."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = min_code_size + 1
+    prev = None
+    out = bytearray()
+    acc = n_bits = 0
+    for byte in stream:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = list(roots)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table) and code != eoi:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                return None
+            out += entry
+            if len(out) > max_pixels:
+                return None
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return None  # ran out of bytes before EOI
+
+
+# GIF interlace: four passes over display rows 0::8, 4::8, 2::4, 1::2 —
+# file row order is the concatenation of the passes.
+def _gif_interlace_order(h: int) -> list:
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _parse_gif(b: bytes):
+    """Real GIF87a/89a decode, no codec library: header + logical screen
+    descriptor, global/local color table, extension sub-block walk,
+    image descriptor, multi-sub-block LZW data reassembly, full LZW
+    decode (_gif_lzw_decode), four-pass deinterlace. Returns (w, h,
+    index array (h, w) in DISPLAY order, palette (n, 3) int64) or None
+    on ANY malformed input (errors as data)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    w_s, h_s = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(b) < pos + 3 * n:
+            return None
+        gct = (
+            np.frombuffer(b, np.uint8, 3 * n, pos)
+            .reshape(n, 3)
+            .astype(np.int64)
+        )
+        pos += 3 * n
+    while pos < len(b):
+        intro = b[pos]
+        if intro == 0x3B:  # trailer before any image
+            return None
+        if intro == 0x21:  # extension: label byte + sub-block walk
+            pos += 2
+            while True:
+                if pos >= len(b):
+                    return None
+                sz = b[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if intro != 0x2C:
+            return None
+        if pos + 10 > len(b):
+            return None
+        _left, _top, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+        ipacked = b[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 7)
+            if len(b) < pos + 3 * n:
+                return None
+            pal = (
+                np.frombuffer(b, np.uint8, 3 * n, pos)
+                .reshape(n, 3)
+                .astype(np.int64)
+            )
+            pos += 3 * n
+        if pal is None or iw == 0 or ih == 0 or pos >= len(b):
+            return None
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        data = bytearray()
+        while True:
+            if pos >= len(b):
+                return None
+            sz = b[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(b):
+                return None
+            data += b[pos : pos + sz]
+            pos += sz
+        idx_bytes = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+        if idx_bytes is None or len(idx_bytes) != iw * ih:
+            return None
+        arr = np.frombuffer(idx_bytes, np.uint8).astype(np.int64)
+        if int(arr.max(initial=0)) >= len(pal):
+            return None
+        img = arr.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: file pass order -> display rows
+            disp = np.empty_like(img)
+            disp[_gif_interlace_order(ih)] = img
+            img = disp
+        return iw, ih, img, pal
+    return None
+
+
+def gif_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL LZW IMAGE DECODE: per blob, walk the GIF container, LZW-decode
+    the pixel indices, deinterlace, map through the color table, and
+    reduce to exact integer channel sums + display-row-1's intensity
+    (the deinterlace witness — see make_gif_payload). Malformed payloads
+    return ok=False with null stats (errors as data)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = _parse_gif(bytes(payload or b""))
+            if parsed is None:
+                out.append(
+                    (doc_id, None, None, None, None, None, None, None, False)
+                )
+                continue
+            w, h, img, pal = parsed
+            rgb = pal[img]  # (h, w, 3) in display order
+            row1 = int(rgb[1].sum()) if h > 1 else 0
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    w * h,
+                    int(rgb[..., 0].sum()),
+                    int(rgb[..., 1].sum()),
+                    int(rgb[..., 2].sum()),
+                    row1,
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "width", "height", "n_pixels", "sum_r", "sum_g",
+                "sum_b", "row1_sum", "ok",
+            ],
+        )
+
+
+def decode_gif(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched real GIF/LZW decode: dims + exact channel sums +
+    the deinterlace-witness row-1 intensity."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        gif_decode_batch, schema=GIF_DECODE_SCHEMA
+    )
+
+
 # --- Heterogeneous media lake: magic-byte dispatch over mixed blobs ------
 
 DISPATCH_SCHEMA = "doc_id long, kind string, n_units long, checksum long"
@@ -2039,11 +2344,11 @@ def dispatch_decode_batch(
     """ONE decoder pass over a MIXED media column: sniff the container by
     magic bytes (the only honest router for a heterogeneous lake — file
     extensions don't survive object stores) and dispatch to the real
-    BMP/PNG/WAV/AVI decoders. Normalized output: modality-agnostic unit
-    count (pixels / samples / frames) + an exact integer checksum of
-    every decoded value, so the value hash covers all four decode paths
-    at once. Unrecognized/corrupt blobs become kind='unknown' rows
-    (errors as data)."""
+    BMP/PNG/JPEG/GIF/WAV/ADPCM/AVI decoders. Normalized output:
+    modality-agnostic unit count (pixels / samples / frames) + an exact
+    integer checksum of every decoded value, so the value hash covers
+    all seven decode paths at once. Unrecognized/corrupt blobs become
+    kind='unknown' rows (errors as data)."""
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -2064,6 +2369,12 @@ def dispatch_decode_batch(
                 if parsed is not None:
                     w, h, img = parsed
                     kind, n_units, checksum = "jpeg", w * h, int(img.sum())
+            elif b[:4] == b"GIF8":
+                parsed = _parse_gif(b)
+                if parsed is not None:
+                    w, h, img, pal = parsed
+                    kind, n_units = "gif", w * h
+                    checksum = int(pal[img].sum())
             elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                 samples = _parse_wav(b)
                 if samples is not None:

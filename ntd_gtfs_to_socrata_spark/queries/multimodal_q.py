@@ -810,6 +810,62 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.avi_frame_sample(MM.make_avi_payload(docs))
 
 
+# --- REAL GIF/LZW decode (compressed image: variable-width LZW) ----------
+# Construction contract (operators/multimodal.py make_gif_payload):
+# w = nb%7+1, h = nb%5+1, INTERLACED, pixel index at row-major FILE
+# position k is (doc_id + 9*k) % 128, 128-entry palette
+# ((2i)%256, (3i)%256, (5i)%256). Channel sums are permutation-invariant
+# but row1_sum reads DISPLAY row 1, whose file row under the four-pass
+# interlace is h-dependent (h=2->1, h=3->2, h=4->2, h=5->3) — the
+# deinterlace is load-bearing in the value hash.
+MM_GIF_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+dims AS (SELECT doc_id, nb % 7 + 1 AS w, nb % 5 + 1 AS h FROM d),
+fr AS (SELECT doc_id, w, h,
+              CASE h WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+                     WHEN 5 THEN 3 ELSE -1 END AS r1
+       FROM dims),
+px AS (SELECT doc_id, w, h, r1, k, (doc_id + 9 * k) % 128 AS p
+       FROM (SELECT doc_id, w, h, r1, unnest(range(w * h)) AS k FROM fr))
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM((2 * p) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * p) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((5 * p) % 256) AS BIGINT) AS sum_b,
+       CAST(COALESCE(SUM(CASE WHEN r1 >= 0 AND k >= r1 * w
+                               AND k < (r1 + 1) * w
+                          THEN (2*p) % 256 + (3*p) % 256 + (5*p) % 256
+                          END), 0) AS BIGINT) AS row1_sum,
+       TRUE AS ok
+FROM px GROUP BY doc_id, w, h, r1
+"""
+
+
+@register("mm_gif_decode", MM_GIF_DECODE_ORACLE)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW IMAGE DECODE — the second compressed image codec leaves
+    the sanctioned stub (only perceptual MP3/AAC/H.264 remain): payloads
+    are genuine interlaced GIF89a files built JVM-side (logical screen
+    descriptor, 128-entry global color table, graphic-control + comment
+    extensions, multi-sub-block LZW data), and the Arrow-batched UDF
+    decodes them the way any GIF reader must: extension sub-block walk,
+    color-table load, sub-block reassembly, full variable-width LZW
+    decode (clear/EOI/KwKwK/width bumps), four-pass deinterlace, palette
+    mapping. Per-doc dims + exact integer channel sums + display-row-1
+    intensity, every value replayed by the closed-form oracle (the
+    fixture's codes are all literal roots with periodic Clears — see the
+    multimodal.py section comment — so pixel k is (doc_id + 9*k) % 128
+    and the interlace mapping is a CASE on h).
+
+    Scale posture: decode is one map-side Arrow pass (no joins, no
+    shuffle); per-blob output is a single stats row, so 100 TB of
+    compressed images reduces at scan speed."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    return MM.decode_gif(MM.make_gif_payload(docs))
+
+
 # --- Heterogeneous media lake: one decode pass over mixed containers -----
 def _dispatch_oracle() -> str:
     ps = _adpcm_const_tables()[0]
@@ -822,7 +878,7 @@ bmp AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 6 = 0))
+          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 7 = 0))
   ) GROUP BY doc_id, w, h
 ),
 png AS (
@@ -831,14 +887,14 @@ png AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 6 = 1))
+          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 7 = 1))
   ) GROUP BY doc_id, w, h
 ),
 wav AS (
   SELECT doc_id, 'wav' AS kind, CAST(n AS BIGINT) AS n_units,
          CAST(SUM((doc_id*31 + 7*t) % 65536) AS BIGINT) AS checksum
   FROM (SELECT doc_id, n, unnest(range(n)) AS t
-        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 6 = 2))
+        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 7 = 2))
   GROUP BY doc_id, n
 ),
 avi AS (
@@ -850,7 +906,7 @@ avi AS (
       SELECT doc_id, w, nf, f, unnest(range(h)) AS r
       FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f
             FROM (SELECT doc_id, nb%4+1 AS w, nb%3+1 AS h, nb%5+2 AS nf
-                  FROM d WHERE doc_id % 6 = 3))
+                  FROM d WHERE doc_id % 7 = 3))
     )
   ) GROUP BY doc_id, nf
 ),
@@ -858,36 +914,48 @@ jpg AS (
   SELECT doc_id, 'jpeg' AS kind, CAST(nbx * 8 * 16 AS BIGINT) AS n_units,
          CAST(SUM(64 * (32 + (doc_id + 37*k) % 192)) AS BIGINT) AS checksum
   FROM (SELECT doc_id, nbx, unnest(range(nbx * 2)) AS k
-        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 6 = 4))
+        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 7 = 4))
   GROUP BY doc_id, nbx
 ),
 adp AS (
   SELECT doc_id, 'adpcm' AS kind, CAST(n AS BIGINT) AS n_units,
          CAST(n * (pred0 + 32768) + ps[n] AS BIGINT) AS checksum
   FROM (SELECT doc_id, 2*(nb%96+24)+1 AS n, (doc_id*37)%2048-1024 AS pred0
-        FROM d WHERE doc_id % 6 = 5),
+        FROM d WHERE doc_id % 7 = 5),
        (SELECT {ps_lit} AS ps)
+),
+gif AS (
+  SELECT doc_id, 'gif' AS kind, CAST(w * h AS BIGINT) AS n_units,
+         CAST(SUM((2*p) % 256 + (3*p) % 256 + (5*p) % 256) AS BIGINT)
+           AS checksum
+  FROM (
+    SELECT doc_id, w, h, (doc_id + 9 * k) % 128 AS p
+    FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS k
+          FROM (SELECT doc_id, nb%7+1 AS w, nb%5+1 AS h
+                FROM d WHERE doc_id % 7 = 6))
+  ) GROUP BY doc_id, w, h
 )
 SELECT * FROM bmp UNION ALL SELECT * FROM png
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM avi
 UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM adp
+UNION ALL SELECT * FROM gif
 """
 
 
 @register("mm_dispatch_decode", _dispatch_oracle())
 def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HETEROGENEOUS MEDIA LAKE: the corpus lands as a mixed binary
-    column — each doc a genuine BMP, PNG, WAV, AVI, baseline JPEG, or
-    IMA-ADPCM WAV by doc_id residue
+    column — each doc a genuine BMP, PNG, WAV, AVI, baseline JPEG,
+    IMA-ADPCM WAV, or interlaced GIF by doc_id residue
     — and ONE Arrow-batched pass sniffs the container by magic bytes
     (extensions don't survive object stores) and dispatches to the real
     decoder: BMP pixel slice, PNG inflate+unfilter, WAV RIFF walk, AVI
     frame walk, JPEG entropy decode + IDCT, ADPCM nibble decode (the
-    PCM-then-ADPCM fall-through inside the RIFF/WAVE branch). Normalized
-    (kind, unit count, exact integer checksum of every decoded value)
-    output means the value hash exercises all six decode paths in a
-    single oracled query — the realistic shape of a
-    multimodal curation pipeline's first stage.
+    PCM-then-ADPCM fall-through inside the RIFF/WAVE branch), GIF LZW
+    decode + deinterlace. Normalized (kind, unit count, exact integer
+    checksum of every decoded value) output means the value hash
+    exercises all seven decode paths in a single oracled query — the
+    realistic shape of a multimodal curation pipeline's first stage.
 
     Scale posture: the mixed column is built branch-per-format and
     unioned (all map-side; the union is plan-level, no shuffle), decode
@@ -908,12 +976,13 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mm_dispatch_docs",
     )
     parts = [
-        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 6 == 0)),
-        MM.make_png_payload(docs.filter(F.col("doc_id") % 6 == 1)),
-        MM.make_wav_payload(docs.filter(F.col("doc_id") % 6 == 2)),
-        MM.make_avi_payload(docs.filter(F.col("doc_id") % 6 == 3)),
-        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 6 == 4)),
-        MM.make_adpcm_payload(docs.filter(F.col("doc_id") % 6 == 5)),
+        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 7 == 0)),
+        MM.make_png_payload(docs.filter(F.col("doc_id") % 7 == 1)),
+        MM.make_wav_payload(docs.filter(F.col("doc_id") % 7 == 2)),
+        MM.make_avi_payload(docs.filter(F.col("doc_id") % 7 == 3)),
+        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 7 == 4)),
+        MM.make_adpcm_payload(docs.filter(F.col("doc_id") % 7 == 5)),
+        MM.make_gif_payload(docs.filter(F.col("doc_id") % 7 == 6)),
     ]
     blobs = reduce(lambda a, b: a.unionByName(b), parts)
     return MM.dispatch_decode(blobs)

@@ -79,6 +79,9 @@ def _valid_blobs(spark_free: bool = True) -> dict:
     from tests.test_adpcm import _encode_ima_wav, _ramp
 
     adpcm, _ = _encode_ima_wav(_ramp(66).tolist(), spb=33)
+    from tests.test_gif_decode import _build_gif
+
+    gif = _build_gif(5, 4, list(range(8)) * 2 + [3] * 4, interlace=True)
     return {
         "png": _valid_png(),
         "jpeg": jpeg,
@@ -86,6 +89,7 @@ def _valid_blobs(spark_free: bool = True) -> dict:
         "bmp": bmp,
         "avi": _valid_avi(),
         "adpcm": adpcm,
+        "gif": gif,
     }
 
 
@@ -129,6 +133,7 @@ PARSERS = {
     "bmp": MM._parse_bmp,
     "avi": MM._parse_avi,
     "adpcm": MM._parse_adpcm_wav,
+    "gif": MM._parse_gif,
 }
 
 
