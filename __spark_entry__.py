@@ -38,5 +38,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omissions are rows-only checks."""
+    """DuckDB-equivalent SQL per query; omissions are rows-only checks.
+
+    Some omissions are deliberate rather than inexpressible: their SQL
+    needs a Python scalar registered on the DuckDB connection (e.g.
+    ``zlib_len`` for ``text_compression_ratio``, ``bpe_len`` for
+    ``bpe_token_counts``). Those oracles live in
+    ``ntd_gtfs_to_socrata_spark.queries.LOCAL_ORACLES`` and are checked
+    at full value-hash strength by ``tools/check_oracle.py``, whose
+    ``duck_con`` shows the one-line ``con.create_function`` call that
+    would let this harness check them too.
+    """
     return dict(ORACLES)

@@ -71,15 +71,32 @@ def _truncate(df: DataFrame, supersedes: DataFrame | None = None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Count of _drop_checkpoint attempts that raised (r12 ADVICE item 3): the
+# deletion reaches through private py4j accessors, so a Spark upgrade that
+# renames them would silently turn GC into a no-op behind the broad except
+# — this counter makes that regression observable outside the unit test
+# (assert it stays 0 after a loop, or alert on growth in a long run).
+SKIPPED_CHECKPOINT_CLEANUPS = 0
+
+
 def _drop_checkpoint(df: DataFrame) -> None:
     """Best-effort delete of a SUPERSEDED reliable checkpoint's files.
 
     The checkpoint path lives on the LogicalRDD the checkpointed Dataset
-    wraps; a frame that was never reliably checkpointed (plain plan, or
-    localCheckpoint) yields no path and this is a no-op. Deletion
-    failures are swallowed: cleanup must never fail the loop."""
+    wraps; a frame whose analyzed plan is NOT a bare LogicalRDD (never
+    reliably checkpointed, or a projection OVER a live checkpoint — e.g.
+    pagerank's round-0 ranks = nodes.select(...), whose underlying
+    checkpoint must NOT be freed) is the documented no-op, checked by
+    class BEFORE touching rdd() so it never lands in the failure count.
+    Actual deletion failures are swallowed (cleanup must never fail the
+    loop) but COUNTED in SKIPPED_CHECKPOINT_CLEANUPS so a silent API
+    drift is observable."""
+    global SKIPPED_CHECKPOINT_CLEANUPS
     try:
-        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return  # nothing of its own to free
+        opt = plan.rdd().getCheckpointFile()
         if not opt.isDefined():
             return
         path = opt.get()
@@ -88,6 +105,7 @@ def _drop_checkpoint(df: DataFrame) -> None:
         fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     except Exception:  # noqa: BLE001 — cleanup is advisory by design
+        SKIPPED_CHECKPOINT_CLEANUPS += 1
         return
 
 

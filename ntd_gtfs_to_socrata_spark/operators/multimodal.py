@@ -1576,8 +1576,16 @@ def _jpeg_huff_lut(counts_syms: bytes):
             lo = code << (16 - length)
             if lo < 65536:
                 hi = min((code + 1) << (16 - length), 65536)
-                sym_arr[lo:hi] = syms[i]
-                len_arr[lo:hi] = length
+                # never overwrite a shorter code's slots: a malformed
+                # NON-prefix-free DHT (oversubscribed counts that still
+                # pass the i < len(syms) check) must resolve to the
+                # SHORTEST matching code, the same answer the pre-LUT
+                # bit-by-bit walk produced — keeps errors-as-data values
+                # stable across versions (r12 ADVICE item 2). Valid
+                # tables never hit the mask (disjoint ranges).
+                free = len_arr[lo:hi] == 0
+                sym_arr[lo:hi][free] = syms[i]
+                len_arr[lo:hi][free] = length
             i += 1
             code += 1
         code <<= 1

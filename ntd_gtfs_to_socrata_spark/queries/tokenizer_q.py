@@ -184,17 +184,57 @@ def train_bpe_merges(
     )
 
 
-@register("bpe_train_merges")
+# LOCAL_ORACLES tier (r12 verdict item 3): the training loop is iterative
+# and not PLAIN-SQL-expressible, but its output is deterministic
+# integers/strings — so with the reference trainer registered as DuckDB
+# scalars (tools/local_oracles.py) the merge tables and per-doc counts
+# are full value-hash-checked locally. The driver's plain-DuckDB harness
+# still records these rows-only (no create_function hook — see
+# oracle_sql()'s docstring for the proposal).
+BPE_TRAIN_LOCAL_ORACLE = """
+SELECT CAST(r AS INT) AS merge_rank,
+       bpe3_left(r) AS "left",
+       bpe3_right(r) AS "right",
+       bpe3_merged(r) AS merged,
+       bpe3_n(r) AS n_occurrences
+FROM range(1, 4) t(r) WHERE r <= bpe3_count(0)
+"""
+
+BPE_TRAIN_SAMPLED_LOCAL_ORACLE = """
+SELECT CAST(r AS INT) AS merge_rank,
+       bpe50_left(r) AS "left",
+       bpe50_right(r) AS "right",
+       bpe50_merged(r) AS merged,
+       bpe50_n(r) AS n_occurrences
+FROM range(1, 51) t(r) WHERE r <= bpe50_count(0)
+"""
+
+BPE_TOKEN_COUNTS_LOCAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(bpe_len(tok)) AS BIGINT) AS n_bpe_tokens
+FROM toks GROUP BY doc_id
+"""
+
+
+@register("bpe_train_merges", local_oracle=BPE_TRAIN_LOCAL_ORACLE)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three rounds of BPE training (rows-only driver check: the
+    """Three rounds of BPE training (rows-only in the DRIVER gate: the
     per-round argmax over a re-segmented state is iterative and not
-    SQL-expressible; tests/test_entity_res_tokenizer.py value-checks the
-    learned merge table against an independent pure-Python BPE trainer
-    on the same corpus)."""
+    plain-SQL-expressible; locally the learned merge table is full
+    value-hash-checked against the independent reference trainer via
+    DuckDB Python scalars — LOCAL_ORACLES tier — and
+    tests/test_entity_res_tokenizer.py pins the same equality)."""
     return train_bpe_merges(spark, sf_dir, n_merges=3)
 
 
-@register("bpe_token_counts")
+@register("bpe_token_counts", local_oracle=BPE_TOKEN_COUNTS_LOCAL_ORACLE)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY side of BPE: per-document sequence length under the
     trained tokenizer — the number every packing/budgeting decision
@@ -317,12 +357,16 @@ def train_bpe_merges_sampled(
     )
 
 
-@register("bpe_train_merges_sampled")
+@register(
+    "bpe_train_merges_sampled", local_oracle=BPE_TRAIN_SAMPLED_LOCAL_ORACLE
+)
 def bpe_train_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """50 merge rounds via the sampled driver-side trainer (rows-only:
-    iterative argmax, not SQL-expressible). On the fixture the sample cap
-    exceeds the full vocab, so rounds 1-3 equal the distributed
-    ``bpe_train_merges`` exactly (pinned in tests) — the entry documents
-    the production path: one corpus pass + driver-side merge loop, no
-    job-per-merge wall."""
+    """50 merge rounds via the sampled driver-side trainer (rows-only in
+    the DRIVER gate: iterative argmax, not plain-SQL-expressible;
+    locally full value-hash-checked at LOCAL_ORACLES tier — the sample
+    cap exceeds every fixture vocab, so the reference trainer replays
+    all 50 rounds exactly). On the fixture rounds 1-3 equal the
+    distributed ``bpe_train_merges`` (pinned in tests) — the entry
+    documents the production path: one corpus pass + driver-side merge
+    loop, no job-per-merge wall."""
     return train_bpe_merges_sampled(spark, sf_dir, n_merges=50)

@@ -803,6 +803,7 @@ def rate_incremental_lsh_dedup(
         phases=[],
         wall={},
         consumed=0,
+        counted_epochs=set(),
     )
     cap = _bucket_cap()
     inner = _make_apply_batch(bands_state, shingles_state, edges_path, cap)
@@ -815,7 +816,15 @@ def rate_incremental_lsh_dedup(
         if n == 0:
             return  # empty trigger: no epoch state, no empty-partition writes
         inner(batch_df, epoch_id)
-        LAST_RUN["consumed"] += n
+        # counting is epoch-idempotent, mirroring the idempotent epoch
+        # WRITES: an abrupt stop after inner() but before Spark commits
+        # the epoch's offsets makes the next generation replay this
+        # epoch_id — without the guard the replay double-counts and
+        # drain_until() can exit with fewer unique docs in state than
+        # its target (r12 ADVICE item 1)
+        if epoch_id not in LAST_RUN["counted_epochs"]:
+            LAST_RUN["counted_epochs"].add(epoch_id)
+            LAST_RUN["consumed"] += n
 
     docs = rate_documents(spark, rows_per_second)
 

@@ -103,3 +103,9 @@ def test_cc_superseded_checkpoints_deleted(spark, reliable_dir):
     # bidir + the live tail of the labels chain; rounds ~8, so any leak
     # shows up immediately
     assert len(rdd_dirs) <= 3, rdd_dirs
+    # r12 ADVICE: the GC's broad except counts swallowed failures — if a
+    # Spark upgrade breaks the private accessors, cleanup attempts raise
+    # and this counter (not just the dir count above) pinpoints it
+    from ntd_gtfs_to_socrata_spark.operators import graph as G
+
+    assert G.SKIPPED_CHECKPOINT_CLEANUPS == 0

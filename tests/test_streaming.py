@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest as _pytest
+
 from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_session, tw_tumbling
 from ntd_gtfs_to_socrata_spark.streaming import event_windows as EW
 
@@ -555,6 +557,66 @@ def test_tws_ewma_parity_or_documented_gate(spark, sf_dir):
         for r in tw_ewma_smoothed(spark, sf_dir).collect()
     }
     assert got == want  # bit-exact, not isclose
+
+
+class _TwsProtobufGate(Exception):
+    """The documented tWS blocker: google.protobuf absent, state server
+    cannot initialize."""
+
+
+@_pytest.mark.xfail(
+    strict=True,
+    raises=_TwsProtobufGate,
+    reason="google.protobuf absent: tWS state server cannot initialize",
+)
+def test_tws_runtime_unlock_is_loud(spark, sf_dir):
+    """STRICT xfail on the tWS runtime gate (r12 verdict item 7): runs
+    the transformWithStateInPandas leg END-TO-END and asserts bit-exact
+    batch parity. Today google.protobuf is absent, so the run raises the
+    documented state-server error — re-raised as _TwsProtobufGate, the
+    exact class the xfail expects. The moment the container gains the
+    protobuf runtime, parity executes and passes -> XPASS -> strict=True
+    turns that into a loud suite FAILURE: promote the tWS leg (drop this
+    marker; retire the documented-gate branches in the two
+    *_or_documented_gate tests). A NEW failure mode (anything other than
+    the protobuf gate) is a real failure, not an xfail."""
+    from pyspark.sql import functions as F
+
+    from ntd_gtfs_to_socrata_spark.io import load_table
+    from ntd_gtfs_to_socrata_spark.queries.time_windows import tw_ewma_smoothed
+    from ntd_gtfs_to_socrata_spark.streaming import stateful as STF
+    from ntd_gtfs_to_socrata_spark.streaming import stateful_v2 as V2
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    staging = STF.stage_time_sliced(spark, purchases, n_slices=4)
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = V2.running_ewma_tws(stream)
+    try:
+        EW.run_available_now_to_memory(out, "tws_unlock_probe", "update")
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        msg = str(e)
+        if (
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in msg
+            or "google.protobuf" in msg
+            or "TransformWithStateInPySpark driver worker exited" in msg
+        ):
+            raise _TwsProtobufGate(msg[:300]) from e
+        raise
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.table("tws_unlock_probe").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in tw_ewma_smoothed(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-exact — XPASS here is the loud unlock
 
 
 def test_stateful_v2_default_dispatch(spark, sf_dir, monkeypatch):

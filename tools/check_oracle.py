@@ -65,6 +65,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         [duckdb.typing.VARCHAR],
         duckdb.typing.BIGINT,
     )
+    # BPE trainer scalars (r12 verdict item 3: bpe_train_merges,
+    # bpe_train_merges_sampled, bpe_token_counts promoted from rows-only
+    # to LOCAL_ORACLES-tier value-hash)
+    from tools.local_oracles import register_bpe_udfs
+
+    register_bpe_udfs(con, sf_dir)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
