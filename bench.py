@@ -176,8 +176,10 @@ HEADLINE = [
     "mm_jpeg_resize",
     # r12 addition: real IMA-ADPCM compressed-audio decode
     "mm_adpcm_decode",
-    # r13 addition: real GIF/LZW compressed-image decode
+    # r13 additions: real GIF/LZW compressed-image decode, G.711 mu-law
+    # companded-audio decode
     "mm_gif_decode",
+    "mm_mulaw_decode",
 ]
 
 

@@ -1171,6 +1171,162 @@ def decode_adpcm(with_payload: DataFrame) -> DataFrame:
     )
 
 
+# --- REAL companded-audio decode: G.711 mu-law (WAV format tag 7) --------
+#
+# The telephony codec (r12 VERDICT stretch list): G.711 mu-law is 8-bit
+# logarithmic PCM with an exact integer expansion formula (ITU-T G.711 /
+# the classic CCITT tables), so — unlike ADPCM's recurrence — EVERY byte
+# decodes independently and the oracle replays the formula directly, no
+# fixed-pattern trick needed. Decode (the spec's segment/mantissa form):
+#   u = ~code & 0xFF
+#   t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+#   sample = 0x84 - t  if u & 0x80 else  t - 0x84
+# Full range: code 0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0.
+
+MULAW_DECODE_SCHEMA = (
+    "doc_id long, n_samples long, sum_s long, last_s long, peak long,"
+    " trough long, ok boolean"
+)
+_MULAW_N_MOD, _MULAW_N_MIN = 120, 40  # n_samples = nb % 120 + 40
+
+
+def make_mulaw_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) where payload is a REAL G.711 mu-law WAV: RIFF
+    header, WAVE_FORMAT_MULAW fmt chunk (tag 7, mono, 8-bit, 18-byte
+    extended form with cbSize=0), a fact chunk with the sample total,
+    and a data chunk of n = nb%120+40 companded bytes, word-aligned with
+    a pad byte when n is odd (the RIFF rule a lazy writer forgets).
+    Byte t is (doc_id*13 + 7*t) % 256 — every mu-law code value occurs
+    across the corpus, so the decoder's full expansion table is
+    load-bearing in the value hash. All Column expressions."""
+    nb = F.octet_length("text")
+    n = (nb % _MULAW_N_MOD + _MULAW_N_MIN).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n - 1)
+    ulaw = F.aggregate(
+        idx,
+        F.lit(b""),
+        lambda acc, t: F.concat(
+            acc, _be((F.col("doc_id") * 13 + 7 * t) % 256, 1)
+        ),
+    )
+    fmt = F.concat(
+        F.lit(b"fmt "),
+        _le(F.lit(18), 4),  # extended fmt: 16 + cbSize field
+        _le(F.lit(7), 2),  # WAVE_FORMAT_MULAW
+        _le(F.lit(1), 2),  # mono
+        _le(F.lit(8000), 4),  # sample rate
+        _le(F.lit(8000), 4),  # byte rate (1 byte/sample)
+        _le(F.lit(1), 2),  # block align
+        _le(F.lit(8), 2),  # bits per sample
+        _le(F.lit(0), 2),  # cbSize
+    )
+    fact = F.concat(F.lit(b"fact"), _le(F.lit(4), 4), _le(n, 4))
+    pad = F.when(n % 2 == 1, F.lit(b"\x00")).otherwise(F.lit(b""))
+    data = F.concat(F.lit(b"data"), _le(n, 4), ulaw, pad)
+    riff_size = n + (n % 2) + 50  # WAVE(4) + fmt(26) + fact(12) + data hdr(8)
+    payload = F.concat(
+        F.lit(b"RIFF"), _le(riff_size, 4), F.lit(b"WAVE"), fmt, fact, data
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def _mulaw_expand(codes):
+    """Vectorized G.711 mu-law expansion: uint8 code array -> int64
+    linear samples (exact spec formula, no lookup table needed)."""
+    import numpy as np
+
+    u = (255 - codes.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _parse_mulaw_wav(b: bytes):
+    """Real G.711 mu-law WAV decode: RIFF chunk walk (word-aligned), fmt
+    tag-7 validation (mono, 8-bit, block align 1), fact-chunk sample
+    truncation, per-byte mu-law expansion. Returns an int64 ndarray of
+    samples or None on ANY malformed input (errors as data)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size + 8 > len(b):
+        return None
+    pos, fmt_ok, data, fact_n = 12, False, None, None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + length > len(b):
+            return None
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            if length < 16:
+                return None
+            tag, channels, _, _, block, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != 7 or channels != 1 or bits != 8 or block != 1:
+                return None
+            fmt_ok = True
+        elif ctype == b"fact":
+            if length < 4:
+                return None
+            (fact_n,) = struct.unpack_from("<I", body, 0)
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)
+    if not fmt_ok or data is None or len(data) == 0:
+        return None
+    samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    if fact_n is not None:
+        if fact_n > len(samples):
+            return None
+        samples = samples[:fact_n]
+    return samples
+
+
+def mulaw_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL COMPANDED-AUDIO DECODE: per-blob mu-law expansion reduced to
+    exact integer stats (count / sum / last / peak / trough). Malformed
+    payloads return ok=False with null stats (errors as data)."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = _parse_mulaw_wav(bytes(payload or b""))
+            if s is None or not s.size:
+                out.append((doc_id, None, None, None, None, None, False))
+                continue
+            out.append(
+                (
+                    doc_id,
+                    int(s.size),
+                    int(s.sum()),
+                    int(s[-1]),
+                    int(s.max()),
+                    int(s.min()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "n_samples", "sum_s", "last_s", "peak", "trough",
+                "ok",
+            ],
+        )
+
+
+def decode_mulaw(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched G.711 mu-law decode: per-blob exact integer stats."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        mulaw_stats_batch, schema=MULAW_DECODE_SCHEMA
+    )
+
+
 # --- REAL video-container decode: AVI (RIFF-AVI walk + DIB frames) -------
 
 AVI_FRAME_SCHEMA = (
@@ -2352,11 +2508,12 @@ def dispatch_decode_batch(
     """ONE decoder pass over a MIXED media column: sniff the container by
     magic bytes (the only honest router for a heterogeneous lake — file
     extensions don't survive object stores) and dispatch to the real
-    BMP/PNG/JPEG/GIF/WAV/ADPCM/AVI decoders. Normalized output:
-    modality-agnostic unit count (pixels / samples / frames) + an exact
-    integer checksum of every decoded value, so the value hash covers
-    all seven decode paths at once. Unrecognized/corrupt blobs become
-    kind='unknown' rows (errors as data)."""
+    BMP/PNG/JPEG/GIF/WAV/ADPCM/mu-law/AVI decoders (the RIFF/WAVE branch
+    falls through PCM -> ADPCM -> mu-law on the fmt tag). Normalized
+    output: modality-agnostic unit count (pixels / samples / frames) +
+    an exact integer checksum of every decoded value, so the value hash
+    covers all eight decode paths at once. Unrecognized/corrupt blobs
+    become kind='unknown' rows (errors as data)."""
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -2395,6 +2552,12 @@ def dispatch_decode_batch(
                         kind = "adpcm"
                         n_units = len(samples)
                         checksum = int((samples + 32768).sum())
+                    else:
+                        samples = _parse_mulaw_wav(b)
+                        if samples is not None and samples.size:
+                            kind = "mulaw"
+                            n_units = len(samples)
+                            checksum = int((samples + 32768).sum())
             elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                 parsed = _parse_avi(b)
                 if parsed is not None:

@@ -810,6 +810,55 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.avi_frame_sample(MM.make_avi_payload(docs))
 
 
+# --- REAL G.711 mu-law decode (companded audio: WAV format tag 7) --------
+# Construction contract (operators/multimodal.py make_mulaw_payload):
+# n = nb%120+40 companded bytes, byte t = (doc_id*13 + 7*t) % 256. The
+# expansion is a closed-form integer formula per byte (no recurrence),
+# so the oracle replays it directly: u = 255 - code,
+# t = ((u%16)*8 + 132) << ((u//16)%8), sample = +-(t - 132).
+MM_MULAW_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+p AS (SELECT doc_id, nb % 120 + 40 AS n FROM d),
+c AS (SELECT doc_id, n, t, 255 - (doc_id * 13 + 7 * t) % 256 AS u
+      FROM (SELECT doc_id, n, unnest(range(n)) AS t FROM p)),
+v AS (SELECT doc_id, n, t,
+             CASE WHEN u >= 128
+                  THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+                  ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             END AS s
+      FROM c)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(MAX(CASE WHEN t = n - 1 THEN s END) AS BIGINT) AS last_s,
+       CAST(MAX(s) AS BIGINT) AS peak,
+       CAST(MIN(s) AS BIGINT) AS trough,
+       TRUE AS ok
+FROM v GROUP BY doc_id, n
+"""
+
+
+@register("mm_mulaw_decode", MM_MULAW_DECODE_ORACLE)
+def mm_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPANDED-AUDIO DECODE — G.711 mu-law, the telephony codec
+    (8-bit logarithmic PCM): payloads are genuine WAVE_FORMAT_MULAW WAVs
+    built JVM-side (18-byte extended fmt chunk, fact chunk, word-aligned
+    data with the odd-length pad byte), and the Arrow-batched UDF
+    decodes them the way any G.711 reader must: RIFF walk, tag-7
+    validation, per-byte segment/mantissa expansion through the exact
+    ITU-T formula, fact truncation. Every code value 0..255 occurs
+    across the corpus, so the full expansion range (+-32124, both zero
+    codes) is load-bearing under the value hash; unlike ADPCM there is
+    no recurrence, so the oracle replays the formula per byte with no
+    fixed-pattern trick.
+
+    Scale posture: decode is one map-side Arrow pass (no joins, no
+    shuffle); per-blob output is a single stats row, so 100 TB of
+    telephony audio reduces at scan speed."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    return MM.decode_mulaw(MM.make_mulaw_payload(docs))
+
+
 # --- REAL GIF/LZW decode (compressed image: variable-width LZW) ----------
 # Construction contract (operators/multimodal.py make_gif_payload):
 # w = nb%7+1, h = nb%5+1, INTERLACED, pixel index at row-major FILE
@@ -878,7 +927,7 @@ bmp AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 7 = 0))
+          FROM (SELECT doc_id, nb%8+1 AS w, nb%6+1 AS h FROM d WHERE doc_id % 8 = 0))
   ) GROUP BY doc_id, w, h
 ),
 png AS (
@@ -887,14 +936,14 @@ png AS (
   FROM (
     SELECT doc_id, w, h, r, unnest(range(w*3)) AS j
     FROM (SELECT doc_id, w, h, unnest(range(h)) AS r
-          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 7 = 1))
+          FROM (SELECT doc_id, nb%5+1 AS w, nb%4+1 AS h FROM d WHERE doc_id % 8 = 1))
   ) GROUP BY doc_id, w, h
 ),
 wav AS (
   SELECT doc_id, 'wav' AS kind, CAST(n AS BIGINT) AS n_units,
          CAST(SUM((doc_id*31 + 7*t) % 65536) AS BIGINT) AS checksum
   FROM (SELECT doc_id, n, unnest(range(n)) AS t
-        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 7 = 2))
+        FROM (SELECT doc_id, nb%200+50 AS n FROM d WHERE doc_id % 8 = 2))
   GROUP BY doc_id, n
 ),
 avi AS (
@@ -906,7 +955,7 @@ avi AS (
       SELECT doc_id, w, nf, f, unnest(range(h)) AS r
       FROM (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f
             FROM (SELECT doc_id, nb%4+1 AS w, nb%3+1 AS h, nb%5+2 AS nf
-                  FROM d WHERE doc_id % 7 = 3))
+                  FROM d WHERE doc_id % 8 = 3))
     )
   ) GROUP BY doc_id, nf
 ),
@@ -914,14 +963,14 @@ jpg AS (
   SELECT doc_id, 'jpeg' AS kind, CAST(nbx * 8 * 16 AS BIGINT) AS n_units,
          CAST(SUM(64 * (32 + (doc_id + 37*k) % 192)) AS BIGINT) AS checksum
   FROM (SELECT doc_id, nbx, unnest(range(nbx * 2)) AS k
-        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 7 = 4))
+        FROM (SELECT doc_id, nb%4+2 AS nbx FROM d WHERE doc_id % 8 = 4))
   GROUP BY doc_id, nbx
 ),
 adp AS (
   SELECT doc_id, 'adpcm' AS kind, CAST(n AS BIGINT) AS n_units,
          CAST(n * (pred0 + 32768) + ps[n] AS BIGINT) AS checksum
   FROM (SELECT doc_id, 2*(nb%96+24)+1 AS n, (doc_id*37)%2048-1024 AS pred0
-        FROM d WHERE doc_id % 7 = 5),
+        FROM d WHERE doc_id % 8 = 5),
        (SELECT {ps_lit} AS ps)
 ),
 gif AS (
@@ -932,13 +981,26 @@ gif AS (
     SELECT doc_id, w, h, (doc_id + 9 * k) % 128 AS p
     FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS k
           FROM (SELECT doc_id, nb%7+1 AS w, nb%5+1 AS h
-                FROM d WHERE doc_id % 7 = 6))
+                FROM d WHERE doc_id % 8 = 6))
   ) GROUP BY doc_id, w, h
+),
+mlw AS (
+  SELECT doc_id, 'mulaw' AS kind, CAST(n AS BIGINT) AS n_units,
+         CAST(SUM(CASE WHEN u >= 128
+                  THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+                  ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+                  END + 32768) AS BIGINT) AS checksum
+  FROM (
+    SELECT doc_id, n, 255 - (doc_id * 13 + 7 * t) % 256 AS u
+    FROM (SELECT doc_id, n, unnest(range(n)) AS t
+          FROM (SELECT doc_id, nb % 120 + 40 AS n
+                FROM d WHERE doc_id % 8 = 7))
+  ) GROUP BY doc_id, n
 )
 SELECT * FROM bmp UNION ALL SELECT * FROM png
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM avi
 UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM adp
-UNION ALL SELECT * FROM gif
+UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM mlw
 """
 
 
@@ -946,16 +1008,17 @@ UNION ALL SELECT * FROM gif
 def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HETEROGENEOUS MEDIA LAKE: the corpus lands as a mixed binary
     column — each doc a genuine BMP, PNG, WAV, AVI, baseline JPEG,
-    IMA-ADPCM WAV, or interlaced GIF by doc_id residue
+    IMA-ADPCM WAV, interlaced GIF, or G.711 mu-law WAV by doc_id residue
     — and ONE Arrow-batched pass sniffs the container by magic bytes
     (extensions don't survive object stores) and dispatches to the real
     decoder: BMP pixel slice, PNG inflate+unfilter, WAV RIFF walk, AVI
-    frame walk, JPEG entropy decode + IDCT, ADPCM nibble decode (the
-    PCM-then-ADPCM fall-through inside the RIFF/WAVE branch), GIF LZW
-    decode + deinterlace. Normalized (kind, unit count, exact integer
-    checksum of every decoded value) output means the value hash
-    exercises all seven decode paths in a single oracled query — the
-    realistic shape of a multimodal curation pipeline's first stage.
+    frame walk, JPEG entropy decode + IDCT, ADPCM nibble decode and
+    mu-law expansion (the PCM-then-ADPCM-then-mu-law fall-through inside
+    the RIFF/WAVE branch), GIF LZW decode + deinterlace. Normalized
+    (kind, unit count, exact integer checksum of every decoded value)
+    output means the value hash exercises all eight decode paths in a
+    single oracled query — the realistic shape of a multimodal curation
+    pipeline's first stage.
 
     Scale posture: the mixed column is built branch-per-format and
     unioned (all map-side; the union is plan-level, no shuffle), decode
@@ -976,13 +1039,14 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mm_dispatch_docs",
     )
     parts = [
-        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 7 == 0)),
-        MM.make_png_payload(docs.filter(F.col("doc_id") % 7 == 1)),
-        MM.make_wav_payload(docs.filter(F.col("doc_id") % 7 == 2)),
-        MM.make_avi_payload(docs.filter(F.col("doc_id") % 7 == 3)),
-        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 7 == 4)),
-        MM.make_adpcm_payload(docs.filter(F.col("doc_id") % 7 == 5)),
-        MM.make_gif_payload(docs.filter(F.col("doc_id") % 7 == 6)),
+        MM.make_bmp_payload(docs.filter(F.col("doc_id") % 8 == 0)),
+        MM.make_png_payload(docs.filter(F.col("doc_id") % 8 == 1)),
+        MM.make_wav_payload(docs.filter(F.col("doc_id") % 8 == 2)),
+        MM.make_avi_payload(docs.filter(F.col("doc_id") % 8 == 3)),
+        MM.make_jpeg_payload(docs.filter(F.col("doc_id") % 8 == 4)),
+        MM.make_adpcm_payload(docs.filter(F.col("doc_id") % 8 == 5)),
+        MM.make_gif_payload(docs.filter(F.col("doc_id") % 8 == 6)),
+        MM.make_mulaw_payload(docs.filter(F.col("doc_id") % 8 == 7)),
     ]
     blobs = reduce(lambda a, b: a.unionByName(b), parts)
     return MM.dispatch_decode(blobs)

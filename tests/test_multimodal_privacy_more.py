@@ -582,27 +582,33 @@ def test_dispatch_decode_agrees_with_single_format_decoders(spark, sf_dir):
 
     out = {r["doc_id"]: r for r in mm_dispatch_decode(spark, sf_dir).collect()}
     docs = load_table(spark, sf_dir, "documents")
-    bmp_docs = docs.filter(F.col("doc_id") % 7 == 0).limit(10)
+    bmp_docs = docs.filter(F.col("doc_id") % 8 == 0).limit(10)
     for r in MM.decode_bmp(MM.make_bmp_payload(bmp_docs)).collect():
         d = out[r["doc_id"]]
         assert d["kind"] == "bmp"
         assert d["checksum"] == r["sum_r"] + r["sum_g"] + r["sum_b"]
         assert d["n_units"] == r["width"] * r["height"]
-    jpg_docs = docs.filter(F.col("doc_id") % 7 == 4).limit(10)
+    jpg_docs = docs.filter(F.col("doc_id") % 8 == 4).limit(10)
     for r in MM.decode_jpeg(MM.make_jpeg_payload(jpg_docs)).collect():
         d = out[r["doc_id"]]
         assert d["kind"] == "jpeg"
         assert d["checksum"] == r["sum_px"]
         assert d["n_units"] == r["width"] * r["height"]
-    adp_docs = docs.filter(F.col("doc_id") % 7 == 5).limit(10)
+    adp_docs = docs.filter(F.col("doc_id") % 8 == 5).limit(10)
     for r in MM.decode_adpcm(MM.make_adpcm_payload(adp_docs)).collect():
         d = out[r["doc_id"]]
         assert d["kind"] == "adpcm"
         assert d["checksum"] == r["sum_s"] + 32768 * r["n_samples"]
         assert d["n_units"] == r["n_samples"]
-    gif_docs = docs.filter(F.col("doc_id") % 7 == 6).limit(10)
+    gif_docs = docs.filter(F.col("doc_id") % 8 == 6).limit(10)
     for r in MM.decode_gif(MM.make_gif_payload(gif_docs)).collect():
         d = out[r["doc_id"]]
         assert d["kind"] == "gif"
         assert d["checksum"] == r["sum_r"] + r["sum_g"] + r["sum_b"]
         assert d["n_units"] == r["n_pixels"]
+    mlw_docs = docs.filter(F.col("doc_id") % 8 == 7).limit(10)
+    for r in MM.decode_mulaw(MM.make_mulaw_payload(mlw_docs)).collect():
+        d = out[r["doc_id"]]
+        assert d["kind"] == "mulaw"
+        assert d["checksum"] == r["sum_s"] + 32768 * r["n_samples"]
+        assert d["n_units"] == r["n_samples"]

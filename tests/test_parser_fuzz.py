@@ -80,8 +80,10 @@ def _valid_blobs(spark_free: bool = True) -> dict:
 
     adpcm, _ = _encode_ima_wav(_ramp(66).tolist(), spb=33)
     from tests.test_gif_decode import _build_gif
+    from tests.test_mulaw_decode import _encode_mulaw_wav
 
     gif = _build_gif(5, 4, list(range(8)) * 2 + [3] * 4, interlace=True)
+    mulaw = _encode_mulaw_wav([(37 * i) % 256 for i in range(33)])
     return {
         "png": _valid_png(),
         "jpeg": jpeg,
@@ -90,6 +92,7 @@ def _valid_blobs(spark_free: bool = True) -> dict:
         "avi": _valid_avi(),
         "adpcm": adpcm,
         "gif": gif,
+        "mulaw": mulaw,
     }
 
 
@@ -134,6 +137,7 @@ PARSERS = {
     "avi": MM._parse_avi,
     "adpcm": MM._parse_adpcm_wav,
     "gif": MM._parse_gif,
+    "mulaw": MM._parse_mulaw_wav,
 }
 
 

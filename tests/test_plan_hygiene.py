@@ -150,8 +150,10 @@ def test_executed_exchanges_release_pipeline(spark, sf_dir):
 # evidence that the runtime counts stay at the measured logical numbers —
 # a regression that starts re-executing a shared subtree trips the bound.
 _EXCHANGES_OK_MEASURED = {
-    # r12: six fixture branches share the rebalanced-docs stage boundary;
-    # static explain re-lists the cached exchange per branch, executed is 1
+    # r12 (+gif/mu-law r13): eight fixture branches share the
+    # rebalanced-docs stage boundary; static explain re-lists the cached
+    # exchange per branch, executed is 1 (re-measured r13: executed=1
+    # cachescan=8)
     "mm_dispatch_decode": 1,
     "w4_set_ops": 6,
     "sim_ivf_recall": 8,
