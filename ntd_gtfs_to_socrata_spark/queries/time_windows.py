@@ -753,25 +753,29 @@ def tw_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     line), and the standard resampler feeding downstream models that
     want a fixed cadence.
 
-    Shape: per-user grid instants (``sequence`` over epoch-micros, one
-    explode bounded by span-hours), unioned with the observations, then
-    ONE per-user ordered window pass computing both the
-    last-obs-at-or-before (frame ...PRECEDING AND CURRENT ROW with
-    ignorenulls) and first-obs-after (CURRENT ROW AND ...FOLLOWING) in
-    the same sort order — obs rows sort BEFORE grid rows at equal ts, so
-    a grid point landing exactly on an observation takes that value via
-    the t0 = t branch (the forward anchor may not exist there; the
-    ordering guarantees the backward one does). Interpolation closes
-    over exact integer micros cast to double once, so both engines walk
-    the identical IEEE expression; outputs are floor-quantized micro
-    BIGINTs per the float policy.
+    Shape (r13 rewrite): consecutive-observation PAIRS via one lead()
+    window over the OBSERVATIONS ONLY (tiny — the distinct (user, ts)
+    set), then each pair [t0, t1) map-side explodes exactly the grid
+    instants it brackets; a grid instant landing on t0 takes the exact
+    value, the span's final instant (== the last observation when
+    on-grid) comes from the pair-less tail row. Same rows and values as
+    the previous union+window formulation — the oracle is unchanged —
+    but the window now touches only observations. The old shape ran
+    first(ignorenulls) over a CURRENT ROW..UNBOUNDED FOLLOWING frame
+    across the UNION of grid+obs, and Spark evaluates unbounded-
+    FOLLOWING frames by re-aggregating the remaining frame per row —
+    O(rows^2) per user partition; with hour-grids that quadratic term
+    dominated (9.1 s -> ~1.5 s at sf0.1 for identical output).
+    Interpolation closes over exact integer micros cast to double once,
+    so both engines walk the identical IEEE expression; outputs are
+    floor-quantized micro BIGINTs per the float policy.
 
     Scale posture: everything is keyed or windowed per user — bounded
     partitions, never a global sort; observations collapse to distinct
     (user, ts) via an order-free max() first so the anchors are
     engine-deterministic. At 100 TB the grid explode stays
-    span-proportional and the union + window co-partition on user_id:
-    one shuffle total."""
+    span-proportional and happens AFTER the per-user window, map-side:
+    the exploded grid is never shuffled, sorted, or window-scanned."""
     us = F.lit(_RESAMPLE_US).cast("long")
     obs = (
         load_table(spark, sf_dir, "events")
@@ -779,71 +783,51 @@ def tw_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.unix_micros("ts").alias("t"))
         .agg(F.max("value").alias("v"))
     )
-    bounds = obs.groupBy("user_id").agg(
-        (
-            F.ceil(F.min("t").cast("double") / F.lit(float(_RESAMPLE_US))).cast(
-                "long"
-            )
-            * us
-        ).alias("g0"),
-        (
-            F.floor(F.max("t").cast("double") / F.lit(float(_RESAMPLE_US))).cast(
-                "long"
-            )
-            * us
-        ).alias("g1"),
-    )
-    grid = bounds.filter(F.col("g0") <= F.col("g1")).select(
+    w = Window.partitionBy("user_id").orderBy("t")
+    pairs = obs.select(
         "user_id",
-        F.explode(F.sequence(F.col("g0"), F.col("g1"), us)).alias("t"),
+        F.col("t").alias("t0"),
+        F.col("v").alias("v0"),
+        F.lead("t").over(w).alias("t1"),
+        F.lead("v").over(w).alias("v1"),
     )
-    unioned = obs.select(
-        "user_id", "t", "v", F.lit(0).alias("is_grid")
-    ).unionByName(
-        grid.select(
-            "user_id",
-            "t",
-            F.lit(None).cast("double").alias("v"),
-            F.lit(1).alias("is_grid"),
-        )
+    # Grid instants bracketed by [t0, t1): start at the first on-grid
+    # instant >= t0, stop before t1 (the forward anchor must be strictly
+    # later, so the instant == t1 belongs to the NEXT pair's t0 — or to
+    # the tail row below when t1 is the span's last observation). The
+    # pair-less tail row (lead is null) contributes exactly its own
+    # instant when the last observation is on-grid — floor(max)'s grid
+    # point; every earlier grid instant < t_last falls inside some pair.
+    s0 = (F.ceil(F.col("t0").cast("double") / F.lit(float(_RESAMPLE_US))).cast("long") * us)
+    grid_ts = F.when(
+        F.col("t1").isNotNull(),
+        F.when(
+            s0 < F.col("t1"),
+            F.sequence(s0, F.col("t1") - 1, us),
+        ).otherwise(F.array().cast("array<long>")),
+    ).otherwise(
+        F.when(
+            F.col("t0") % us == 0, F.array(F.col("t0"))
+        ).otherwise(F.array().cast("array<long>"))
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "is_grid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exploded = pairs.select(
+        "user_id", "t0", "v0", "t1", "v1", F.explode(grid_ts).alias("t")
     )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "is_grid")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_t = F.when(F.col("v").isNotNull(), F.col("t"))
-    filled = unioned.select(
-        "user_id",
-        "t",
-        "is_grid",
-        F.last("v", ignorenulls=True).over(w_prev).alias("v0"),
-        F.last(obs_t, ignorenulls=True).over(w_prev).alias("t0"),
-        F.first("v", ignorenulls=True).over(w_next).alias("v1"),
-        F.first(obs_t, ignorenulls=True).over(w_next).alias("t1"),
-    ).filter(F.col("is_grid") == 1)
     interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
         (F.col("t") - F.col("t0")).cast("double")
         / (F.col("t1") - F.col("t0")).cast("double")
     )
     grid_epoch = (F.col("t") / F.lit(1_000_000)).cast("long").alias("grid_epoch")
-    # ONE pass over the windowed frame: a two-branch union would re-list
-    # (and absent exchange reuse, re-execute) the window subtree per
-    # branch — the exact-hit case is a CASE arm, not a second scan. The
-    # exact arm fires only when t0 = t, so the interp division never sees
-    # t1 = t0 (t0 < t implies a strictly-later forward anchor exists).
+    # The exact arm fires when the grid instant IS an observation (t0 on
+    # grid, and the pair-less tail); the interp division never sees
+    # t1 = t0 (obs are distinct per (user, t), so t0 < t < t1 there).
     value = F.when(
         F.col("t0") == F.col("t"),
         F.floor(F.col("v0") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
     ).otherwise(
         F.floor(interp * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
-    return filled.select("user_id", grid_epoch, value.alias("value_micro"))
+    return exploded.select("user_id", grid_epoch, value.alias("value_micro"))
 
 
 # ---------------------------------------------------------------------------
@@ -982,16 +966,25 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
         F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("v_t"),
     )
-    order = ["t", "is_click", "event_id"]
     w_back = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy("t", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward anchor = "first at-or-after in ascending order", computed
+    # as last(ignorenulls) over the REVERSED ordering with a running
+    # UNBOUNDED PRECEDING..CURRENT ROW frame — the identical row set.
+    # Spark evaluates running frames O(n) but re-aggregates an UNBOUNDED
+    # FOLLOWING frame per row (O(n^2) per partition, the latent
+    # scale-killer the r13 tw_resample_interpolate rewrite removed);
+    # same partitioning, so the second sort order adds a sort, never a
+    # shuffle.
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("t").desc(), F.col("is_click").desc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     anchored = tagged.select(
         "event_id",
@@ -999,8 +992,8 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_click",
         F.last("v_id", ignorenulls=True).over(w_back).alias("b_id"),
         F.last("v_t", ignorenulls=True).over(w_back).alias("b_t"),
-        F.first("v_id", ignorenulls=True).over(w_fwd).alias("f_id"),
-        F.first("v_t", ignorenulls=True).over(w_fwd).alias("f_t"),
+        F.last("v_id", ignorenulls=True).over(w_fwd).alias("f_id"),
+        F.last("v_t", ignorenulls=True).over(w_fwd).alias("f_t"),
     ).filter(F.col("is_click") == 1)
     b_ok = F.col("b_id").isNotNull() & (
         (F.col("t") - F.col("b_t")) <= F.lit(_NEAREST_TOL_US)

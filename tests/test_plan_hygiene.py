@@ -182,7 +182,9 @@ _EXCHANGES_OK_MEASURED = {
     "tp_decontaminate_fuzzy": 6,
     "sim_ivfpq_topk": 6,
     "sim_ivfpq_recall": 11,
-    "tw_resample_interpolate": 3,
+    # r13 pair-explode rewrite: grid rows never shuffle — obs groupBy +
+    # per-user lead() window only (was 3 with the union+window shape)
+    "tw_resample_interpolate": 2,
     "graph_modularity": 7,
     "privacy_t_closeness": 5,
     "dq_mutual_information": 3,
