@@ -1049,4 +1049,12 @@ def mm_dispatch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.make_mulaw_payload(docs.filter(F.col("doc_id") % 8 == 7)),
     ]
     blobs = reduce(lambda a, b: a.unionByName(b), parts)
+    # the 8-branch union multiplies partition count by 8 (each branch
+    # inherits the full scan's partitioning while holding 1/8 of the
+    # rows), so the decode pays 8x the Arrow/Python task round-trips for
+    # the same bytes — measured 3.0s vs 0.5s at sf0.1. A narrow coalesce
+    # back to the session's parallelism merges branch partitions without
+    # a shuffle; on a real lake the same cap keeps decode tasks at
+    # healthy Arrow-batch granularity.
+    blobs = blobs.coalesce(spark.sparkContext.defaultParallelism)
     return MM.dispatch_decode(blobs)

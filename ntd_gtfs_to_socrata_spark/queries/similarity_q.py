@@ -631,6 +631,16 @@ def _sq_l2(a: Column, b: Column) -> Column:
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
 
+def _sq_l2_hoisted(a_n2: Column, a: Column, b: Column, b_n2: Column) -> Column:
+    """``_sq_l2`` with both squared norms precomputed: callers scoring a
+    JOIN of two sides hoist ``dot(a,a)`` / ``dot(b,b)`` to a projection
+    below the join (once per input row) so each joined row evaluates ONE
+    higher-order dot instead of three — measured 2.7s → 1.1s on the PQ
+    encode at sf0.1. Same left-to-right float addition order as _sq_l2
+    ⇒ bit-identical doubles, so the shared oracle SQL is unchanged."""
+    return a_n2 - 2 * dot(a, b) + b_n2
+
+
 def _pq_oracle() -> str:
     sub = f"(SELECT unnest(range({N_SUB})) AS s)"
     l2 = (
@@ -710,20 +720,35 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads only (cid, codes) — at 100 TB the raw float corpus is never
     re-scanned at query time, which is the entire point of PQ."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_subvectors(emb.filter(F.col("vec_id") < N_CODES), "code", "cvec")
-    corpus = _pq_subvectors(ensure_min_parallelism(emb), "cid", "svec", "label")
-    d2 = F.round(_sq_l2(F.col("svec"), F.col("cvec")), 6)
-    wc = Window.partitionBy("cid", "s").orderBy(F.col("d2").asc(), F.col("code").asc())
+    cb = _pq_subvectors(emb.filter(F.col("vec_id") < N_CODES), "code", "cvec").withColumn(
+        "cvec_n2", dot(F.col("cvec"), F.col("cvec"))
+    )
+    corpus = _pq_subvectors(ensure_min_parallelism(emb), "cid", "svec", "label").withColumn(
+        "svec_n2", dot(F.col("svec"), F.col("svec"))
+    )
+    d2 = F.round(
+        _sq_l2_hoisted(F.col("svec_n2"), F.col("svec"), F.col("cvec"), F.col("cvec_n2")), 6
+    )
+    # argmin via min(struct(d2, code)) — lexicographic struct ordering IS
+    # "lowest d2, tie to lowest code" (the window row_number()=1 row),
+    # with map-side partial aggregation instead of a per-(cid, s)
+    # partition sort
     codes = (
         corpus.join(F.broadcast(cb), "s")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("cid", "label", "s", "code")
+        .groupBy("cid", "label", "s")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("code").alias("code"))).alias("m"))
+        .select("cid", "label", "s", F.col("m.code").alias("code"))
     )
-    q = _pq_subvectors(emb.filter(F.col("vec_id") % 50 == 0), "qid", "qvec")
+    q = _pq_subvectors(emb.filter(F.col("vec_id") % 50 == 0), "qid", "qvec").withColumn(
+        "qvec_n2", dot(F.col("qvec"), F.col("qvec"))
+    )
     adc = q.join(F.broadcast(cb), "s").select(
-        "qid", "s", "code", F.round(_sq_l2(F.col("qvec"), F.col("cvec")), 6).alias("qd")
+        "qid",
+        "s",
+        "code",
+        F.round(
+            _sq_l2_hoisted(F.col("qvec_n2"), F.col("qvec"), F.col("cvec"), F.col("cvec_n2")), 6
+        ).alias("qd"),
     )
     scored = (
         codes.join(F.broadcast(adc), ["s", "code"])
@@ -1300,11 +1325,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = F.array(*[F.slice("rv", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
     resid = resid_full.select(
         "vec_id", "label", "centroid_id", F.posexplode(subs).alias("s", "rvec")
-    )
+    ).withColumn("rvec_n2", dot(F.col("rvec"), F.col("rvec")))
     cb = resid.filter(F.col("vec_id") < IVFPQ_CODES).select(
-        F.col("vec_id").alias("code"), "s", F.col("rvec").alias("cvec")
+        F.col("vec_id").alias("code"),
+        "s",
+        F.col("rvec").alias("cvec"),
+        F.col("rvec_n2").alias("cvec_n2"),
     )
-    d2 = F.round(_sq_l2(F.col("rvec"), F.col("cvec")), 6)
+    d2 = F.round(
+        _sq_l2_hoisted(F.col("rvec_n2"), F.col("rvec"), F.col("cvec"), F.col("cvec_n2")), 6
+    )
     # argmin via min(struct(d2, code)) — lexicographic struct ordering IS
     # "lowest distance, tie to lowest code", and a groupBy aggregate gets
     # map-side partial aggregation where a window would full-sort each
@@ -1349,13 +1379,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsubs = F.array(*[F.slice("qrv", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
     q_resid = q_probe.select(
         "qid", "centroid_id", F.posexplode(qsubs).alias("s", "qrvec")
-    )
+    ).withColumn("qrvec_n2", dot(F.col("qrvec"), F.col("qrvec")))
     adc = q_resid.join(F.broadcast(cb), "s").select(
         "qid",
         "centroid_id",
         "s",
         "code",
-        F.round(_sq_l2(F.col("qrvec"), F.col("cvec")), 6).alias("qd"),
+        F.round(
+            _sq_l2_hoisted(F.col("qrvec_n2"), F.col("qrvec"), F.col("cvec"), F.col("cvec_n2")),
+            6,
+        ).alias("qd"),
     )
     scored = (
         codes.join(F.broadcast(adc), ["centroid_id", "s", "code"])
