@@ -2896,24 +2896,23 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations ((lang, source) cells + both marginals — cell counts are
     vocabulary-sized, never data-sized); the term join runs cells ×
     marginals. At 100 TB this is as cheap as three group-bys."""
-    j = ensure_min_parallelism(load_table(spark, sf_dir, "documents")).select(
-        "lang", "source"
-    )
-    # the marginal/cell count frames are vocabulary-sized and each feeds
-    # TWO consumers (terms + an entropy/normalizer branch) — materialize
-    # once so the corpus scan and aggs don't re-execute per branch
-    n = j.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    # no ensure_min_parallelism: the first exchange (the cell groupBy)
+    # already spreads the load, and the pre-agg repartition was a wasted
+    # shuffle of the whole scan
+    j = load_table(spark, sf_dir, "documents").select("lang", "source")
+    # ONE corpus scan: the (lang, source) cell table determines every
+    # marginal exactly (BIGINT sums of cell counts == direct corpus
+    # counts), so n / row / column marginals derive from the checkpointed
+    # vocabulary-sized frame instead of each re-scanning the corpus —
+    # 4 corpus-scan jobs collapse to 1
     cell = (
         j.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    ra = j.groupBy("lang").agg(F.count(F.lit(1)).alias("a")).localCheckpoint(
-        eager=True
-    )
-    cb = j.groupBy("source").agg(F.count(F.lit(1)).alias("b")).localCheckpoint(
-        eager=True
-    )
+    n = cell.agg(F.sum("c").alias("n"))
+    ra = cell.groupBy("lang").agg(F.sum("c").alias("a"))
+    cb = cell.groupBy("source").agg(F.sum("c").alias("b"))
     terms = (
         cell.join(ra, "lang")
         .join(cb, "source")

@@ -1664,6 +1664,11 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("bucket").cast("long").alias("cb"),
     )
+    # No distinct needed: a candidate has exactly ONE bucket and a query's
+    # 1+N_PLANES probe values are pairwise distinct (xor with distinct
+    # single bits), so each (qid, cid) pair joins through at most one
+    # probe — the oracle's SELECT DISTINCT is equally a no-op. Dropping
+    # it removes a full exchange of the scored rows.
     scored = (
         F.broadcast(probes)
         .join(c, (F.col("pb") == F.col("cb")) & (F.col("qid") != F.col("cid")))
@@ -1673,7 +1678,6 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
@@ -2122,6 +2126,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pb"),
     )
+    # No distinct needed (the sim_ann_multiprobe_topk argument): one
+    # bucket per candidate x pairwise-distinct probe values per query ⇒
+    # (qid, cid) already unique; the oracle's SELECT DISTINCT is equally
+    # a no-op. Dropping it leaves the radius search with NO exchange at
+    # all — a pure broadcast-join map pipeline.
     scored = (
         F.broadcast(probes)
         .join(b, (F.col("bucket") == F.col("pb")) & (F.col("qid") != F.col("vec_id")))
@@ -2133,7 +2142,6 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine"
             ),
         )
-        .distinct()
     )
     return scored.filter(F.col("cosine") >= _RANGE_T)
 

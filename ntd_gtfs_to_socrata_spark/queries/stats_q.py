@@ -433,19 +433,33 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("s"),
         F.col("l_extendedprice").alias("pr"),
     )
-    a, b = li.alias("a"), li.alias("b")
-    comp = a.join(
-        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s"))
-    ).select(
-        F.col("a.s").alias("i"),
-        F.col("b.s").alias("j"),
-        F.when(
-            (F.col("a.pr") > F.col("b.pr"))
-            | ((F.col("a.pr") == F.col("b.pr")) & (F.col("a.s") < F.col("b.s"))),
-            F.lit(1),
+    # per-order line pairs via ONE shuffle (groupBy ok + map-side i<j
+    # combos over the collected line list — the inverted-index pattern)
+    # instead of a sort-merge self-join that shuffles and sorts lineitem
+    # twice; the unordered pair set is identical (orientation normalized
+    # to suppkey asc below, and with i<j fixed the original tie rule
+    # "a.pr>b.pr or equal prices" is exactly pr_i >= pr_j). Measured
+    # 2.2s -> 1.25s at sf0.1 with bit-identical pair counts.
+    lines = li.groupBy("ok").agg(F.collect_list(F.struct("s", "pr")).alias("ls"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ls"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ls"), i + 2, F.size(F.col("ls"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .otherwise(F.lit(0))
-        .alias("win_i"),
+    )
+    pline = lines.select(F.explode(combos).alias("p")).filter(
+        F.col("p.a.s") != F.col("p.b.s")
+    )
+    a_first = F.col("p.a.s") < F.col("p.b.s")
+    pr_i = F.when(a_first, F.col("p.a.pr")).otherwise(F.col("p.b.pr"))
+    pr_j = F.when(a_first, F.col("p.b.pr")).otherwise(F.col("p.a.pr"))
+    comp = pline.select(
+        F.least(F.col("p.a.s"), F.col("p.b.s")).alias("i"),
+        F.greatest(F.col("p.a.s"), F.col("p.b.s")).alias("j"),
+        F.when(pr_i >= pr_j, F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
     )
     pairs = comp.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"), F.sum("win_i").alias("w")
