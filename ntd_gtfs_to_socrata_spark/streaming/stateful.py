@@ -176,7 +176,17 @@ def stage_time_sliced(
     ``maxFilesPerTrigger=1``). Cost: one quantile probe (n_slices - 1
     control-plane scalars) + ONE pass over ``df`` (a single
     ``partitionBy(slice)`` write); pickup order is then pinned with
-    explicit increasing mtimes rather than trusting write timing."""
+    explicit increasing mtimes rather than trusting write timing.
+
+    The write hash-partitions on the slice id with ``n_slices`` target
+    partitions — every slice's rows land WHOLLY in one task (hash
+    partitioning is value-complete), so each ``slc=i`` dir still holds
+    exactly ONE part file (the maxFilesPerTrigger=1 batch contract),
+    but the slices write in PARALLEL instead of through the former
+    ``coalesce(1)`` single-task serial write. Within-file row order is
+    immaterial: every stateful consumer sorts each key's rows by
+    (ts, id) inside the batch (see ``running_ewma``), which is also why
+    the quantile cut only has to keep equal-ts rows in one slice."""
     _retire_previous()
     work = tempfile.mkdtemp(prefix="stream_staging_")
     _PREV_WORK.append(work)
@@ -189,7 +199,7 @@ def stage_time_sliced(
     for i in range(n_slices - 2, -1, -1):
         slice_col = F.when(ts_d <= F.lit(bounds[i]), F.lit(i)).otherwise(slice_col)
     tmp = os.path.join(work, "tmp")
-    df.withColumn("slc", slice_col).coalesce(1).write.mode(
+    df.withColumn("slc", slice_col).repartition(n_slices, F.col("slc")).write.mode(
         "overwrite"
     ).partitionBy("slc").parquet(tmp)
     staging = os.path.join(work, "slices")
