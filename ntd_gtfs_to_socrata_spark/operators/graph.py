@@ -235,6 +235,8 @@ def pagerank(
     viral page) is an AQE skew-join case; the contribution aggregation
     itself partial-combines map-side.
     """
+    if trunc_every < 1:
+        raise ValueError(f"trunc_every must be >= 1, got {trunc_every}")
     # materialize the distinct edge set ONCE before deriving out-degrees
     # and the node universe — e_deg and nodes otherwise each re-execute
     # the full upstream edge-producing subtree (expensive when edges come
@@ -423,6 +425,8 @@ def label_propagation(
     final one (the ``pagerank`` rationale: fixed-iteration loops carry no
     per-round convergence probe, so each skipped checkpoint is one fewer
     job and one fewer full state write)."""
+    if trunc_every < 1:
+        raise ValueError(f"trunc_every must be >= 1, got {trunc_every}")
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
     e = e.transform(_truncate)
     nodes = (

@@ -781,13 +781,24 @@ def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (century(F.col("a.c_acctbal")) == century(F.col("b.c_acctbal"))),
     )
-    pat = cand.select(
-        (F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty")) <= 1)
-        .cast("int")
-        .alias("g_name"),
-        (F.col("a.c_acctbal") == F.col("b.c_acctbal")).cast("int").alias("g_bal"),
-        (F.col("a.c_mktsegment") == F.col("b.mktsegment")).cast("int").alias("g_seg"),
-    ).groupBy("g_name", "g_bal", "g_seg").agg(F.count(F.lit(1)).alias("n"))
+    # Materialize the (≤ 2^fields = 8)-row contingency ONCE: every EM
+    # iteration references `pat`, and each `broadcast(params)` chain nests
+    # the previous iteration's aggregate — without a boundary the sampled
+    # candidate join + levenshtein subtree is re-planned and RE-EXECUTED
+    # once per reference (r14, guide §2.4/§5: the plan's only expensive
+    # subtree ran 3x for a query whose loop arithmetic is 8 rows).
+    pat = (
+        cand.select(
+            (F.levenshtein(F.col("a.c_name"), F.col("b.name_dirty")) <= 1)
+            .cast("int")
+            .alias("g_name"),
+            (F.col("a.c_acctbal") == F.col("b.c_acctbal")).cast("int").alias("g_bal"),
+            (F.col("a.c_mktsegment") == F.col("b.mktsegment")).cast("int").alias("g_seg"),
+        )
+        .groupBy("g_name", "g_bal", "g_seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
     params = spark.range(1).select(
         F.lit(_EM_INIT["lam"]).cast("long").alias("lam"),

@@ -8,6 +8,8 @@ array columns — Arrow/pandas never enters the hot path.
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -129,6 +131,22 @@ FROM embeddings
 """
 
 
+def _bucket_col(emb_col: Column) -> Column:
+    """The 8-plane LSH bucket id as a Column over the RAW (float-array)
+    embedding — the single definition every consumer shares, so a query
+    that needs (bucket, embedding) together computes both in ONE map pass
+    over the scan instead of joining ``sim_lsh_buckets`` back to the
+    embeddings table (r14, guide §2.4: that self-join cost an extra scan
+    plus a broadcast/shuffle exchange at six call sites for a column the
+    map stage had just projected away)."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        w_arr = F.array(*[F.lit(float(x)) for x in _plane_weights(p)])
+        bit = F.when(dot(emb_col, w_arr) >= 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
 @register("sim_lsh_hyperplane_buckets", LSH_ORACLE)
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8 sign bits → 256 buckets. ANN search then
@@ -137,12 +155,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the brute-force O(n·q) cross product. Map-only here; the
     bucket id is the shuffle key downstream."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        w_arr = F.array(*[F.lit(float(x)) for x in _plane_weights(p)])
-        bit = F.when(dot(F.col("embedding"), w_arr) >= 0, F.lit(1 << p)).otherwise(0)
-        bucket = bucket + bit
-    return emb.select("vec_id", "label", bucket.alias("bucket"))
+    return emb.select("vec_id", "label", _bucket_col(F.col("embedding")).alias("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -178,9 +191,11 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pattern. The hyperplanes are deterministic integer weights, so
     the whole candidate-and-rerank result is value-hash checked; recall
     vs brute force is separately asserted in tests/test_similarity.py."""
-    buckets = sim_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    # bucket + embedding in one map pass (no self-join; see _bucket_col)
+    with_vec = emb.select(
+        "vec_id", "label", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
     q = with_vec.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -907,9 +922,11 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-4 per anchor capped before the shuffle). Round-before-rank with
     a neg_id tiebreak keeps the ordering FP-noise-proof — fully
     value-hash checked."""
-    buckets = sim_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    # bucket + embedding in one map pass (no self-join; see _bucket_col)
+    with_vec = emb.select(
+        "vec_id", "label", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
     anchors = with_vec.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
@@ -1323,9 +1340,20 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     subs = F.array(*[F.slice("rv", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
-    resid = resid_full.select(
-        "vec_id", "label", "centroid_id", F.posexplode(subs).alias("s", "rvec")
-    ).withColumn("rvec_n2", dot(F.col("rvec"), F.col("rvec")))
+    # Materialize the residual subvectors ONCE (r14, guide §2.4/§5): the
+    # corpus-wide IVF assignment window feeding `resid` is referenced by
+    # BOTH the codebook (cb → two broadcast builds) and the encode path
+    # (`codes`); without a boundary each reference re-executes the full
+    # assignment join+window. resid is corpus × N_SUB narrow rows — the
+    # natural ingest-time materialization point (codes persist in a real
+    # deployment).
+    resid = (
+        resid_full.select(
+            "vec_id", "label", "centroid_id", F.posexplode(subs).alias("s", "rvec")
+        )
+        .withColumn("rvec_n2", dot(F.col("rvec"), F.col("rvec")))
+        .localCheckpoint(eager=True)
+    )
     cb = resid.filter(F.col("vec_id") < IVFPQ_CODES).select(
         F.col("vec_id").alias("code"),
         "s",
@@ -1512,10 +1540,11 @@ def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice on its key. Everything shuffles on node ids — no window sees
     more than one node's candidates (≤ ~2k² rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    b = (
-        sim_lsh_buckets(spark, sf_dir)
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket")
+    # bucket + embedding in one map pass (no self-join; see _bucket_col)
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
     )
     # linear-cost init: each node pairs with the next _NND_RING members of
     # its bucket in sorted-id order (O(n*ring) pairs; the all-pairs-within-
@@ -1585,9 +1614,12 @@ def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = twohop.unionByName(g0.select("src", "dst")).distinct()
     e1 = b.select(F.col("vec_id").alias("src"), F.col("e").alias("e_src"))
     e2 = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("e_dst"))
+    # dst join first, src join LAST: the re-scored frame then carries
+    # hash(src) partitioning into the per-src top-k window — no extra
+    # Exchange (guide §2.4); inner joins commute, rows/values unchanged
     resc = (
-        cand.join(e1, "src")
-        .join(e2, "dst")
+        cand.join(e2, "dst")
+        .join(e1, "src")
         .select("src", "dst", F.round(dot(F.col("e_src"), F.col("e_dst")), 6).alias("score"))
     )
     wr = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
@@ -1642,9 +1674,11 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join stays a hash equi-join on bucket with fan-out bounded
     by (1+planes) × bucket size; the corpus is never cross-joined. The
     broadcast side is the bounded query set, as in every sim_* probe."""
-    buckets = sim_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    with_vec = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+    # bucket + embedding in one map pass (no self-join; see _bucket_col)
+    with_vec = emb.select(
+        "vec_id", "label", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
     q = with_vec.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -1825,16 +1859,23 @@ SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= {_GS_K}
 def _gs_search_graph(spark: SparkSession, sf_dir: str):
     """(search_graph, b) where b = (vec_id, e, bucket) and search_graph =
     two-round NN-descent geometric top-k ∪ the structural id-ring."""
+    from pyspark.sql import Observation
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # bucket + embedding in one map pass (no self-join; see _bucket_col);
+    # the corpus count rides the checkpoint job as an observe() metric
+    # (the graph-loop convergence-probe pattern) instead of a second job
+    obs = Observation(f"gs_n_{uuid4().hex[:8]}")
     b = (
-        sim_lsh_buckets(spark, sf_dir)
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket"
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            _bucket_col(F.col("embedding")).alias("bucket"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = b.count()
+    n = obs.get["n"]
     # global rank by vec_id WITHOUT an unpartitioned window (the scale
     # killer): two-level prefix — per-block row_number (window partitioned
     # by id block = bounded partitions) + a broadcast join of block
@@ -1870,9 +1911,14 @@ def _gs_search_graph(spark: SparkSession, sf_dir: str):
     ebt = b.select(F.col("vec_id").alias("dst"), F.col("e").alias("e_dst"))
 
     def score_edges(p: DataFrame) -> DataFrame:
+        # dst join first, src join LAST: the output then carries
+        # hash(src) partitioning, so the consumer's per-src top-k window
+        # (w0) needs no extra Exchange (guide §2.4 — same key, one
+        # shuffle). Inner joins commute; the row set and score
+        # arithmetic are unchanged.
         return (
-            p.join(ea, "src")
-            .join(ebt, "dst")
+            p.join(ebt, "dst")
+            .join(ea, "src")
             .select(
                 "src",
                 "dst",
@@ -1955,8 +2001,13 @@ def sim_graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = b.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
 
     def score(cands: DataFrame) -> DataFrame:
+        # the candidate set is query-side-bounded (queries × beam ×
+        # degree), so IT broadcasts and the corpus-sized ce is probed
+        # map-side — the corpus never shuffles at query time (the
+        # docstring's posture; previously this was a sort-merge join
+        # that exchanged+sorted ce once per call, r14 guide §3.1)
         return (
-            cands.join(ce, "cid")
+            ce.join(F.broadcast(cands), "cid")
             .join(F.broadcast(q.select("qid", "qe")), "qid")
             .select(
                 "qid",
@@ -1988,12 +2039,19 @@ def sim_graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= _GS_BEAM)
             .select("qid", "cid")
         )
+        # frontier (queries × beam) broadcasts against the partitioned
+        # graph; the visited set (queries × visited-so-far, bounded by
+        # beam × degree × hops) broadcasts into the anti-join — per hop
+        # the graph is probed map-side and only the tiny (qid, cid)
+        # candidate set shuffles (its distinct), guide §3.1/§2.4
         nbrs = (
-            frontier.join(graph, frontier.cid == graph.src)
+            graph.join(F.broadcast(frontier), frontier.cid == graph.src)
             .select("qid", F.col("dst").alias("cid"))
             .distinct()
         )
-        new = nbrs.join(visited, ["qid", "cid"], "left_anti")
+        new = nbrs.join(
+            F.broadcast(visited.select("qid", "cid")), ["qid", "cid"], "left_anti"
+        )
         visited = visited.unionByName(score(new)).localCheckpoint(eager=True)
     return (
         visited.filter(F.col("cid") != F.col("qid"))
@@ -2095,16 +2153,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket), scoring is map-side; output size is data-dependent by
     definition — the caller bounds it with the threshold, not a k."""
     emb = load_table(spark, sf_dir, "embeddings")
-    b = (
-        sim_lsh_buckets(spark, sf_dir)
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.col("embedding").cast("array<double>").alias("e"),
-            l2_norm(F.col("embedding")).alias("nrm"),
-            "bucket",
-        )
+    # bucket + embedding in one map pass (no self-join; see _bucket_col)
+    b = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
     )
     q = b.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),

@@ -132,22 +132,35 @@ def running_ewma(events: DataFrame, span: int = 16) -> DataFrame:
     batch boundaries at any cadence."""
     import pandas as pd  # noqa: PLC0415
 
+    import numpy as np  # noqa: PLC0415
+
+    # 2^-k weight / normalizer tables, hoisted out of the per-key calls
+    # (guide §4.5): every value is an exact power-of-two double, so table
+    # lookup is bit-identical to recomputing the pow per event
+    _pow2 = [2.0 ** -k for k in range(span)]
+    _norm = [2.0 - 2.0 ** -(s - 1) for s in range(span + 1)]
+
     def update(key, pdfs, state: GroupState):
         tail: list[float] = list(state.get[0]) if state.exists else []
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        out_eid: list[int] = []
-        out_ewma: list[float] = []
-        for eid, v in zip(pdf["event_id"], pdf["value"]):
+        # per-KEY python overhead dominates (guide §4.2) — single-chunk
+        # fast path + numpy lexsort instead of a pandas concat + sort per
+        # key per batch; the left-to-right fold order is unchanged, so
+        # the stream/batch bit-exact parity holds
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        eids = pdf["event_id"].to_numpy()
+        order = np.lexsort((eids, pdf["ts"].to_numpy()))
+        vals = pdf["value"].to_numpy()[order]
+        out_eid = eids[order]
+        out_ewma = np.empty(len(vals), dtype="float64")
+        for i, v in enumerate(vals):
             tail.append(float(v))
             win = tail[-span:]
             s = len(win)
             acc = 0.0
             for j, x in enumerate(win):
-                acc += x * 2.0 ** -(s - 1 - j)
-            out_eid.append(int(eid))
-            out_ewma.append(acc / (2.0 - 2.0 ** -(s - 1)))
+                acc += x * _pow2[s - 1 - j]
+            out_ewma[i] = acc / _norm[s]
         state.update((_trim_tail(tail, span),))
         yield pd.DataFrame(
             {"user_id": key[0], "event_id": out_eid, "ewma": out_ewma}
@@ -178,15 +191,19 @@ def stage_time_sliced(
     ``partitionBy(slice)`` write); pickup order is then pinned with
     explicit increasing mtimes rather than trusting write timing.
 
-    The write hash-partitions on the slice id with ``n_slices`` target
-    partitions — every slice's rows land WHOLLY in one task (hash
+    The write RANGE-partitions on the slice id with ``n_slices`` target
+    partitions — every slice's rows land WHOLLY in one task (range
     partitioning is value-complete), so each ``slc=i`` dir still holds
     exactly ONE part file (the maxFilesPerTrigger=1 batch contract),
     but the slices write in PARALLEL instead of through the former
-    ``coalesce(1)`` single-task serial write. Within-file row order is
-    immaterial: every stateful consumer sorts each key's rows by
-    (ts, id) inside the batch (see ``running_ewma``), which is also why
-    the quantile cut only has to keep equal-ts rows in one slice."""
+    ``coalesce(1)`` single-task serial write. Range (not hash)
+    partitioning because distinct slice ids map to DISTINCT partitions
+    — with small ``n_slices`` the hash of two slice ids collides into
+    one task often enough to halve the claimed write parallelism
+    (ADVICE r13). Within-file row order is immaterial: every stateful
+    consumer sorts each key's rows by (ts, id) inside the batch (see
+    ``running_ewma``), which is also why the quantile cut only has to
+    keep equal-ts rows in one slice."""
     _retire_previous()
     work = tempfile.mkdtemp(prefix="stream_staging_")
     _PREV_WORK.append(work)
@@ -199,9 +216,9 @@ def stage_time_sliced(
     for i in range(n_slices - 2, -1, -1):
         slice_col = F.when(ts_d <= F.lit(bounds[i]), F.lit(i)).otherwise(slice_col)
     tmp = os.path.join(work, "tmp")
-    df.withColumn("slc", slice_col).repartition(n_slices, F.col("slc")).write.mode(
-        "overwrite"
-    ).partitionBy("slc").parquet(tmp)
+    df.withColumn("slc", slice_col).repartitionByRange(
+        n_slices, F.col("slc")
+    ).write.mode("overwrite").partitionBy("slc").parquet(tmp)
     staging = os.path.join(work, "slices")
     os.makedirs(staging)
     base = os.path.getmtime(tmp)
@@ -246,6 +263,8 @@ def sessionize_with_timeout(events: DataFrame, gap_sec: int = 1800) -> DataFrame
             "duration_sec": last - st,
         }
 
+    import numpy as np  # noqa: PLC0415
+
     def update(key, pdfs, state: GroupState):
         user = key[0]
         if state.hasTimedOut:
@@ -253,10 +272,16 @@ def sessionize_with_timeout(events: DataFrame, gap_sec: int = 1800) -> DataFrame
             state.remove()
             yield pd.DataFrame([_emit(user, st, last, n)])
             return
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
-        )
-        tsecs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        # per-KEY python overhead is the dominant cost of this operator
+        # (guide §4.2: thousands of keys × a pandas concat + sort +
+        # DataFrame build per key per batch) — keep the per-call work on
+        # numpy arrays and yield NOTHING when no session closed, instead
+        # of constructing an empty DataFrame per key
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts_all = pdf["ts"].to_numpy().astype("int64") // 1_000_000_000
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts_all))
+        tsecs = ts_all[order].tolist()
         st, last, n = state.get if state.exists else (None, None, 0)
         closed = []
         for tsec in tsecs:
@@ -273,7 +298,8 @@ def sessionize_with_timeout(events: DataFrame, gap_sec: int = 1800) -> DataFrame
         # (a session already expired fires on the NEXT batch)
         wm_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max((last + gap_sec) * 1000, wm_ms + 1))
-        yield pd.DataFrame(closed)
+        if closed:
+            yield pd.DataFrame(closed)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -34,13 +34,20 @@ def main() -> int:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
+    import contextlib
+    import io
+
     for name in names:
         release_all()
         spark.catalog.clearCache()
         df = REGISTRY[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only (ADVICE r13): explain() prints to stdout; the
+        # private PythonSQLUtils.explainString route breaks silently
+        # across Spark upgrades
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
