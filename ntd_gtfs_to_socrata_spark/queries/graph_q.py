@@ -807,12 +807,19 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # one labels⋈deg pass yields BOTH the member count and the degree sum
+    # per community (r14, guide §2.4): deg covers every labeled node (all
+    # nodes come from the symmetric edge set, so each has degree ≥ 1 and
+    # the inner join drops nothing) — the separate `members` aggregation
+    # re-scanned labels and added a shuffle + a third assembly join.
     dsum = (
         labels.join(deg, "node")
         .groupBy("label")
-        .agg(F.sum("d").alias("d_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").alias("d_c"),
+        )
     )
-    members = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     m = pairs.agg(F.count(F.lit(1)).alias("m"))
     md = F.col("m").cast("double")
     half = F.col("d_c").cast("double") / (F.lit(2.0) * md)
@@ -822,8 +829,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        members.join(internal, "label", "left")
-        .join(dsum, "label")
+        dsum.join(internal, "label", "left")
         .crossJoin(F.broadcast(m))
         .select(
             F.col("label").alias("community"),

@@ -2366,10 +2366,17 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", F.lit(1).alias("step"), (7 * F.col("rel")).alias("score10"))
         .localCheckpoint(eager=True)
     )
+    # loop frames are query-batch-bounded (selected ≤ Q×k rows, pen ≤
+    # Q×C) — broadcast them so each step's joins are map-side over the
+    # checkpointed pool instead of sort-merge exchanges (checkpointed
+    # frames never auto-broadcast: LogicalRDD stats default huge); per
+    # step this leaves two small shuffles (pen's groupBy, the pick
+    # window) instead of ~five (r14, guide §3.1)
     for i in range(2, _MMR_K + 1):
         pen = (
             pairs.join(
-                selected.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+                F.broadcast(selected.select("qid", F.col("cid").alias("cb"))),
+                ["qid", "cb"],
             )
             .groupBy("qid", F.col("ca").alias("cid"))
             .agg(F.max("sim").alias("pen"))
@@ -2377,8 +2384,10 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         score10 = 7 * F.col("rel") - 3 * F.col("pen")
         wi = Window.partitionBy("qid").orderBy(score10.desc(), F.col("cid").asc())
         pick = (
-            slim.join(selected.select("qid", "cid"), ["qid", "cid"], "left_anti")
-            .join(pen, ["qid", "cid"])
+            slim.join(
+                F.broadcast(selected.select("qid", "cid")), ["qid", "cid"], "left_anti"
+            )
+            .join(F.broadcast(pen), ["qid", "cid"])
             .withColumn("rn", F.row_number().over(wi))
             .filter(F.col("rn") == 1)
             .select("qid", "cid", F.lit(i).alias("step"), score10.alias("score10"))

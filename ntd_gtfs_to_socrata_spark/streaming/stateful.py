@@ -191,19 +191,22 @@ def stage_time_sliced(
     ``partitionBy(slice)`` write); pickup order is then pinned with
     explicit increasing mtimes rather than trusting write timing.
 
-    The write RANGE-partitions on the slice id with ``n_slices`` target
-    partitions — every slice's rows land WHOLLY in one task (range
+    The write hash-partitions on the slice id with ``n_slices`` target
+    partitions — every slice's rows land WHOLLY in one task (hash
     partitioning is value-complete), so each ``slc=i`` dir still holds
     exactly ONE part file (the maxFilesPerTrigger=1 batch contract),
     but the slices write in PARALLEL instead of through the former
-    ``coalesce(1)`` single-task serial write. Range (not hash)
-    partitioning because distinct slice ids map to DISTINCT partitions
-    — with small ``n_slices`` the hash of two slice ids collides into
-    one task often enough to halve the claimed write parallelism
-    (ADVICE r13). Within-file row order is immaterial: every stateful
-    consumer sorts each key's rows by (ts, id) inside the batch (see
-    ``running_ewma``), which is also why the quantile cut only has to
-    keep equal-ts rows in one slice."""
+    ``coalesce(1)`` single-task serial write. ADVICE r13 suggested
+    ``repartitionByRange`` so distinct slices never hash-collide into
+    one task; measured in r14 and REJECTED: the range exchange needs a
+    boundary-sampling pass — a guaranteed extra full computation of the
+    staged frame per write (and an extra job) — while a collision only
+    narrows write parallelism for that run (bounded, n_slices is 3-4),
+    and the dual-tree interleaved A/B showed no win (sessionize ratio
+    within the identical-code drift band). Within-file row order is
+    immaterial: every stateful consumer sorts each key's rows by
+    (ts, id) inside the batch (see ``running_ewma``), which is also why
+    the quantile cut only has to keep equal-ts rows in one slice."""
     _retire_previous()
     work = tempfile.mkdtemp(prefix="stream_staging_")
     _PREV_WORK.append(work)
@@ -216,9 +219,9 @@ def stage_time_sliced(
     for i in range(n_slices - 2, -1, -1):
         slice_col = F.when(ts_d <= F.lit(bounds[i]), F.lit(i)).otherwise(slice_col)
     tmp = os.path.join(work, "tmp")
-    df.withColumn("slc", slice_col).repartitionByRange(
-        n_slices, F.col("slc")
-    ).write.mode("overwrite").partitionBy("slc").parquet(tmp)
+    df.withColumn("slc", slice_col).repartition(n_slices, F.col("slc")).write.mode(
+        "overwrite"
+    ).partitionBy("slc").parquet(tmp)
     staging = os.path.join(work, "slices")
     os.makedirs(staging)
     base = os.path.getmtime(tmp)
