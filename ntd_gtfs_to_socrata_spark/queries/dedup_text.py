@@ -229,9 +229,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("shingle_s").alias("shingle")),
         "prefix_jaccard_shingles",
     )
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a COUNT WINDOW over the posting table rather
+    # than groupBy + self-join: the window needs one hash(shingle)
+    # exchange where the join shape pays the same exchange for the
+    # aggregate AND a second pass to re-attach df to the postings (at
+    # local scale the vocab aggregate broadcasts; at corpus scale it is
+    # vocabulary-sized and the join becomes a second full posting-set
+    # shuffle). Same rows either way — df is a per-shingle constant.
     ordered = stage_boundary(
-        sh.join(df_tbl, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("osh"))
         .select(
@@ -2642,18 +2648,29 @@ def dedup_containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_common").cast("double") / F.col("ns") >= _CONTAIN_T)
     ).select("src", "dst")
     # The recursion below references this view once for the seed and once
-    # per iteration — WITHOUT a stage boundary each reference re-executes
+    # per iteration — WITHOUT a materialization each reference re-executes
     # the whole inverted-index pipeline (measured: 12.2 s at sf0.1 vs
-    # 2.0 s for the single-pass dedup_containment). Persisting the edge
-    # set makes every recursive step a join against the tiny cached edge
-    # list instead.
-    edges = stage_boundary(edges, "dedup_containment_closure.edges")
+    # 2.0 s for the single-pass dedup_containment). An eager
+    # localCheckpoint (not persist): the UnionLoop re-plans its step per
+    # iteration, and a persisted view re-enters the plan as an
+    # InMemoryRelation whose CACHED-SCAN STAGES are re-instantiated every
+    # round — measured at sf0.1: 74 stages / 1059 tasks with persist vs
+    # 29 / 239 with the checkpoint + broadcast below (r14; jobs 19 both
+    # ways — the iteration count is the chain depth, fixed by the data).
+    edges = edges.localCheckpoint(eager=True)
     edges.createOrReplaceTempView("contain_edges_rsql")
+    # BROADCAST the loop-static edge side: each recursive step probes the
+    # frontier map-side instead of shuffling both sides 32-ways per round.
+    # Scale posture: the edge list is the strict-containment near-dup pair
+    # set — the same magnitude the closure's own working-set argument
+    # already bounds as tiny (paths in a near-dup DAG); if a corpus ever
+    # outgrows that bound the hint (advisory, plan-level) is the first
+    # thing to drop, not the recursion.
     return spark.sql("""
     WITH RECURSIVE reach(start_doc, end_doc, depth) AS (
       SELECT src, dst, 1 FROM contain_edges_rsql
       UNION ALL
-      SELECT r.start_doc, e.dst, r.depth + 1
+      SELECT /*+ BROADCAST(e) */ r.start_doc, e.dst, r.depth + 1
       FROM reach r JOIN contain_edges_rsql e ON e.src = r.end_doc
     )
     SELECT start_doc, end_doc, CAST(min(depth) AS BIGINT) AS min_depth
