@@ -163,38 +163,34 @@ def connected_components(
     )
     prev_sum = obs0.get["s"]
     converged = False
-
-    def _propagate(lbl: DataFrame, tag: str) -> DataFrame:
+    # NOTE (r14, measured and REJECTED): fusing TWO propagation steps per
+    # materialized round — sound for correctness (labels are monotone
+    # non-increasing, so an unchanged sum across a double round still
+    # certifies the fixpoint) — made every consumer's job count WORSE
+    # (dedup_soft_weight 24 -> 31 jobs, tp_cluster_aware_split -> 30,
+    # release_pipeline_counts -> 38): near-dup graphs converge in ~2
+    # steps, so the fused loop executes extra propagation joins past the
+    # fixpoint (detection lags a full double round) and AQE submits the
+    # deeper per-round plan as MORE stage-jobs, not fewer. Single-step
+    # rounds with the probe riding each checkpoint are the measured
+    # optimum for fast-converging graphs.
+    for i in range(max_iterations):
         nbr_min = (
-            bidir.join(lbl, bidir.v == lbl.node)
-            .groupBy(F.col("u").alias(f"node_{tag}"))
-            .agg(F.min("label").alias(f"nbr_{tag}"))
+            bidir.join(labels, bidir.v == labels.node)
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
         )
-        return lbl.join(nbr_min, lbl.node == F.col(f"node_{tag}"), "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col(f"nbr_{tag}"), F.col("label"))
-            ).alias("label"),
-        )
-
-    # TWO propagation steps per materialized round (r14): the convergence
-    # probe needs an action per materialization, so each fused step halves
-    # the loop's job/checkpoint count — the many-small-jobs scheduling
-    # term the r13 verdict flags, and the same lever as pagerank's
-    # trunc_every=2 (which CC could not use directly because its probe
-    # rides every checkpoint). Correctness: labels are monotone
-    # NON-INCREASING under min-propagation, so sum(label) unchanged
-    # across a double round certifies that NEITHER sub-step changed a
-    # label — the same fixpoint the single-step probe detects — and
-    # propagation at the fixpoint is the identity, so the extra lazy
-    # sub-step after an odd-step convergence cannot alter labels.
-    # ``max_iterations`` stays the propagation-STEP budget (the raise
-    # guard below fires after >= max_iterations steps without fixpoint).
-    for i in range((max_iterations + 1) // 2):
-        stepped = _propagate(_propagate(labels, f"a{i}"), f"b{i}")
         obs = Observation(f"cc_round_{i}_{uuid.uuid4().hex[:8]}")
-        labels = stepped.observe(obs, F.sum("label").alias("s")).transform(
-            lambda d, prev=labels: _truncate(d, supersedes=prev)
+        labels = (
+            labels.join(nbr_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .observe(obs, F.sum("label").alias("s"))
+            .transform(lambda d, prev=labels: _truncate(d, supersedes=prev))
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
@@ -501,8 +497,10 @@ def k_core(
     sweep; rounds grow with graph depth).
 
     Loop contract as ``connected_components``: ``localCheckpoint``
-    truncates lineage; the fixpoint probe (low set empty) rides the low
-    checkpoint job as an ``observe()`` metric. Peeling removes at least
+    truncates lineage; the fixpoint probe (peel set empty) rides the
+    DEGREE checkpoint one step ahead as an ``observe()`` metric — each
+    deg materialization reports how many of its rows are already < k, so
+    no round pays a separate peel-set job. Peeling removes at least
     one node per non-terminal round, so ``node_count`` rounds always
     suffice — the DEFAULT bound (``max_iterations=None``) is derived from
     the node count (one control-plane scalar), making exhaustion
@@ -538,34 +536,43 @@ def k_core(
     from pyspark.sql import Observation
 
     # the ONE full-edge-set aggregation; every later round touches only
-    # delta edges and the node-sized degree table
+    # delta edges and the node-sized degree table. The fixpoint probe
+    # rides ONE STEP AHEAD on the degree checkpoint (r14): each deg
+    # materialization observes how many of ITS rows are already below k —
+    # the size of the NEXT round's peel set — so the round never pays a
+    # separate job (the old shape checkpointed `low` per round just to
+    # read its emptiness: 3 checkpoint jobs per peel instead of 2). `low`
+    # is now a lazy filter over the materialized deg RDD — its three
+    # embeddings below re-run a map over checkpointed rows, nothing else.
+    # The node-count bound rides the same observe (the old deg.count()
+    # control job removed).
+    obs0 = Observation(f"kcore_seed_{uuid.uuid4().hex[:8]}")
     deg = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("deg") < k).cast("int")).alias("n_low"),
+        )
         .transform(_truncate)
     )
+    seed_metrics = obs0.get
     if max_iterations is None:
         # one round per node is a hard upper bound (each non-terminal
         # round removes >= 1 node); +1 for the terminal fixpoint check
-        max_iterations = deg.count() + 1
-    prev_low = None
+        max_iterations = seed_metrics["n_nodes"] + 1
+    # sum() over an empty frame observes NULL — an empty degree table
+    # (edgeless input, or a graph that fully peels away) means an empty
+    # peel set
+    n_low = seed_metrics["n_low"] or 0
     for i in range(max_iterations):
-        obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
-        # low is embedded three times below (two anti-joins + the delta
-        # semi-join); materialize it once (advisor r7 pattern); its
-        # emptiness probe rides the checkpoint job as an observe metric
-        low = (
-            deg.filter(F.col("deg") < k)
-            .select("s")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .transform(lambda d, prev=prev_low: _truncate(d, supersedes=prev))
-        )
-        prev_low = low
-        if obs.get["n"] == 0:
+        if n_low == 0:
             return deg.select(
                 F.col("s").alias("node"),
                 F.col("deg").cast("long").alias("core_degree"),
             )
+        low = deg.filter(F.col("deg") < k).select("s")
         low_d = low.select(F.col("s").alias("d"))
         # delta degree loss: edges whose DEST was just removed but whose
         # source survives lose the source one incident edge. Aggregates
@@ -576,6 +583,7 @@ def k_core(
             .groupBy("s")
             .agg(F.count(F.lit(1)).alias("lost"))
         )
+        obs = Observation(f"kcore_round_{i}_{uuid.uuid4().hex[:8]}")
         deg = (
             deg.join(low, "s", "left_anti")
             .join(lost, "s", "left")
@@ -583,6 +591,7 @@ def k_core(
                 "s",
                 (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias("deg"),
             )
+            .observe(obs, F.sum((F.col("deg") < k).cast("int")).alias("n_low"))
             .transform(lambda d, prev=deg: _truncate(d, supersedes=prev))
         )
         # shrink the surviving edge set (map-side with a broadcast low;
@@ -592,6 +601,7 @@ def k_core(
             .join(low_d, "d", "left_anti")
             .transform(lambda d, prev=e: _truncate(d, supersedes=prev))
         )
+        n_low = obs.get["n_low"] or 0
     raise RuntimeError(
         f"k_core did not reach a fixpoint within the caller-imposed bound of "
         f"{max_iterations} peeling rounds (peeling needs at most one round "

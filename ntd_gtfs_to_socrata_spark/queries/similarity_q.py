@@ -1943,7 +1943,7 @@ def _gs_search_graph(spark: SparkSession, sf_dir: str):
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    for _ in range(2):  # NN-descent repair rounds
+    for rnd in range(2):  # NN-descent repair rounds
         sym = (
             g.select(
                 F.explode(
@@ -1966,8 +1966,13 @@ def _gs_search_graph(spark: SparkSession, sf_dir: str):
             .withColumn("rn", F.row_number().over(w0))
             .filter(F.col("rn") <= _GS_NND_K)
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        # mid-loop rounds materialize (g feeds the next round's sym AND
+        # cand union); the FINAL round's g has exactly one consumer — the
+        # union+distinct below — so its checkpoint would be a redundant
+        # back-to-back materialization (r14: one job + RDD write saved)
+        if rnd < 1:
+            g = g.localCheckpoint(eager=True)
     return g.unionByName(ring).distinct().localCheckpoint(eager=True), b
 
 
