@@ -3245,11 +3245,10 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — the extra cost over keep-one is a component-keyed count
     plus one join.
 
-    Scale posture: the corpus-sized side is touched by one LEFT join
-    against the component map and one join against the (clusters-sized)
-    size table; no forced broadcast on either — on real web corpora the
-    component map is billions of rows, AQE sizes the joins at runtime
-    (the dedup_keep_one rule)."""
+    Scale posture: the corpus-sized side is touched by exactly ONE left
+    join — against the size-enriched component map; no forced broadcast
+    — on real web corpora the component map is billions of rows, AQE
+    sizes the join at runtime (the dedup_keep_one rule)."""
     from ntd_gtfs_to_socrata_spark.operators.graph import connected_components
 
     pairs = _ngram_jaccard(spark, sf_dir, df_cap=AUDIT_DF_CAP)
@@ -3257,23 +3256,27 @@ def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node"), F.col("component_id").alias("comp")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    sized = docs.join(cc, docs.doc_id == cc.node, "left").select(
+    # Cluster sizes from the component map ALONE, never a corpus-wide
+    # count window: CC covers every node of the edge set, so each labeled
+    # component's full membership is in `cc` (count-per-comp over cc ==
+    # the corpus count per component_id), and an unlabeled doc is its own
+    # singleton (its component_id is its doc_id, which — being unlabeled —
+    # can never collide with a component id, always the min LABELED node).
+    # The previous count window shuffled AND sorted the whole corpus by
+    # component_id; this shape windows the near-dup-bounded map (one
+    # map-sized exchange) and touches the corpus with ONE left join.
+    cc_sz = cc.select(
+        "node",
+        "comp",
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("csz"),
+    )
+    return docs.join(cc_sz, docs.doc_id == cc_sz.node, "left").select(
         "doc_id",
         F.coalesce(F.col("comp"), F.col("doc_id")).alias("component_id"),
-    )
-    # cluster size as a PARTITIONED count window: one component-keyed
-    # shuffle instead of groupBy + re-join (2 exchanges saved); no
-    # orderBy, so no within-partition sort either
-    w = Window.partitionBy("component_id")
-    return sized.select(
-        "doc_id",
-        "component_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-    ).select(
-        "doc_id",
-        "component_id",
-        "cluster_size",
-        F.floor(1000000.0 / F.col("cluster_size") + 0.5)
+        F.coalesce(F.col("csz"), F.lit(1)).cast("long").alias("cluster_size"),
+        F.floor(
+            1000000.0 / F.coalesce(F.col("csz"), F.lit(1)).cast("double") + 0.5
+        )
         .cast("long")
         .alias("weight_micro"),
     )
